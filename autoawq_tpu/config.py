@@ -1,0 +1,70 @@
+"""Quantization config, round-tripping to the HF ``quantization_config`` dict.
+
+Mirrors the reference ``AwqConfig`` (/root/reference/awq/models/_config.py:9-102)
+including the transformers-format key renames (``w_bit``<->``bits``,
+``q_group_size``<->``group_size``) so checkpoints interoperate with
+transformers / vLLM / AutoAWQ loaders.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+
+@dataclass
+class AwqConfig:
+    quant_method: str = "awq"
+    zero_point: bool = True
+    q_group_size: int = 128
+    w_bit: int = 4
+    version: str = "gemm"
+    modules_to_not_convert: Optional[List[str]] = None
+
+    def __post_init__(self):
+        if self.w_bit != 4:
+            raise ValueError(f"Only 4-bit supported, got {self.w_bit}")
+        if self.version.lower() not in ("gemm", "gemv", "planar"):
+            raise ValueError(f"Unknown kernel version {self.version}")
+
+    @classmethod
+    def from_dict(cls, d: Optional[Dict] = None) -> "AwqConfig":
+        if not d:
+            return cls()
+        d = dict(d)
+        d.pop("quant_method", None)
+        if "bits" in d:
+            d["w_bit"] = d.pop("bits")
+        if "group_size" in d:
+            d["q_group_size"] = d.pop("group_size")
+        known = {f for f in cls.__dataclass_fields__}
+        d = {k: v for k, v in d.items() if k in known}
+        return cls(**d)
+
+    @classmethod
+    def from_pretrained(cls, path: str) -> "AwqConfig":
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = json.load(f)
+        return cls.from_dict(cfg.get("quantization_config", {}))
+
+    def to_dict(self) -> Dict:
+        return {
+            "zero_point": self.zero_point,
+            "q_group_size": self.q_group_size,
+            "w_bit": self.w_bit,
+            "version": self.version,
+            "modules_to_not_convert": self.modules_to_not_convert,
+        }
+
+    def to_transformers_dict(self) -> Dict:
+        """The dict written into config.json's ``quantization_config``."""
+        return {
+            "quant_method": "awq",
+            "zero_point": self.zero_point,
+            "group_size": self.q_group_size,
+            "bits": self.w_bit,
+            "version": self.version.lower(),
+            "modules_to_not_convert": self.modules_to_not_convert,
+        }

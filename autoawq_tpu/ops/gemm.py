@@ -1,0 +1,121 @@
+"""W4A16 linear ops on the TPU planar layout.
+
+Two interchangeable implementations of the same math:
+
+* :func:`awq_matmul_jnp` — pure-jnp dequantize -> matmul. Runs on any backend
+  (CPU tests, numerics oracle) and is the analogue of the reference's
+  kernel-free fallback (awq/utils/packing_utils.py:87 ``dequantize_gemm``).
+* :func:`awq_matmul` — dispatcher that routes to the fused Pallas kernel on
+  TPU (ops/pallas_gemm.py) when shapes allow, else the jnp path. The fused
+  kernel is the analogue of ``awq_ext.gemm_forward_cuda``
+  (awq/modules/linear/gemm.py:47-58) re-designed for the MXU.
+
+The planar int4 layout is defined in core/packing.py. All ops take the packed
+triple (qweight [K, N_pad//8] int32, scales [G, N_pad] float, qzeros
+[G, N_pad//8] int32) and the *logical* ``out_features`` N, returning
+``x @ dequant(W)[:, :N] (+ bias)``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def unpack_int4_planar(packed: jax.Array) -> jax.Array:
+    """int32 [R, C] planar-packed -> int32 [R, 8*C] logical nibbles.
+
+    jnp twin of core.packing.unpack_planar (that one is numpy, host-side).
+    """
+    r, c = packed.shape
+    # superblock lane count: 128 when C is a multiple of 128 (N_pad % 1024
+    # == 0), else the whole row is one superblock (small-N case).
+    lb = 128 if c % 128 == 0 and c >= 128 else c
+    w = packed.astype(jnp.uint32).reshape(r, c // lb, 1, lb)
+    shifts = jnp.arange(8, dtype=jnp.uint32).reshape(1, 1, 8, 1) * 4
+    nibbles = (w >> shifts) & 0xF
+    return nibbles.reshape(r, 8 * c).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("out_features", "dtype"))
+def dequantize_planar(
+    qweight: jax.Array,
+    scales: jax.Array,
+    qzeros: jax.Array,
+    *,
+    out_features: Optional[int] = None,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> jax.Array:
+    """Packed planar triple -> dense weight [K, out_features or N_pad]."""
+    k = qweight.shape[0]
+    n_pad = scales.shape[1]
+    g = scales.shape[0]
+    group_size = k // g
+    q = unpack_int4_planar(qweight).astype(jnp.float32)  # [K, N_pad]
+    z = unpack_int4_planar(qzeros).astype(jnp.float32)  # [G, N_pad]
+    s = scales.astype(jnp.float32)
+    w = (q.reshape(g, group_size, n_pad) - z[:, None, :]) * s[:, None, :]
+    w = w.reshape(k, n_pad).astype(dtype)
+    if out_features is not None and out_features != n_pad:
+        w = w[:, :out_features]
+    return w
+
+
+def awq_matmul_jnp(
+    x: jax.Array,
+    qweight: jax.Array,
+    scales: jax.Array,
+    qzeros: jax.Array,
+    *,
+    out_features: int,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Reference-path W4A16 matmul: dequantize then matmul (XLA-fused)."""
+    w = dequantize_planar(
+        qweight, scales, qzeros, out_features=None, dtype=x.dtype
+    )
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    n_pad = scales.shape[1]
+    if out_features != n_pad:
+        y = y[..., :out_features]
+    y = y.astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def awq_matmul(
+    x: jax.Array,
+    qweight: jax.Array,
+    scales: jax.Array,
+    qzeros: jax.Array,
+    *,
+    out_features: int,
+    bias: Optional[jax.Array] = None,
+    method: str = "auto",
+) -> jax.Array:
+    """W4A16 matmul dispatcher. ``method``: auto | pallas | jnp.
+
+    auto: fused Pallas kernel on TPU when the shape fits its tiling,
+    else the jnp dequant+matmul path.
+    """
+    if method == "jnp":
+        return awq_matmul_jnp(
+            x, qweight, scales, qzeros, out_features=out_features, bias=bias
+        )
+    from autoawq_tpu.ops import pallas_gemm
+
+    if method == "pallas" or (
+        method == "auto"
+        and pallas_gemm.supported(x, qweight)
+        and jax.default_backend() == "tpu"
+    ):
+        return pallas_gemm.awq_matmul_pallas(
+            x, qweight, scales, qzeros, out_features=out_features, bias=bias
+        )
+    return awq_matmul_jnp(
+        x, qweight, scales, qzeros, out_features=out_features, bias=bias
+    )
