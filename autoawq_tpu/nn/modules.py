@@ -1,0 +1,309 @@
+"""Functional transformer modules (the TPU-native model runtime).
+
+The reference reuses HuggingFace's torch graph and swaps submodules
+(awq/models/base.py:634-685, awq/modules/fused/*). Here the model is a set of
+pure functions over an explicit parameter pytree — jit/pjit/scan-friendly,
+shardable with NamedShardings, and trivially "tappable" for AWQ calibration
+(no forward hooks: pass ``taps={}`` and every linear input is recorded).
+
+Parameter pytree layout (HF-compatible names, JAX [in, out] orientation):
+
+  params = {
+    "embed_tokens": {"weight": [V, H]},
+    "layers": [ {
+        "input_layernorm": {"weight": [H]},
+        "self_attn": {"q_proj": LIN, "k_proj": LIN, "v_proj": LIN,
+                      "o_proj": LIN, "q_norm"?: {...}, "k_norm"?: {...}},
+        "post_attention_layernorm": {"weight": [H]},
+        "mlp": {"gate_proj": LIN, "up_proj": LIN, "down_proj": LIN}
+               | MoE: {"gate": LIN, "experts": [ {...} ] or stacked,
+                       "shared_expert"?: {...}},
+        # gemma2 extras: "pre_feedforward_layernorm", "post_feedforward_layernorm"
+    } ],
+    "norm": {"weight": [H]},
+    "lm_head"?: {"kernel": [H, V]},   # absent when tied
+  }
+
+A LIN is either float ({"kernel": [K, N], "bias"?: [N]}) or AWQ-quantized
+({"qweight": int32 [K, N_pad//8], "qzeros": int32 [G, N_pad//8],
+"scales": [G, N_pad], "bias"?: [N]}) in the planar layout (core/packing.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from autoawq_tpu.models.config import ModelConfig
+from autoawq_tpu.ops.gemm import awq_matmul
+
+
+def is_quantized(p: Dict[str, Any]) -> bool:
+    return "qweight" in p
+
+
+def linear(p: Dict[str, Any], x: jax.Array, out_features: int,
+           method: str = "auto") -> jax.Array:
+    """Apply a (possibly quantized) linear. x: [..., K] -> [..., N]."""
+    if is_quantized(p):
+        return awq_matmul(
+            x, p["qweight"], p["scales"], p["qzeros"],
+            out_features=out_features, bias=p.get("bias"), method=method,
+        )
+    y = jnp.dot(x, p["kernel"].astype(x.dtype),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    if p.get("bias") is not None:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float,
+             offset: bool = False) -> jax.Array:
+    """RMSNorm in fp32 (matches HF Llama; gemma uses (1 + weight))."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    w = weight.astype(jnp.float32)
+    w = 1.0 + w if offset else w
+    return (x * w).astype(dtype)
+
+
+def rope_tables(cfg: ModelConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables [*, rotary_dim//2] (fp32) for given positions."""
+    rot = cfg.rotary_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, rot, 2, dtype=jnp.float32) / rot)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(q: jax.Array, cos: jax.Array, sin: jax.Array,
+               rotary_dim: int) -> jax.Array:
+    """HF-convention rotary (half-split rotate): q [..., S, H, D]."""
+    d = q.shape[-1]
+    qr, qp = q[..., :rotary_dim], q[..., rotary_dim:]
+    q1, q2 = jnp.split(qr.astype(jnp.float32), 2, axis=-1)
+    c = cos[..., None, :]  # broadcast over heads: [.., S, 1, rot/2]
+    s = sin[..., None, :]
+    out = jnp.concatenate([q1 * c - q2 * s, q2 * c + q1 * s], axis=-1)
+    out = out.astype(q.dtype)
+    return out if rotary_dim == d else jnp.concatenate([out, qp], axis=-1)
+
+
+def _tap(taps: Optional[Dict], name: str, x: jax.Array):
+    if taps is not None:
+        taps[name] = x
+
+
+def attention(
+    cfg: ModelConfig,
+    p: Dict[str, Any],
+    x: jax.Array,  # [B, S, H]
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: Optional[jax.Array],  # [B|1, 1, S, T] additive or None
+    kv_cache: Optional[Dict[str, jax.Array]] = None,  # {"k","v": [B,T,Hkv,D], "pos"}
+    taps: Optional[Dict] = None,
+    method: str = "auto",
+) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
+    b, s, _ = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+
+    _tap(taps, "self_attn.q_proj", x)
+    q = linear(p["q_proj"], x, nh * hd, method).reshape(b, s, nh, hd)
+    k = linear(p["k_proj"], x, nkv * hd, method).reshape(b, s, nkv, hd)
+    v = linear(p["v_proj"], x, nkv * hd, method).reshape(b, s, nkv, hd)
+
+    if cfg.qk_norm:
+        q = rms_norm(q, p["q_norm"]["weight"], cfg.rms_norm_eps, cfg.norm_offset)
+        k = rms_norm(k, p["k_norm"]["weight"], cfg.rms_norm_eps, cfg.norm_offset)
+
+    q = apply_rope(q, cos, sin, cfg.rotary_dim)
+    k = apply_rope(k, cos, sin, cfg.rotary_dim)
+
+    if kv_cache is not None:
+        pos = kv_cache["pos"]
+        kc = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, pos, 0, 0))
+        vc = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, pos, 0, 0))
+        kv_cache = {"k": kc, "v": vc, "pos": pos + s}
+        k, v = kc.astype(x.dtype), vc.astype(x.dtype)
+
+    # GQA: repeat kv heads
+    if nkv != nh:
+        rep = nh // nkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    scale = cfg.attn_scale if cfg.attn_scale is not None else hd**-0.5
+    scores = jnp.einsum("bshd,bthd->bhst", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if cfg.attn_softcap:
+        scores = jnp.tanh(scores / cfg.attn_softcap) * cfg.attn_softcap
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(b, s, nh * hd)
+
+    _tap(taps, "self_attn.o_proj", out)
+    y = linear(p["o_proj"], out, cfg.hidden_size, method)
+    return y, kv_cache
+
+
+def act_fn(name: str, x: jax.Array) -> jax.Array:
+    if name == "silu":
+        return jax.nn.silu(x)
+    if name in ("gelu", "gelu_new", "gelu_pytorch_tanh", "gelu_fast"):
+        return jax.nn.gelu(x, approximate=name != "gelu")
+    if name == "relu":
+        return jax.nn.relu(x)
+    raise ValueError(f"unknown activation {name}")
+
+
+def mlp(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
+        taps: Optional[Dict] = None, method: str = "auto",
+        intermediate: Optional[int] = None) -> jax.Array:
+    inter = intermediate or cfg.intermediate_size
+    _tap(taps, "mlp.gate_proj", x)
+    g = linear(p["gate_proj"], x, inter, method)
+    u = linear(p["up_proj"], x, inter, method)
+    h = act_fn(cfg.hidden_act, g) * u
+    if "act_scale" in p:  # ScaledActivation equivalent (awq/modules/act.py:4)
+        h = h / p["act_scale"].astype(h.dtype)
+    _tap(taps, "mlp.down_proj", h)
+    return linear(p["down_proj"], h, cfg.hidden_size, method)
+
+
+def moe_block(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
+              taps: Optional[Dict] = None, method: str = "auto") -> jax.Array:
+    """Sparse MoE (mixtral / qwen3-moe style), dense-compute formulation.
+
+    Computes every expert on every token and weights by the (top-k masked)
+    router probs. Static shapes, XLA-friendly; the grouped-GEMM Pallas path
+    replaces this for serving. Expert params are a list of per-expert dicts
+    with llama MLP names (w1/w3/w2 mapped to gate/up/down at load).
+    """
+    b, s, h = x.shape
+    xt = x.reshape(-1, h)
+    _tap(taps, "mlp.gate", x)
+    router_logits = linear(p["gate"], xt, cfg.num_experts, method)
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    topw, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    if cfg.model_type == "mixtral" or cfg.norm_topk_prob:
+        topw = topw / topw.sum(-1, keepdims=True)
+    weights = jnp.sum(
+        jax.nn.one_hot(topi, cfg.num_experts, dtype=jnp.float32)
+        * topw[..., None],
+        axis=1,
+    )  # [T, E]
+    inter = cfg.moe_intermediate_size or cfg.intermediate_size
+    out = jnp.zeros((xt.shape[0], h), dtype=jnp.float32)
+    for e, ep in enumerate(p["experts"]):
+        ye = mlp(cfg, ep, xt[None], None, method, intermediate=inter)[0]
+        out = out + weights[:, e : e + 1] * ye.astype(jnp.float32)
+    if "shared_expert" in p:
+        se = mlp(cfg, p["shared_expert"], xt[None], None, method,
+                 intermediate=cfg.shared_expert_intermediate_size)[0]
+        if "shared_expert_gate" in p:
+            gate = jax.nn.sigmoid(
+                linear(p["shared_expert_gate"], xt, 1, method).astype(jnp.float32)
+            )
+            se = se * gate
+        out = out + se.astype(jnp.float32)
+    return out.astype(x.dtype).reshape(b, s, h)
+
+
+def block(
+    cfg: ModelConfig,
+    p: Dict[str, Any],
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: Optional[jax.Array],
+    kv_cache: Optional[Dict[str, jax.Array]] = None,
+    taps: Optional[Dict] = None,
+    method: str = "auto",
+) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
+    """One decoder layer. Pre-norm residual; gemma2 adds post-norms."""
+    h = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps,
+                 cfg.norm_offset)
+    attn_out, kv_cache = attention(cfg, p["self_attn"], h, cos, sin, mask,
+                                   kv_cache, taps, method)
+    if cfg.post_norms:
+        attn_out = rms_norm(attn_out, p["post_attention_layernorm"]["weight"],
+                            cfg.rms_norm_eps, cfg.norm_offset)
+        x = x + attn_out
+        h = rms_norm(x, p["pre_feedforward_layernorm"]["weight"],
+                     cfg.rms_norm_eps, cfg.norm_offset)
+    else:
+        x = x + attn_out
+        h = rms_norm(x, p["post_attention_layernorm"]["weight"],
+                     cfg.rms_norm_eps, cfg.norm_offset)
+
+    if cfg.is_moe:
+        mlp_out = moe_block(cfg, p["mlp"], h, taps, method)
+    else:
+        mlp_out = mlp(cfg, p["mlp"], h, taps, method)
+
+    if cfg.post_norms:
+        mlp_out = rms_norm(mlp_out, p["post_feedforward_layernorm"]["weight"],
+                           cfg.rms_norm_eps, cfg.norm_offset)
+    return x + mlp_out, kv_cache
+
+
+def embed(cfg: ModelConfig, params: Dict[str, Any], tokens: jax.Array,
+          dtype=None) -> jax.Array:
+    x = params["embed_tokens"]["weight"][tokens]
+    if dtype is not None:
+        x = x.astype(dtype)
+    if cfg.embed_scale:
+        x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
+    return x
+
+
+def causal_mask(s: int, t: Optional[int] = None,
+                offset: int = 0,
+                sliding_window: Optional[int] = None) -> jax.Array:
+    """Additive fp32 causal mask [1, 1, S, T]; query i attends to keys
+    <= i + offset (offset = number of cached tokens)."""
+    t = t if t is not None else s + offset
+    qi = jnp.arange(s)[:, None] + offset
+    ki = jnp.arange(t)[None, :]
+    ok = ki <= qi
+    if sliding_window:
+        ok = ok & (ki > qi - sliding_window)
+    return jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[None, None]
+
+
+def logits_fn(cfg: ModelConfig, params: Dict[str, Any], x: jax.Array,
+              method: str = "auto") -> jax.Array:
+    x = rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps, cfg.norm_offset)
+    if params.get("lm_head") is not None:
+        logits = linear(params["lm_head"], x, cfg.vocab_size, method)
+    else:  # tied embeddings
+        logits = jnp.dot(x, params["embed_tokens"]["weight"].T.astype(x.dtype))
+    logits = logits.astype(jnp.float32)
+    if cfg.logit_softcap:
+        logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+    return logits
+
+
+def forward(
+    cfg: ModelConfig,
+    params: Dict[str, Any],
+    tokens: jax.Array,  # [B, S]
+    method: str = "auto",
+    dtype=None,
+) -> jax.Array:
+    """Full prefill forward -> logits [B, S, V]."""
+    b, s = tokens.shape
+    x = embed(cfg, params, tokens, dtype)
+    positions = jnp.arange(s)[None, :]
+    cos, sin = rope_tables(cfg, positions)
+    mask = causal_mask(s, sliding_window=cfg.sliding_window)
+    for lp in params["layers"]:
+        x, _ = block(cfg, lp, x, cos, sin, mask, None, None, method)
+    return logits_fn(cfg, params, x, method)

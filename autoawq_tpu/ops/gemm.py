@@ -110,7 +110,7 @@ def awq_matmul(
 
     if method == "pallas" or (
         method == "auto"
-        and pallas_gemm.supported(x, qweight)
+        and pallas_gemm.supported(x, qweight, qweight.shape[0] // scales.shape[0])
         and jax.default_backend() == "tpu"
     ):
         return pallas_gemm.awq_matmul_pallas(

@@ -40,14 +40,15 @@ def _kernel(x_ref, qw_ref, sc_ref, qz_ref, out_ref, acc_ref, *, nk: int, group_s
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:]  # [BM, BK] bf16
-    q = qw_ref[:].astype(jnp.uint32)  # [BK, LANE]
-    qz = qz_ref[:].astype(jnp.uint32)  # [BG, LANE]
+    q = qw_ref[:]  # [BK, LANE] int32
+    qz = qz_ref[:]  # [BG, LANE] int32
     bk = q.shape[0]
     bg = bk // group_size
 
     for i in range(SLOT):
-        wq = ((q >> (4 * i)) & 0xF).astype(jnp.float32)  # [BK, LANE]
-        zi = ((qz >> (4 * i)) & 0xF).astype(jnp.float32)  # [BG, LANE]
+        # logical shifts keep everything int32 (Mosaic lacks uint32->f32)
+        wq = (jax.lax.shift_right_logical(q, 4 * i) & 0xF).astype(jnp.float32)
+        zi = (jax.lax.shift_right_logical(qz, 4 * i) & 0xF).astype(jnp.float32)
         si = sc_ref[:, i * LANE : (i + 1) * LANE].astype(jnp.float32)  # [BG, LANE]
         w = (wq.reshape(bg, group_size, LANE) - zi[:, None, :]) * si[:, None, :]
         w = w.reshape(bk, LANE).astype(x.dtype)
@@ -60,10 +61,33 @@ def _kernel(x_ref, qw_ref, sc_ref, qz_ref, out_ref, acc_ref, *, nk: int, group_s
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def supported(x: jax.Array, qweight: jax.Array) -> bool:
+def _pick_bk(k: int, group_size: int) -> Optional[int]:
+    """Choose the K-block size.
+
+    Constraint (Mosaic): the scales block's sublane dim (BK / group_size)
+    must be a multiple of 8, or the block must span the full array (BK = K).
+    Prefer a pipelined 1024..4096 block; fall back to full-K (single K step,
+    still double-buffered across the N grid) when K is oddly sized but fits
+    VMEM; else signal unsupported.
+    """
+    for mult in (8, 16, 32):
+        bk = mult * group_size
+        if k % bk == 0 and 1024 <= bk <= 4096:
+            return bk
+    if k * LANE * 4 <= 4 * 1024 * 1024:  # full-K qweight block <= 4 MB
+        return k
+    return None
+
+
+def supported(x: jax.Array, qweight: jax.Array, group_size: int = 128) -> bool:
     """Shape gate for the fused kernel: 128-lane superblock layout + aligned K."""
     k, n8 = qweight.shape
-    return n8 % LANE == 0 and k % 128 == 0 and x.shape[-1] == k
+    return (
+        n8 % LANE == 0
+        and k % group_size == 0
+        and x.shape[-1] == k
+        and _pick_bk(k, group_size) is not None
+    )
 
 
 @functools.partial(
@@ -100,7 +124,9 @@ def awq_matmul_pallas(
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
 
-    bk = next(b for b in (512, 256, 128) if k % b == 0 and b % group_size == 0)
+    bk = _pick_bk(k, group_size)
+    if bk is None:
+        raise ValueError(f"unsupported K={k} for fused kernel; use jnp path")
     bn8 = LANE
     nk = k // bk
 

@@ -1,0 +1,89 @@
+"""W4A16 matmul ops vs the host-side numpy oracle, incl. the Pallas kernel
+(interpret mode on CPU; compiled on real TPU when RUN_TPU_TESTS=1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoawq_tpu.core import packing
+from autoawq_tpu.core.quant import quantize_weight
+from autoawq_tpu.ops.gemm import awq_matmul_jnp, dequantize_planar
+from autoawq_tpu.ops.pallas_gemm import awq_matmul_pallas, supported
+
+
+def make_packed(rng, k, n, g=128):
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    q, s, z = quantize_weight(w, group_size=g)
+    qw = packing.pack_planar(np.asarray(q))
+    qz = packing.pack_planar(np.asarray(z))
+    ps = packing.pad_scales_planar(np.asarray(s))
+    wdq = np.asarray(
+        dequantize_planar(jnp.asarray(qw), jnp.asarray(ps), jnp.asarray(qz),
+                          out_features=n, dtype=jnp.float32)
+    )
+    return qw, ps, qz, wdq
+
+
+@pytest.mark.parametrize("k,n", [(256, 1024), (128, 512), (256, 5632)])
+def test_jnp_matmul_matches_oracle(rng, k, n):
+    qw, ps, qz, wdq = make_packed(rng, k, n)
+    x = rng.standard_normal((4, k)).astype(np.float32)
+    y = awq_matmul_jnp(jnp.asarray(x), jnp.asarray(qw), jnp.asarray(ps),
+                       jnp.asarray(qz), out_features=n)
+    np.testing.assert_allclose(np.asarray(y), x @ wdq, rtol=5e-3, atol=5e-3)
+
+
+def test_dequantize_planar_matches_awq_oracle(rng):
+    """Cross-check the jnp planar dequant against the AutoAWQ-format oracle."""
+    k, n = 256, 1024
+    qw, ps, qz, _ = make_packed(rng, k, n)
+    awq_qw, awq_qz, awq_s = packing.planar_to_awq(qw, qz, ps, n)
+    ref = packing.dequantize_awq(awq_qw, awq_qz, awq_s)
+    ours = np.asarray(
+        dequantize_planar(jnp.asarray(qw), jnp.asarray(ps), jnp.asarray(qz),
+                          out_features=n, dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("m", [1, 8, 17, 300])
+@pytest.mark.parametrize("k,n", [(256, 1024), (512, 2048)])
+def test_pallas_kernel_matches_jnp(rng, m, k, n):
+    qw, ps, qz, wdq = make_packed(rng, k, n)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    assert supported(jnp.asarray(x), jnp.asarray(qw))
+    y = awq_matmul_pallas(
+        jnp.asarray(x), jnp.asarray(qw), jnp.asarray(ps), jnp.asarray(qz),
+        out_features=n, interpret=jax.default_backend() != "tpu",
+    )
+    assert y.shape == (m, n)
+    np.testing.assert_allclose(np.asarray(y), x @ wdq, rtol=5e-3, atol=5e-3)
+
+
+def test_pallas_kernel_bias_and_3d(rng):
+    k, n = 256, 1024
+    qw, ps, qz, wdq = make_packed(rng, k, n)
+    x = rng.standard_normal((2, 3, k)).astype(np.float32)
+    b = rng.standard_normal((n,)).astype(np.float32)
+    y = awq_matmul_pallas(
+        jnp.asarray(x), jnp.asarray(qw), jnp.asarray(ps), jnp.asarray(qz),
+        out_features=n, bias=jnp.asarray(b),
+        interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), x @ wdq + b, rtol=5e-3, atol=5e-3
+    )
+
+
+def test_unsupported_shape_falls_back(rng):
+    """N=256 (single small superblock) must route to the jnp path."""
+    from autoawq_tpu.ops.gemm import awq_matmul
+
+    k, n = 256, 256
+    qw, ps, qz, wdq = make_packed(rng, k, n)
+    assert not supported(jnp.ones((1, k)), jnp.asarray(qw))
+    x = rng.standard_normal((2, k)).astype(np.float32)
+    y = awq_matmul(jnp.asarray(x), jnp.asarray(qw), jnp.asarray(ps),
+                   jnp.asarray(qz), out_features=n)
+    np.testing.assert_allclose(np.asarray(y), x @ wdq, rtol=5e-3, atol=5e-3)
