@@ -1,0 +1,124 @@
+"""Top-level user API, mirroring the reference's facade
+(``AutoAWQForCausalLM`` in awq/models/auto.py:60-141 and
+``BaseAWQForCausalLM`` in awq/models/base.py:97-702):
+
+    from autoawq_tpu import AutoAWQForCausalLM, AwqConfig
+
+    model = AutoAWQForCausalLM.from_pretrained("/path/to/hf-fp16-checkpoint")
+    model.quantize(tokenizer, quant_config={"w_bit": 4, "q_group_size": 128,
+                                            "zero_point": True})
+    model.save_quantized("/path/out")  # loadable by AutoAWQ/vLLM/transformers
+
+    model = AutoAWQForCausalLM.from_quantized("/path/out")
+    ids = model.generate(prompt_ids, max_new_tokens=64)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autoawq_tpu.config import AwqConfig
+from autoawq_tpu.io import serialize
+from autoawq_tpu.models.config import ModelConfig
+from autoawq_tpu.nn import modules
+from autoawq_tpu.quantize.calib import get_calib_dataset
+from autoawq_tpu.quantize.quantizer import AwqQuantizer
+from autoawq_tpu.serve import generate as gen
+
+
+class AwqCausalLM:
+    def __init__(self, cfg: ModelConfig, params: Dict[str, Any],
+                 qcfg: Optional[AwqConfig] = None):
+        self.cfg = cfg
+        self.params = params
+        self.quant_config = qcfg
+        self._quantizer: Optional[AwqQuantizer] = None
+
+    # ------------------------------------------------------------- loading
+    @classmethod
+    def from_pretrained(cls, path: str) -> "AwqCausalLM":
+        cfg, params = serialize.from_pretrained(path)
+        return cls(cfg, params)
+
+    @classmethod
+    def from_quantized(cls, path: str) -> "AwqCausalLM":
+        cfg, qcfg, params = serialize.from_quantized(path)
+        return cls(cfg, params, qcfg)
+
+    # ---------------------------------------------------------- quantizing
+    def quantize(
+        self,
+        tokenizer=None,
+        quant_config: Union[AwqConfig, Dict, None] = None,
+        calib_data: Any = "pileval",
+        max_calib_samples: int = 128,
+        max_calib_seq_len: int = 512,
+        apply_clip: bool = True,
+        duo_scaling: bool = True,
+        export_compatible: bool = False,
+        progress: bool = True,
+    ) -> None:
+        """Run AWQ calibration and (unless export_compatible) pack int4."""
+        if isinstance(quant_config, dict) or quant_config is None:
+            quant_config = AwqConfig.from_dict(quant_config)
+        self.quant_config = quant_config
+        calib = get_calib_dataset(
+            calib_data, tokenizer, n_samples=max_calib_samples,
+            max_seq_len=max_calib_seq_len,
+        )
+        self._quantizer = AwqQuantizer(
+            self.cfg, quant_config, self.params, calib,
+            duo_scaling=duo_scaling, apply_clip=apply_clip, progress=progress,
+        )
+        self.params = self._quantizer.quantize(export_compatible=export_compatible)
+
+    def pack(self) -> None:
+        """Pack after an ``export_compatible=True`` quantize
+        (reference base.py:250-268)."""
+        if self._quantizer is None:
+            raise RuntimeError("call quantize(export_compatible=True) first")
+        self.params = self._quantizer.pack(self.params)
+
+    def save_quantized(self, path: str) -> None:
+        if self.quant_config is None:
+            raise RuntimeError("model is not quantized")
+        serialize.save_quantized(path, self.cfg, self.quant_config, self.params)
+
+    # ----------------------------------------------------------- inference
+    def __call__(self, input_ids, method: str = "auto") -> jax.Array:
+        return modules.forward(self.cfg, self.params, jnp.asarray(input_ids),
+                               method=method)
+
+    def generate(self, input_ids, max_new_tokens: int = 64,
+                 temperature: float = 0.0, seed: int = 0,
+                 eos_token_id: Optional[int] = None,
+                 dtype=jnp.float32, method: str = "auto",
+                 stream_callback=None) -> np.ndarray:
+        out = gen.generate(
+            self.cfg, self.params, jnp.asarray(input_ids), max_new_tokens,
+            temperature=temperature, seed=seed, eos_token_id=eos_token_id,
+            dtype=dtype, method=method, stream_callback=stream_callback,
+        )
+        return np.asarray(out)
+
+    def to_device(self, dtype=jnp.bfloat16):
+        """Move params to the default device, casting fp leaves."""
+        def cast(x):
+            x = jnp.asarray(x)
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                x = x.astype(dtype)
+            return jax.device_put(x)
+
+        self.params = jax.tree_util.tree_map(cast, self.params)
+        return self
+
+
+class AutoAWQForCausalLM:
+    """Name-compatible dispatcher (reference awq/models/auto.py:60)."""
+
+    from_pretrained = AwqCausalLM.from_pretrained
+    from_quantized = AwqCausalLM.from_quantized

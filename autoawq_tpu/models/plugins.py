@@ -1,0 +1,208 @@
+"""Per-architecture quantization plugins.
+
+The reference's 5-hook plugin protocol (awq/models/base.py:97 +
+awq/models/llama.py:14-85) maps onto three hooks here, since the model graph
+is ours and taps replace forward hooks:
+
+* ``scale_groups(cfg, layer_params)`` — which linears to scale against which
+  preceding op (the analogue of ``get_layers_for_scaling``).
+* ``quantizable(cfg, layer_params)`` — linear paths to quantize
+  (``get_named_linears`` + ``modules_to_not_convert``).
+* ``inspect_fn(cfg, group)`` — the functional module whose output the scale
+  grid-search minimizes against (``module2inspect``).
+
+One generic llama-family plugin covers llama / mistral / qwen2 / qwen3 /
+gemma / gemma2 / yi / tinyllama / ... via ModelConfig knobs; MoE models get
+their own group layout (cf. awq/models/mixtral.py:33-82).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional
+
+import jax
+
+from autoawq_tpu.models.config import ModelConfig
+from autoawq_tpu.nn import modules
+from autoawq_tpu.utils.tree import get_by_path
+
+
+@dataclass(frozen=True)
+class ScaleGroup:
+    prev_op: str  # path of the op the scale folds into
+    prev_kind: str  # "norm" | "fc" | "act"
+    layers: tuple  # paths of target linears
+    inp: str  # tap name carrying the input features
+    inspect: str  # "attn" | "mlp" | "moe" | single-layer path
+
+
+# reference avoid-list (awq/quantize/quantizer.py:481): q/k projections are
+# excluded from clip search because of the q@k bmm
+CLIP_AVOID = ("q_", "k_", "query", "key", "Wqkv")
+
+
+class LlamaFamilyPlugin:
+    model_types = (
+        "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "yi",
+        "aquila", "baichuan", "stablelm", "exaone", "minicpm", "internlm2",
+    )
+
+    @staticmethod
+    def scale_groups(cfg: ModelConfig, layer_params: Dict) -> List[ScaleGroup]:
+        groups = [
+            ScaleGroup(
+                prev_op="input_layernorm",
+                prev_kind="norm",
+                layers=("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
+                inp="self_attn.q_proj",
+                inspect="attn",
+            )
+        ]
+        # v -> o only when shapes match (GQA guard, awq/models/llama.py:57)
+        v = get_by_path(layer_params, "self_attn.v_proj")["kernel"]
+        o = get_by_path(layer_params, "self_attn.o_proj")["kernel"]
+        if v.shape == o.shape:
+            groups.append(
+                ScaleGroup(
+                    prev_op="self_attn.v_proj",
+                    prev_kind="fc",
+                    layers=("self_attn.o_proj",),
+                    inp="self_attn.o_proj",
+                    inspect="self_attn.o_proj",
+                )
+            )
+        post = (
+            "pre_feedforward_layernorm" if cfg.post_norms
+            else "post_attention_layernorm"
+        )
+        groups.append(
+            ScaleGroup(
+                prev_op=post,
+                prev_kind="norm",
+                layers=("mlp.gate_proj", "mlp.up_proj"),
+                inp="mlp.gate_proj",
+                inspect="mlp",
+            )
+        )
+        groups.append(
+            ScaleGroup(
+                prev_op="mlp.up_proj",
+                prev_kind="fc",
+                layers=("mlp.down_proj",),
+                inp="mlp.down_proj",
+                inspect="mlp.down_proj",
+            )
+        )
+        return groups
+
+    @staticmethod
+    def quantizable(cfg: ModelConfig, layer_params: Dict) -> List[str]:
+        return [
+            "self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+            "self_attn.o_proj", "mlp.gate_proj", "mlp.up_proj",
+            "mlp.down_proj",
+        ]
+
+
+class MoEFamilyPlugin:
+    """mixtral / qwen3_moe: expert w1/w3 scale against the post-attn norm
+    using router-input features (awq/models/mixtral.py:70-82); each expert's
+    w2 scales against its w3; the router gate itself is never quantized
+    (modules_to_not_convert=["gate"], awq/models/mixtral.py:20)."""
+
+    model_types = ("mixtral", "qwen3_moe")
+
+    @staticmethod
+    def scale_groups(cfg: ModelConfig, layer_params: Dict) -> List[ScaleGroup]:
+        groups = LlamaFamilyPlugin.scale_groups(cfg, layer_params)[:-2]
+        expert_gates = []
+        for e in range(cfg.num_experts):
+            expert_gates += [
+                f"mlp.experts.{e}.gate_proj",
+                f"mlp.experts.{e}.up_proj",
+            ]
+        groups.append(
+            ScaleGroup(
+                prev_op="post_attention_layernorm",
+                prev_kind="norm",
+                layers=tuple(expert_gates),
+                inp="mlp.gate",  # router input == experts input
+                inspect="moe",
+            )
+        )
+        for e in range(cfg.num_experts):
+            groups.append(
+                ScaleGroup(
+                    prev_op=f"mlp.experts.{e}.up_proj",
+                    prev_kind="fc",
+                    layers=(f"mlp.experts.{e}.down_proj",),
+                    inp=f"mlp.experts.{e}.down_proj",
+                    inspect=f"mlp.experts.{e}.down_proj",
+                )
+            )
+        return groups
+
+    @staticmethod
+    def quantizable(cfg: ModelConfig, layer_params: Dict) -> List[str]:
+        paths = [
+            "self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+            "self_attn.o_proj",
+        ]
+        for e in range(cfg.num_experts):
+            paths += [
+                f"mlp.experts.{e}.gate_proj",
+                f"mlp.experts.{e}.up_proj",
+                f"mlp.experts.{e}.down_proj",
+            ]
+        return paths
+
+
+PLUGINS: Dict[str, type] = {}
+for plugin in (LlamaFamilyPlugin, MoEFamilyPlugin):
+    for mt in plugin.model_types:
+        PLUGINS[mt] = plugin
+
+
+def get_plugin(model_type: str):
+    if model_type not in PLUGINS:
+        raise KeyError(
+            f"no quantization plugin for model_type={model_type!r}; "
+            f"known: {sorted(PLUGINS)}"
+        )
+    return PLUGINS[model_type]
+
+
+def make_inspect_fn(cfg: ModelConfig, group: ScaleGroup,
+                    out_features_map: Dict[str, int]) -> Callable:
+    """Build the functional ``module2inspect`` for a scale group.
+
+    Returns f(layer_params, inp, cos, sin, mask) -> output.
+    """
+    if group.inspect == "attn":
+        def f(lp, x, cos, sin, mask):
+            return modules.attention(cfg, lp["self_attn"], x, cos, sin, mask,
+                                     method="jnp")[0]
+        return f
+    if group.inspect == "mlp":
+        def f(lp, x, cos, sin, mask):
+            return modules.mlp(cfg, lp["mlp"], x, method="jnp")
+        return f
+    if group.inspect == "moe":
+        def f(lp, x, cos, sin, mask):
+            return modules.moe_block(cfg, lp["mlp"], x, method="jnp")
+        return f
+    path = group.inspect
+
+    def role_of(p: str) -> str:
+        parts = p.split(".")
+        if parts[0] == "mlp" and parts[1] == "experts":
+            return "mlp.experts." + parts[-1]
+        return p
+
+    n = out_features_map[role_of(path)]
+
+    def f(lp, x, cos, sin, mask):
+        return modules.linear(get_by_path(lp, path), x, n, method="jnp")
+
+    return f

@@ -114,6 +114,8 @@ def attention(
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
 
     _tap(taps, "self_attn.q_proj", x)
+    _tap(taps, "self_attn.k_proj", x)
+    _tap(taps, "self_attn.v_proj", x)
     q = linear(p["q_proj"], x, nh * hd, method).reshape(b, s, nh, hd)
     k = linear(p["k_proj"], x, nkv * hd, method).reshape(b, s, nkv, hd)
     v = linear(p["v_proj"], x, nkv * hd, method).reshape(b, s, nkv, hd)
@@ -165,15 +167,17 @@ def act_fn(name: str, x: jax.Array) -> jax.Array:
 
 def mlp(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
         taps: Optional[Dict] = None, method: str = "auto",
-        intermediate: Optional[int] = None) -> jax.Array:
+        intermediate: Optional[int] = None,
+        tap_prefix: str = "mlp.") -> jax.Array:
     inter = intermediate or cfg.intermediate_size
-    _tap(taps, "mlp.gate_proj", x)
+    _tap(taps, tap_prefix + "gate_proj", x)
+    _tap(taps, tap_prefix + "up_proj", x)
     g = linear(p["gate_proj"], x, inter, method)
     u = linear(p["up_proj"], x, inter, method)
     h = act_fn(cfg.hidden_act, g) * u
     if "act_scale" in p:  # ScaledActivation equivalent (awq/modules/act.py:4)
         h = h / p["act_scale"].astype(h.dtype)
-    _tap(taps, "mlp.down_proj", h)
+    _tap(taps, tap_prefix + "down_proj", h)
     return linear(p["down_proj"], h, cfg.hidden_size, method)
 
 
@@ -202,11 +206,13 @@ def moe_block(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
     inter = cfg.moe_intermediate_size or cfg.intermediate_size
     out = jnp.zeros((xt.shape[0], h), dtype=jnp.float32)
     for e, ep in enumerate(p["experts"]):
-        ye = mlp(cfg, ep, xt[None], None, method, intermediate=inter)[0]
+        ye = mlp(cfg, ep, xt[None], taps, method, intermediate=inter,
+                 tap_prefix=f"mlp.experts.{e}.")[0]
         out = out + weights[:, e : e + 1] * ye.astype(jnp.float32)
     if "shared_expert" in p:
-        se = mlp(cfg, p["shared_expert"], xt[None], None, method,
-                 intermediate=cfg.shared_expert_intermediate_size)[0]
+        se = mlp(cfg, p["shared_expert"], xt[None], taps, method,
+                 intermediate=cfg.shared_expert_intermediate_size,
+                 tap_prefix="mlp.shared_expert.")[0]
         if "shared_expert_gate" in p:
             gate = jax.nn.sigmoid(
                 linear(p["shared_expert_gate"], xt, 1, method).astype(jnp.float32)

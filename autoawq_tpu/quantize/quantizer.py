@@ -1,0 +1,311 @@
+"""The AWQ calibration engine: activation-aware scale search + clip search.
+
+Functional JAX re-implementation of the reference ``AwqQuantizer``
+(awq/quantize/quantizer.py:28-704). Differences by design:
+
+* No forward hooks / Catcher hack: the functional decoder records every
+  linear's input via ``taps`` (nn/modules.py), and block-to-block activations
+  propagate by just calling ``modules.block`` (quantizer.py:556-625 becomes
+  one embed call).
+* The 20-point scale grid (quantizer.py:368-442) and the 20-step clip shrink
+  grid (quantizer.py:495-554) are jitted ``lax.map`` loops — one compiled
+  step evaluates the whole grid; jitted searchers are cached per group shape
+  so layer 2..N reuse layer-1 compilations.
+* Statistics run in fp32 (the reference chunks fp16 tensors through fp32
+  accumulators, quantizer.py:329-348, 444-474 — on TPU fp32 is just free).
+
+Semantics preserved: duo-scaling formula, s /= sqrt(max*min) normalization,
+per-group weight normalization for w_mean, MSE-vs-fp16-output objective, q/k
+exclusion from clipping, 512-token clip sampling, scale/clip application
+order, and propagation of *unquantized* block outputs to the next block
+(quantizer.py:155-216 captures inputs before scaling the block).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autoawq_tpu.config import AwqConfig
+from autoawq_tpu.core import packing
+from autoawq_tpu.core.quant import pseudo_quantize_weight, quantize_weight
+from autoawq_tpu.models.config import ModelConfig
+from autoawq_tpu.models.plugins import (
+    CLIP_AVOID,
+    ScaleGroup,
+    get_plugin,
+    make_inspect_fn,
+)
+from autoawq_tpu.io.hf import role_out_features
+from autoawq_tpu.nn import modules
+from autoawq_tpu.quantize import scale as scale_mod
+from autoawq_tpu.utils.tree import get_by_path, set_by_path
+
+
+def _clone(tree):
+    """Clone dict/list structure, sharing array leaves."""
+    if isinstance(tree, dict):
+        return {k: _clone(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_clone(v) for v in tree]
+    return tree
+
+
+def quantize_linear_params(p: Dict[str, Any], qcfg: AwqConfig) -> Dict[str, Any]:
+    """fp LIN -> packed planar quantized LIN (host-side packing)."""
+    w = jnp.asarray(p["kernel"])
+    q, s, z = quantize_weight(
+        w, bits=qcfg.w_bit, group_size=qcfg.q_group_size,
+        zero_point=qcfg.zero_point,
+    )
+    if z is None:  # symmetric: implicit zero-point at mid-range
+        z = jnp.full((s.shape[0], q.shape[1]), 2 ** (qcfg.w_bit - 1), jnp.int32)
+    out = {
+        "qweight": jnp.asarray(packing.pack_planar(np.asarray(q))),
+        "qzeros": jnp.asarray(packing.pack_planar(np.asarray(z))),
+        "scales": jnp.asarray(packing.pad_scales_planar(np.asarray(s))),
+    }
+    if p.get("bias") is not None:
+        out["bias"] = p["bias"]
+    return out
+
+
+class AwqQuantizer:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        qcfg: AwqConfig,
+        params: Dict[str, Any],
+        calib_tokens: np.ndarray,  # [n_samples, seq_len]
+        *,
+        duo_scaling: bool = True,
+        apply_clip: bool = True,
+        n_grid: int = 20,
+        max_clip_shrink: float = 0.5,
+        n_clip_sample_tokens: int = 512,
+        compute_dtype=jnp.float32,
+        progress: bool = True,
+    ):
+        self.cfg = cfg
+        self.qcfg = qcfg
+        self.params = params
+        self.calib_tokens = np.asarray(calib_tokens)
+        self.duo_scaling = duo_scaling
+        self.do_clip = apply_clip
+        self.n_grid = n_grid
+        self.max_clip_shrink = max_clip_shrink
+        self.n_clip_sample_tokens = n_clip_sample_tokens
+        self.compute_dtype = compute_dtype
+        self.progress = progress
+        self.plugin = get_plugin(cfg.model_type)
+        self.out_features_map = role_out_features(cfg)
+        self._search_cache: Dict[Any, Any] = {}
+        # recorded per-layer artifacts (for introspection / resume)
+        self.all_scales: List[List[Tuple[ScaleGroup, np.ndarray]]] = []
+        self.all_clips: List[List[Tuple[str, np.ndarray]]] = []
+
+    # ------------------------------------------------------------------ #
+
+    def quantize(self, export_compatible: bool = False) -> Dict[str, Any]:
+        """Run AWQ over all layers; returns the new param pytree.
+
+        export_compatible=True leaves scaled+clipped fp weights in place
+        (reference base.py:156-161); call :meth:`pack` afterwards.
+        """
+        cfg = self.cfg
+        tokens = jnp.asarray(self.calib_tokens)
+        emb = {"embed_tokens": {
+            "weight": jnp.asarray(self.params["embed_tokens"]["weight"])
+        }}
+        x = modules.embed(cfg, emb, tokens, dtype=self.compute_dtype)
+        s = tokens.shape[1]
+        positions = jnp.arange(s)[None, :]
+        cos, sin = modules.rope_tables(cfg, positions)
+        mask = modules.causal_mask(s, sliding_window=cfg.sliding_window)
+
+        new_layers = []
+        iterator = range(cfg.num_hidden_layers)
+        if self.progress:
+            try:
+                from tqdm import tqdm
+
+                iterator = tqdm(iterator, desc="AWQ", unit="layer")
+            except ImportError:
+                pass
+        for i in iterator:
+            lp = _to_jnp(self.params["layers"][i])
+            # [1] capture per-linear inputs + propagate fp activations
+            taps: Dict[str, jax.Array] = {}
+            next_x, _ = self._block_tapped(lp, x, cos, sin, mask, taps)
+            # [2] scale search + fold
+            layer_scales = []
+            for group in self.plugin.scale_groups(cfg, lp):
+                scales = self._search_best_scale(lp, group, taps, cos, sin, mask)
+                scale_mod.apply_scale(lp, group, scales, taps,
+                                      norm_offset=cfg.norm_offset)
+                layer_scales.append((group, np.asarray(scales)))
+            self.all_scales.append(layer_scales)
+            # [3] clip search + clamp
+            layer_clips = []
+            if self.do_clip:
+                for path in self.plugin.quantizable(cfg, lp):
+                    if any(a in path for a in CLIP_AVOID):
+                        continue
+                    if path not in taps:
+                        continue
+                    inp = taps[path]
+                    w = get_by_path(lp, path)["kernel"]
+                    max_val = self._search_best_clip(w, inp)
+                    scale_mod.apply_clip(lp, path, max_val)
+                    layer_clips.append((path, np.asarray(max_val)))
+            self.all_clips.append(layer_clips)
+            # [4] quantize + pack
+            if not export_compatible:
+                for path in self.plugin.quantizable(cfg, lp):
+                    set_by_path(lp, path,
+                                quantize_linear_params(get_by_path(lp, path),
+                                                       self.qcfg))
+            new_layers.append(jax.device_get(lp))
+            x = next_x
+
+        out = _clone(self.params)
+        out["layers"] = new_layers
+        return out
+
+    def pack(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """Pack an export_compatible result (deferred packing,
+        reference base.py:250-268)."""
+        out = _clone(params)
+        for i, lp in enumerate(out["layers"]):
+            for path in self.plugin.quantizable(self.cfg, lp):
+                p = get_by_path(lp, path)
+                if "kernel" in p:
+                    set_by_path(lp, path, quantize_linear_params(p, self.qcfg))
+        return out
+
+    # ------------------------------------------------------------------ #
+
+    def _block_tapped(self, lp, x, cos, sin, mask, taps: Dict):
+        """Jitted tapped block forward; returns (next_x, taps-filled)."""
+        key = ("block", x.shape)
+
+        if key not in self._search_cache:
+            def f(lp, x, cos, sin, mask):
+                t: Dict[str, jax.Array] = {}
+                y, _ = modules.block(self.cfg, lp, x, cos, sin, mask,
+                                     taps=t, method="jnp")
+                return y, t
+
+            self._search_cache[key] = jax.jit(f)
+        y, t = self._search_cache[key](lp, x, cos, sin, mask)
+        taps.update(t)
+        return y, taps
+
+    def _search_best_scale(self, lp, group: ScaleGroup, taps, cos, sin, mask):
+        inp = taps.get(group.inp)
+        if inp is None:
+            raise KeyError(f"tap {group.inp} missing; have {list(taps)}")
+        key = ("scale", group, inp.shape)
+        if key not in self._search_cache:
+            inspect = make_inspect_fn(self.cfg, group, self.out_features_map)
+            qz, g, bits = self.qcfg.zero_point, self.qcfg.q_group_size, self.qcfg.w_bit
+            duo, n_grid = self.duo_scaling, self.n_grid
+
+            def search(lp, inp, cos, sin, mask):
+                layers = [get_by_path(lp, p) for p in group.layers]
+                w_cat = jnp.concatenate(
+                    [l["kernel"].astype(jnp.float32) for l in layers], axis=1
+                )  # [K, N_sum]
+                k = w_cat.shape[0]
+                gs = g if g > 0 else k
+                # per-group-normalized |w| channel mean (quantizer.py:314-327)
+                wg = jnp.abs(w_cat).reshape(k // gs, gs, -1)
+                wg = wg / (wg.max(axis=1, keepdims=True) + 1e-6)
+                w_mean = wg.reshape(k, -1).mean(axis=1)
+                x_mean = jnp.abs(inp.astype(jnp.float32)).reshape(-1, k).mean(0)
+                fp_out = inspect(lp, inp, cos, sin, mask).astype(jnp.float32)
+
+                def compute_scales(ratio):
+                    if duo:
+                        s = jnp.clip(
+                            x_mean**ratio / (w_mean ** (1 - ratio) + 1e-4),
+                            min=1e-4,
+                        )
+                    else:
+                        s = jnp.clip(x_mean**ratio, min=1e-4)
+                    s = s / jnp.sqrt(s.max() * s.min())
+                    return jnp.where(jnp.isfinite(s), s, 1.0)
+
+                def eval_ratio(ratio):
+                    s = compute_scales(ratio)
+                    lp2 = _clone(lp)
+                    for path in group.layers:
+                        fc = get_by_path(lp2, path)
+                        w2 = fc["kernel"].astype(jnp.float32) * s[:, None]
+                        w2 = pseudo_quantize_weight(
+                            w2, bits=bits, group_size=g, zero_point=qz
+                        ) / s[:, None]
+                        fc = dict(fc)
+                        fc["kernel"] = w2.astype(inp.dtype)
+                        set_by_path(lp2, path, fc)
+                    out = inspect(lp2, inp, cos, sin, mask).astype(jnp.float32)
+                    return jnp.mean((fp_out - out) ** 2)
+
+                ratios = jnp.arange(n_grid, dtype=jnp.float32) / n_grid
+                losses = jax.lax.map(eval_ratio, ratios)
+                best = jnp.nanargmin(losses)
+                return compute_scales(ratios[best]), losses
+
+            self._search_cache[key] = jax.jit(search)
+        scales, _losses = self._search_cache[key](lp, inp, cos, sin, mask)
+        return scales
+
+    def _search_best_clip(self, w: jax.Array, inp: jax.Array) -> jax.Array:
+        k, n = w.shape
+        key = ("clip", w.shape, inp.shape)
+        if key not in self._search_cache:
+            g = self.qcfg.q_group_size if self.qcfg.q_group_size > 0 else k
+            bits, qz = self.qcfg.w_bit, self.qcfg.zero_point
+            n_steps = int(self.max_clip_shrink * self.n_grid)
+            n_chunk = 256 if n % 256 == 0 else (64 if n % 64 == 0 else n)
+            t_total = int(np.prod(inp.shape[:-1]))
+            step = max(1, t_total // self.n_clip_sample_tokens)
+
+            def search(w, inp):
+                x = inp.astype(jnp.float32).reshape(-1, k)[::step]  # [T', K]
+                xg = x.reshape(x.shape[0], k // g, g)
+
+                def one_chunk(wc):  # wc [K, n_chunk]
+                    wgrp = wc.astype(jnp.float32).reshape(k // g, g, -1)
+                    org_max = jnp.abs(wgrp).max(axis=1)  # [K/g, nc]
+                    org_out = jnp.einsum("tkg,kgn->tkn", xg, wgrp)
+                    best_max = org_max
+                    min_err = jnp.full_like(org_max, 1e9)
+                    for i_s in range(n_steps):
+                        mv = org_max * (1 - i_s / self.n_grid)  # [K/g, nc]
+                        cur = jnp.clip(wgrp, -mv[:, None, :], mv[:, None, :])
+                        qw = pseudo_quantize_weight(
+                            cur.reshape(k, -1), bits=bits, group_size=g,
+                            zero_point=qz,
+                        ).reshape(k // g, g, -1)
+                        cur_out = jnp.einsum("tkg,kgn->tkn", xg, qw)
+                        err = ((cur_out - org_out) ** 2).mean(axis=0)  # [K/g, nc]
+                        better = err < min_err
+                        min_err = jnp.where(better, err, min_err)
+                        best_max = jnp.where(better, mv, best_max)
+                    return best_max
+
+                chunks = w.reshape(k, n // n_chunk, n_chunk)
+                best = jax.lax.map(one_chunk, jnp.moveaxis(chunks, 1, 0))
+                return jnp.moveaxis(best, 0, 1).reshape(k // g, n)
+
+            self._search_cache[key] = jax.jit(search)
+        return self._search_cache[key](w, inp)
+
+
+def _to_jnp(tree):
+    return jax.tree_util.tree_map(jnp.asarray, tree)

@@ -1,0 +1,180 @@
+"""Inference runtime: preallocated KV cache, jitted prefill/decode, sampling.
+
+TPU-native replacement for the reference's fused decode runtime
+(awq/modules/fused/model.py + fused/cache.py): the ``WindowedCache`` becomes
+a donated pytree of per-layer [B, S, Hkv, D] buffers updated functionally
+with ``dynamic_update_slice``; the per-token HF generation loop becomes
+either (a) a python loop over one jitted decode step (streaming-friendly) or
+(b) a single ``lax.scan``-compiled generation (zero per-token dispatch
+overhead — the analogue of CUDA-graph decoding, free on XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from autoawq_tpu.models.config import ModelConfig
+from autoawq_tpu.nn import modules
+
+
+def init_kv_cache(cfg: ModelConfig, batch: int, max_seq_len: int,
+                  dtype=jnp.bfloat16) -> List[Dict[str, jax.Array]]:
+    hd, nkv = cfg.head_dim_, cfg.num_key_value_heads
+    return [
+        {
+            "k": jnp.zeros((batch, max_seq_len, nkv, hd), dtype),
+            "v": jnp.zeros((batch, max_seq_len, nkv, hd), dtype),
+        }
+        for _ in range(cfg.num_hidden_layers)
+    ]
+
+
+def _run_blocks(cfg, params, x, positions, mask, caches, pos, method):
+    cos, sin = modules.rope_tables(cfg, positions)
+    new_caches = []
+    for lp, cache in zip(params["layers"], caches):
+        kv = {"k": cache["k"], "v": cache["v"], "pos": pos}
+        x, kv = modules.block(cfg, lp, x, cos, sin, mask, kv_cache=kv,
+                              method=method)
+        new_caches.append({"k": kv["k"], "v": kv["v"]})
+    return x, new_caches
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "method", "dtype"))
+def prefill(
+    cfg: ModelConfig,
+    params: Dict[str, Any],
+    tokens: jax.Array,  # [B, S]
+    caches: List[Dict[str, jax.Array]],
+    method: str = "auto",
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
+    """Process the prompt; returns (last-position logits [B, V], caches)."""
+    b, s = tokens.shape
+    max_t = caches[0]["k"].shape[1]
+    x = modules.embed(cfg, params, tokens, dtype)
+    positions = jnp.arange(s)[None, :]
+    qi = jnp.arange(s)[:, None]
+    ki = jnp.arange(max_t)[None, :]
+    ok = ki <= qi
+    if cfg.sliding_window:
+        ok &= ki > qi - cfg.sliding_window
+    mask = jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[None, None]
+    x, caches = _run_blocks(cfg, params, x, positions, mask, caches,
+                            jnp.int32(0), method)
+    logits = modules.logits_fn(cfg, params, x[:, -1:, :], method)
+    return logits[:, 0, :], caches
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "method", "dtype"),
+                   donate_argnums=(3,))
+def decode_step(
+    cfg: ModelConfig,
+    params: Dict[str, Any],
+    token: jax.Array,  # [B, 1]
+    caches: List[Dict[str, jax.Array]],
+    pos: jax.Array,  # scalar int32: number of tokens already in cache
+    method: str = "auto",
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
+    """One decode step; donates and returns the KV caches."""
+    max_t = caches[0]["k"].shape[1]
+    x = modules.embed(cfg, params, token, dtype)
+    positions = pos[None, None] if pos.ndim == 0 else pos
+    ki = jnp.arange(max_t)[None, :]
+    ok = ki <= pos
+    if cfg.sliding_window:
+        ok &= ki > pos - cfg.sliding_window
+    mask = jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[None, None]
+    x, caches = _run_blocks(cfg, params, x, positions, mask, caches, pos,
+                            method)
+    logits = modules.logits_fn(cfg, params, x, method)
+    return logits[:, 0, :], caches
+
+
+def sample(logits: jax.Array, temperature: float, key) -> jax.Array:
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    return jax.random.categorical(key, logits / temperature, axis=-1)
+
+
+def generate(
+    cfg: ModelConfig,
+    params: Dict[str, Any],
+    prompt: jax.Array,  # [B, S]
+    max_new_tokens: int,
+    *,
+    temperature: float = 0.0,
+    seed: int = 0,
+    eos_token_id: Optional[int] = None,
+    max_seq_len: Optional[int] = None,
+    method: str = "auto",
+    dtype=jnp.bfloat16,
+    stream_callback=None,
+) -> jax.Array:
+    """Python-loop generation (streaming-friendly). Returns [B, S + new]."""
+    b, s = prompt.shape
+    total = max_seq_len or (s + max_new_tokens)
+    caches = init_kv_cache(cfg, b, total, dtype)
+    logits, caches = prefill(cfg, params, prompt, caches, method, dtype)
+    key = jax.random.PRNGKey(seed)
+    out = [prompt]
+    token = None
+    finished = jnp.zeros((b,), dtype=bool)
+    for i in range(max_new_tokens):
+        key, sub = jax.random.split(key)
+        token = sample(logits, temperature, sub)[:, None]  # [B, 1]
+        if eos_token_id is not None:
+            finished = finished | (token[:, 0] == eos_token_id)
+        out.append(token)
+        if stream_callback is not None:
+            stream_callback(token)
+        if eos_token_id is not None and bool(finished.all()):
+            break
+        if i + 1 < max_new_tokens:
+            logits, caches = decode_step(cfg, params, token, caches,
+                                         jnp.int32(s + i), method, dtype)
+    return jnp.concatenate(out, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "temperature", "method", "dtype"),
+)
+def generate_compiled(
+    cfg: ModelConfig,
+    params: Dict[str, Any],
+    prompt: jax.Array,  # [B, S]
+    max_new_tokens: int,
+    *,
+    temperature: float = 0.0,
+    seed: int = 0,
+    method: str = "auto",
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Whole-generation lax.scan compile: zero per-token dispatch overhead."""
+    b, s = prompt.shape
+    total = s + max_new_tokens
+    caches = init_kv_cache(cfg, b, total, dtype)
+    logits, caches = prefill(cfg, params, prompt, caches, method, dtype)
+    key = jax.random.PRNGKey(seed)
+
+    def step(carry, i):
+        logits, caches, key = carry
+        key, sub = jax.random.split(key)
+        if temperature == 0.0:
+            token = jnp.argmax(logits, axis=-1)[:, None]
+        else:
+            token = jax.random.categorical(sub, logits / temperature)[:, None]
+        logits, caches = decode_step(cfg, params, token, caches, s + i,
+                                     method, dtype)
+        return (logits, caches, key), token[:, 0]
+
+    (logits, caches, key), toks = jax.lax.scan(
+        step, (logits, caches, key), jnp.arange(max_new_tokens, dtype=jnp.int32)
+    )
+    return jnp.concatenate([prompt, toks.T], axis=1)

@@ -1,0 +1,130 @@
+"""AWQ calibration engine end-to-end on tiny models."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from autoawq_tpu.config import AwqConfig
+from autoawq_tpu.io.hf import init_random_params
+from autoawq_tpu.models.config import ModelConfig
+from autoawq_tpu.nn import modules
+from autoawq_tpu.quantize.quantizer import AwqQuantizer
+from autoawq_tpu.utils.tree import iter_linears
+
+TINY = ModelConfig(
+    model_type="llama",
+    vocab_size=256,
+    hidden_size=128,
+    intermediate_size=256,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=4,  # MHA so the v->o scale group is exercised
+    head_dim=32,
+    max_position_embeddings=64,
+)
+QCFG = AwqConfig(q_group_size=32)
+
+
+def make_outlier_params(cfg, seed=0):
+    """Random params with activation outliers (a few hot embed channels) —
+    the regime AWQ's activation-aware scaling is built for."""
+    params = init_random_params(cfg, seed=seed)
+    w = params["embed_tokens"]["weight"]
+    w[:, :6] *= 8.0
+    return params
+
+
+def rel_logit_err(cfg, params_a, params_b, tokens):
+    la = modules.forward(cfg, params_a, jnp.asarray(tokens), method="jnp")
+    lb = modules.forward(cfg, params_b, jnp.asarray(tokens), method="jnp")
+    return float(jnp.mean((la - lb) ** 2) / jnp.var(la))
+
+
+def rtn_quantize(cfg, params, qcfg):
+    """Plain round-to-nearest baseline (no AWQ search)."""
+    from autoawq_tpu.quantize.quantizer import quantize_linear_params, _clone
+
+    out = _clone(params)
+    for i, lp in enumerate(out["layers"]):
+        for path, p in list(iter_linears(lp)):
+            from autoawq_tpu.utils.tree import set_by_path
+
+            set_by_path(lp, path, quantize_linear_params(
+                {k: jnp.asarray(v) for k, v in p.items()}, qcfg))
+    return out
+
+
+def test_quantize_end_to_end(rng):
+    params = make_outlier_params(TINY)
+    calib = rng.integers(0, TINY.vocab_size, (4, 32))
+    q = AwqQuantizer(TINY, QCFG, params, calib, progress=False)
+    qparams = q.quantize()
+
+    # every eligible linear became a packed quant LIN
+    n_quant = sum(
+        1 for lp in qparams["layers"] for _, p in iter_linears(lp)
+        if "qweight" in p
+    )
+    assert n_quant == 2 * 7
+    # metadata recorded: 4 scale groups and >=4 clip entries per layer
+    assert len(q.all_scales) == 2 and len(q.all_scales[0]) == 4
+    assert all(len(c) == 5 for c in q.all_clips)  # v,o,gate,up,down (q/k excluded)
+
+    test_tokens = rng.integers(0, TINY.vocab_size, (2, 24))
+    err = rel_logit_err(TINY, params, qparams, test_tokens)
+    assert np.isfinite(err) and err < 0.1, err
+
+
+def test_awq_beats_rtn_with_outliers(rng):
+    params = make_outlier_params(TINY, seed=1)
+    calib = rng.integers(0, TINY.vocab_size, (4, 32))
+    qparams = AwqQuantizer(TINY, QCFG, params, calib, progress=False).quantize()
+    rparams = rtn_quantize(TINY, params, QCFG)
+
+    test_tokens = rng.integers(0, TINY.vocab_size, (2, 24))
+    err_awq = rel_logit_err(TINY, params, qparams, test_tokens)
+    err_rtn = rel_logit_err(TINY, params, rparams, test_tokens)
+    assert err_awq < err_rtn, (err_awq, err_rtn)
+
+
+def test_export_compatible_then_pack(rng):
+    params = make_outlier_params(TINY, seed=2)
+    calib = rng.integers(0, TINY.vocab_size, (2, 16))
+    q = AwqQuantizer(TINY, QCFG, params, calib, progress=False)
+    fp_scaled = q.quantize(export_compatible=True)
+    # still fp kernels
+    assert all(
+        "kernel" in p for lp in fp_scaled["layers"]
+        for _, p in iter_linears(lp)
+    )
+    packed = q.pack(fp_scaled)
+    assert any(
+        "qweight" in p for lp in packed["layers"]
+        for _, p in iter_linears(lp)
+    )
+
+
+def test_moe_quantize_end_to_end(rng):
+    cfg = ModelConfig(
+        model_type="mixtral",
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        head_dim=16,
+        num_experts=4,
+        num_experts_per_tok=2,
+    )
+    params = init_random_params(cfg, seed=3)
+    calib = rng.integers(0, cfg.vocab_size, (2, 16))
+    q = AwqQuantizer(cfg, AwqConfig(q_group_size=32), params, calib,
+                     progress=False)
+    qparams = q.quantize()
+    lp = qparams["layers"][0]
+    assert "qweight" in lp["mlp"]["experts"][0]["gate_proj"]
+    assert "kernel" in lp["mlp"]["gate"]  # router never quantized
+    tokens = rng.integers(0, cfg.vocab_size, (1, 8))
+    err = rel_logit_err(cfg, params, qparams, tokens)
+    assert np.isfinite(err) and err < 0.2, err
