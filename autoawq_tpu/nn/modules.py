@@ -46,16 +46,23 @@ def is_quantized(p: Dict[str, Any]) -> bool:
 
 def linear(p: Dict[str, Any], x: jax.Array, out_features: int,
            method: str = "auto") -> jax.Array:
-    """Apply a (possibly quantized) linear. x: [..., K] -> [..., N]."""
+    """Apply a (possibly quantized, possibly LoRA-adapted) linear.
+    x: [..., K] -> [..., N]."""
     if is_quantized(p):
-        return awq_matmul(
+        y = awq_matmul(
             x, p["qweight"], p["scales"], p["qzeros"],
             out_features=out_features, bias=p.get("bias"), method=method,
         )
-    y = jnp.dot(x, p["kernel"].astype(x.dtype),
-                preferred_element_type=jnp.float32).astype(x.dtype)
-    if p.get("bias") is not None:
-        y = y + p["bias"].astype(x.dtype)
+    else:
+        y = jnp.dot(x, p["kernel"].astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+        if p.get("bias") is not None:
+            y = y + p["bias"].astype(x.dtype)
+    if "lora_a" in p:  # frozen-base adapter (reference: examples/train.py)
+        y = y + jnp.dot(
+            jnp.dot(x, p["lora_a"].astype(x.dtype)),
+            p["lora_b"].astype(x.dtype),
+        )
     return y
 
 
@@ -262,7 +269,7 @@ def block(
 
 def embed(cfg: ModelConfig, params: Dict[str, Any], tokens: jax.Array,
           dtype=None) -> jax.Array:
-    x = params["embed_tokens"]["weight"][tokens]
+    x = jnp.asarray(params["embed_tokens"]["weight"])[tokens]
     if dtype is not None:
         x = x.astype(dtype)
     if cfg.embed_scale:

@@ -87,6 +87,49 @@ def awq_matmul_jnp(
     return y
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _awq_matmul_vjp(x, qweight, scales, qzeros, out_features, method):
+    return _awq_matmul_impl(x, qweight, scales, qzeros, out_features, method)
+
+
+def _awq_matmul_impl(x, qweight, scales, qzeros, out_features, method):
+    if method != "jnp":
+        from autoawq_tpu.ops import pallas_gemm
+
+        if method == "pallas" or (
+            method == "auto"
+            and pallas_gemm.supported(
+                x, qweight, qweight.shape[0] // scales.shape[0]
+            )
+            and jax.default_backend() == "tpu"
+        ):
+            return pallas_gemm.awq_matmul_pallas(
+                x, qweight, scales, qzeros, out_features=out_features
+            )
+    return awq_matmul_jnp(
+        x, qweight, scales, qzeros, out_features=out_features
+    )
+
+
+def _awq_matmul_fwd(x, qweight, scales, qzeros, out_features, method):
+    y = _awq_matmul_impl(x, qweight, scales, qzeros, out_features, method)
+    return y, (x, qweight, scales, qzeros)
+
+
+def _awq_matmul_bwd(out_features, method, res, g):
+    """dx = g @ W^T via dequantized weights — the PEFT/LoRA training path
+    (reference: WQLinearMMFunction.backward, awq/modules/linear/gemm.py:88-114;
+    quantized weights are frozen, so no dW)."""
+    x, qweight, scales, qzeros = res
+    w = dequantize_planar(qweight, scales, qzeros, dtype=g.dtype)
+    w = w[:, :out_features]
+    dx = jnp.dot(g, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
+    return dx, None, None, None
+
+
+_awq_matmul_vjp.defvjp(_awq_matmul_fwd, _awq_matmul_bwd)
+
+
 def awq_matmul(
     x: jax.Array,
     qweight: jax.Array,
@@ -99,23 +142,12 @@ def awq_matmul(
 ) -> jax.Array:
     """W4A16 matmul dispatcher. ``method``: auto | pallas | jnp.
 
-    auto: fused Pallas kernel on TPU when the shape fits its tiling,
-    else the jnp dequant+matmul path.
+    auto: fused Pallas kernel on TPU when the shape fits its tiling, else
+    the jnp dequant+matmul path. Differentiable wrt ``x`` (custom VJP
+    through the dequantized weights) for LoRA-style training on a frozen
+    quantized base.
     """
-    if method == "jnp":
-        return awq_matmul_jnp(
-            x, qweight, scales, qzeros, out_features=out_features, bias=bias
-        )
-    from autoawq_tpu.ops import pallas_gemm
-
-    if method == "pallas" or (
-        method == "auto"
-        and pallas_gemm.supported(x, qweight, qweight.shape[0] // scales.shape[0])
-        and jax.default_backend() == "tpu"
-    ):
-        return pallas_gemm.awq_matmul_pallas(
-            x, qweight, scales, qzeros, out_features=out_features, bias=bias
-        )
-    return awq_matmul_jnp(
-        x, qweight, scales, qzeros, out_features=out_features, bias=bias
-    )
+    y = _awq_matmul_vjp(x, qweight, scales, qzeros, out_features, method)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

@@ -1,0 +1,66 @@
+"""Headline benchmark: W4A16 decode throughput, TinyLlama-1.1B-shaped model,
+batch 1, on one TPU chip.
+
+Baseline: the reference's TinyLlama 1B GEMV decode bs1 ctx64 = 548.99 tok/s
+on an RTX 4090 (BASELINE.md / reference README.md:220).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_TOK_S = 548.99  # RTX 4090, AutoAWQ GEMV, TinyLlama 1B, bs1 ctx64
+CTX = 64
+DECODE_TOKENS = 128
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from autoawq_tpu.models.config import ModelConfig
+    from autoawq_tpu.serve import generate as gen
+
+    cfg = ModelConfig(
+        model_type="llama",
+        vocab_size=32000,
+        hidden_size=2048,
+        intermediate_size=5632,
+        num_hidden_layers=22,
+        num_attention_heads=32,
+        num_key_value_heads=4,
+        head_dim=64,
+        max_position_embeddings=2048,
+    )
+    from autoawq_tpu.utils.synth import random_quantized_params
+
+    rng = np.random.default_rng(0)
+    params = random_quantized_params(cfg, seed=0)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, CTX)))
+
+    out = gen.generate_compiled(cfg, params, prompt, DECODE_TOKENS,
+                                dtype=jnp.bfloat16, method="auto")
+    out.block_until_ready()
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = gen.generate_compiled(cfg, params, prompt, DECODE_TOKENS,
+                                    dtype=jnp.bfloat16, method="auto")
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        best = max(best, DECODE_TOKENS / dt)
+
+    print(json.dumps({
+        "metric": "tinyllama_1b_w4a16_decode_bs1_ctx64",
+        "value": round(best, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(best / BASELINE_TOK_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
