@@ -45,8 +45,15 @@ class AwqCausalLM:
         return cls(cfg, params)
 
     @classmethod
-    def from_quantized(cls, path: str) -> "AwqCausalLM":
+    def from_quantized(cls, path: str, fuse_layers: bool = False) -> "AwqCausalLM":
+        """Load an AutoAWQ checkpoint. ``fuse_layers=True`` concatenates
+        q/k/v and gate/up packed weights for fewer kernel launches
+        (reference base.py:409-570 + fuse_layers hook)."""
         cfg, qcfg, params = serialize.from_quantized(path)
+        if fuse_layers:
+            from autoawq_tpu.nn.fuse import fuse_model
+
+            params = fuse_model(cfg, params)
         return cls(cfg, params, qcfg)
 
     # ---------------------------------------------------------- quantizing

@@ -27,13 +27,16 @@ LN_KEYS = (
 )
 
 
+ATTN_CANDIDATES = ("q_proj", "k_proj", "v_proj", "qkv_proj", "o_proj")
+MLP_CANDIDATES = ("gate_proj", "up_proj", "gate_up_proj", "down_proj")
+
+
 def _attn_names(cfg: ModelConfig) -> List[str]:
-    names = ["q_proj", "k_proj", "v_proj", "o_proj"]
-    return names
+    return list(ATTN_CANDIDATES)
 
 
 def _mlp_names(cfg: ModelConfig) -> List[str]:
-    return ["gate_proj", "up_proj", "down_proj"]
+    return list(MLP_CANDIDATES)
 
 
 def _expert_prefix(cfg: ModelConfig, i: int, e: int) -> str:
@@ -92,7 +95,9 @@ def params_from_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Dict:
                 lp[ln] = {"weight": np.asarray(sd[base + ln + ".weight"])}
         attn: Dict[str, Any] = {}
         for name in _attn_names(cfg):
-            attn[name] = _lin_from_sd(sd, base + "self_attn." + name)
+            lin = _lin_from_sd(sd, base + "self_attn." + name)
+            if lin is not None:
+                attn[name] = lin
         if cfg.qk_norm:
             attn["q_norm"] = {"weight": np.asarray(sd[base + "self_attn.q_norm.weight"])}
             attn["k_norm"] = {"weight": np.asarray(sd[base + "self_attn.k_norm.weight"])}
@@ -103,17 +108,23 @@ def params_from_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Dict:
             for e in range(cfg.num_experts):
                 ep = {}
                 for name in _mlp_names(cfg):
-                    hf_name = (
-                        _MIXTRAL_EXPERT[name] if cfg.model_type == "mixtral" else name
-                    )
-                    ep[name] = _lin_from_sd(sd, _expert_prefix(cfg, i, e) + hf_name)
+                    if cfg.model_type == "mixtral":
+                        if name not in _MIXTRAL_EXPERT:
+                            continue
+                        hf_name = _MIXTRAL_EXPERT[name]
+                    else:
+                        hf_name = name
+                    lin = _lin_from_sd(sd, _expert_prefix(cfg, i, e) + hf_name)
+                    if lin is not None:
+                        ep[name] = lin
                 experts.append(ep)
             mlp["experts"] = experts
             lp["mlp"] = mlp
         else:
             lp["mlp"] = {
-                name: _lin_from_sd(sd, base + "mlp." + name)
+                name: lin
                 for name in _mlp_names(cfg)
+                if (lin := _lin_from_sd(sd, base + "mlp." + name)) is not None
             }
         params["layers"].append(lp)
     return params
@@ -190,8 +201,9 @@ def state_dict_from_params(cfg: ModelConfig, params: Dict,
             if ln in lp:
                 sd[base + ln + ".weight"] = np.asarray(lp[ln]["weight"]).astype(dtype)
         for name in _attn_names(cfg):
-            put(base + "self_attn." + name, lp["self_attn"][name],
-                "self_attn." + name)
+            if name in lp["self_attn"]:
+                put(base + "self_attn." + name, lp["self_attn"][name],
+                    "self_attn." + name)
         if cfg.qk_norm:
             sd[base + "self_attn.q_norm.weight"] = np.asarray(
                 lp["self_attn"]["q_norm"]["weight"]).astype(dtype)
@@ -201,14 +213,20 @@ def state_dict_from_params(cfg: ModelConfig, params: Dict,
             put(_gate_key(cfg, i), lp["mlp"]["gate"], "mlp.gate")
             for e, ep in enumerate(lp["mlp"]["experts"]):
                 for name in _mlp_names(cfg):
-                    hf_name = (
-                        _MIXTRAL_EXPERT[name] if cfg.model_type == "mixtral" else name
-                    )
+                    if name not in ep:
+                        continue
+                    if cfg.model_type == "mixtral":
+                        if name not in _MIXTRAL_EXPERT:
+                            continue
+                        hf_name = _MIXTRAL_EXPERT[name]
+                    else:
+                        hf_name = name
                     put(_expert_prefix(cfg, i, e) + hf_name, ep[name],
                         "mlp.experts." + name)
         else:
             for name in _mlp_names(cfg):
-                put(base + "mlp." + name, lp["mlp"][name], "mlp." + name)
+                if name in lp["mlp"]:
+                    put(base + "mlp." + name, lp["mlp"][name], "mlp." + name)
     return sd
 
 
@@ -217,6 +235,8 @@ def role_out_features(cfg: ModelConfig) -> Dict[str, int]:
     hd, nh, nkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
     inter = cfg.moe_intermediate_size or cfg.intermediate_size
     return {
+        "self_attn.qkv_proj": (nh + 2 * nkv) * hd,
+        "mlp.gate_up_proj": 2 * cfg.intermediate_size,
         "self_attn.q_proj": nh * hd,
         "self_attn.k_proj": nkv * hd,
         "self_attn.v_proj": nkv * hd,

@@ -158,8 +158,44 @@ class MoEFamilyPlugin:
         return paths
 
 
+class Phi3Plugin:
+    """phi3 / phi3.5: natively fused qkv_proj and gate_up_proj
+    (reference awq/models/phi3.py:14-85). The fused-prev scale groups rely
+    on scale_fc_fcs dividing only the *trailing* len(s) output columns —
+    the v part of qkv, the up part of gate_up."""
+
+    model_types = ("phi3", "phi3_v", "phimoe")
+
+    @staticmethod
+    def scale_groups(cfg: ModelConfig, layer_params: Dict) -> List[ScaleGroup]:
+        groups = [
+            ScaleGroup("input_layernorm", "norm", ("self_attn.qkv_proj",),
+                       "self_attn.qkv_proj", "attn"),
+        ]
+        # qkv->o folds into the *last* o_in columns of qkv; only valid when
+        # those columns are exactly the v block (MHA). GQA would scale part
+        # of k, so skip (mirrors the llama v->o shape guard).
+        if cfg.num_attention_heads == cfg.num_key_value_heads:
+            groups.append(
+                ScaleGroup("self_attn.qkv_proj", "fc", ("self_attn.o_proj",),
+                           "self_attn.o_proj", "self_attn.o_proj")
+            )
+        groups += [
+            ScaleGroup("post_attention_layernorm", "norm",
+                       ("mlp.gate_up_proj",), "mlp.gate_up_proj", "mlp"),
+            ScaleGroup("mlp.gate_up_proj", "fc", ("mlp.down_proj",),
+                       "mlp.down_proj", "mlp.down_proj"),
+        ]
+        return groups
+
+    @staticmethod
+    def quantizable(cfg: ModelConfig, layer_params: Dict) -> List[str]:
+        return ["self_attn.qkv_proj", "self_attn.o_proj",
+                "mlp.gate_up_proj", "mlp.down_proj"]
+
+
 PLUGINS: Dict[str, type] = {}
-for plugin in (LlamaFamilyPlugin, MoEFamilyPlugin):
+for plugin in (LlamaFamilyPlugin, MoEFamilyPlugin, Phi3Plugin):
     for mt in plugin.model_types:
         PLUGINS[mt] = plugin
 

@@ -1,0 +1,84 @@
+"""Load-time operator fusion: qkv and gate/up weight concatenation.
+
+The reference fuses q/k/v (and MoE expert stacks) by concatenating packed
+buffers at ``from_quantized`` time (awq/utils/fused_utils.py:45-142,
+``fuse_qkv``) so decode launches one kernel instead of three. Here fusion is
+a host-side transform on the param pytree: packed planar weights are
+unpacked, concatenated along logical output columns, and repacked (lane
+padding is per-tensor, so packed buffers can't just be stacked). Checkpoints
+always store the *unfused* AutoAWQ layout; fusion is applied after load.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from autoawq_tpu.core import packing
+from autoawq_tpu.models.config import ModelConfig
+
+
+def _fuse_quant(lins: List[Dict[str, Any]], ns: List[int]) -> Dict[str, Any]:
+    q4 = [packing.unpack_planar(np.asarray(p["qweight"]), n)
+          for p, n in zip(lins, ns)]
+    z4 = [packing.unpack_planar(np.asarray(p["qzeros"]), n)
+          for p, n in zip(lins, ns)]
+    sc = [np.asarray(p["scales"])[:, :n] for p, n in zip(lins, ns)]
+    out = {
+        "qweight": packing.pack_planar(np.concatenate(q4, axis=1)),
+        "qzeros": packing.pack_planar(np.concatenate(z4, axis=1)),
+        "scales": packing.pad_scales_planar(np.concatenate(sc, axis=1)),
+    }
+    if any(p.get("bias") is not None for p in lins):
+        out["bias"] = np.concatenate([
+            np.asarray(p["bias"]) if p.get("bias") is not None
+            else np.zeros(n, np.float32)
+            for p, n in zip(lins, ns)
+        ])
+    return out
+
+
+def _fuse_fp(lins: List[Dict[str, Any]], ns: List[int]) -> Dict[str, Any]:
+    out = {"kernel": np.concatenate(
+        [np.asarray(p["kernel"]) for p in lins], axis=1)}
+    if any(p.get("bias") is not None for p in lins):
+        out["bias"] = np.concatenate([
+            np.asarray(p["bias"]) if p.get("bias") is not None
+            else np.zeros(n, np.float32)
+            for p, n in zip(lins, ns)
+        ])
+    return out
+
+
+def _fuse(lins, ns):
+    if any("lora_a" in p for p in lins):
+        raise ValueError("fuse before adding LoRA adapters")
+    if "qweight" in lins[0]:
+        return _fuse_quant(lins, ns)
+    return _fuse_fp(lins, ns)
+
+
+def fuse_model(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
+    """In-place: replace q/k/v with qkv_proj and gate/up with gate_up_proj."""
+    hd, nh, nkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
+    for lp in params["layers"]:
+        attn = lp["self_attn"]
+        if "q_proj" in attn:
+            attn["qkv_proj"] = _fuse(
+                [attn.pop("q_proj"), attn.pop("k_proj"), attn.pop("v_proj")],
+                [nh * hd, nkv * hd, nkv * hd],
+            )
+        m = lp["mlp"]
+        if "gate_proj" in m:
+            inter = cfg.intermediate_size
+            m["gate_up_proj"] = _fuse(
+                [m.pop("gate_proj"), m.pop("up_proj")], [inter, inter]
+            )
+        for e in m.get("experts", []):
+            if "gate_proj" in e:
+                inter = cfg.moe_intermediate_size or cfg.intermediate_size
+                e["gate_up_proj"] = _fuse(
+                    [e.pop("gate_proj"), e.pop("up_proj")], [inter, inter]
+                )
+    return params

@@ -101,6 +101,17 @@ def apply_rope(q: jax.Array, cos: jax.Array, sin: jax.Array,
     return out if rotary_dim == d else jnp.concatenate([out, qp], axis=-1)
 
 
+def _flash_ok(cfg: ModelConfig, method: str, q: jax.Array, k: jax.Array) -> bool:
+    """Pallas flash attention eligibility: TPU backend, no softcap, aligned
+    shapes, q/k lengths equal (prefill over local keys)."""
+    if method == "jnp" or cfg.attn_softcap:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    s, t, hd = q.shape[1], k.shape[1], q.shape[-1]
+    return s == t and s % 128 == 0 and hd % 64 == 0
+
+
 def _tap(taps: Optional[Dict], name: str, x: jax.Array):
     if taps is not None:
         taps[name] = x
@@ -116,16 +127,25 @@ def attention(
     kv_cache: Optional[Dict[str, jax.Array]] = None,  # {"k","v": [B,T,Hkv,D], "pos"}
     taps: Optional[Dict] = None,
     method: str = "auto",
+    causal_prefill: bool = False,  # mask is plain causal-from-0 (flash-eligible)
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     b, s, _ = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
 
-    _tap(taps, "self_attn.q_proj", x)
-    _tap(taps, "self_attn.k_proj", x)
-    _tap(taps, "self_attn.v_proj", x)
-    q = linear(p["q_proj"], x, nh * hd, method).reshape(b, s, nh, hd)
-    k = linear(p["k_proj"], x, nkv * hd, method).reshape(b, s, nkv, hd)
-    v = linear(p["v_proj"], x, nkv * hd, method).reshape(b, s, nkv, hd)
+    if "qkv_proj" in p:  # fused projection (nn/fuse.py or phi3-style)
+        _tap(taps, "self_attn.qkv_proj", x)
+        y = linear(p["qkv_proj"], x, (nh + 2 * nkv) * hd, method)
+        q, k, v = jnp.split(y, [nh * hd, (nh + nkv) * hd], axis=-1)
+        q = q.reshape(b, s, nh, hd)
+        k = k.reshape(b, s, nkv, hd)
+        v = v.reshape(b, s, nkv, hd)
+    else:
+        _tap(taps, "self_attn.q_proj", x)
+        _tap(taps, "self_attn.k_proj", x)
+        _tap(taps, "self_attn.v_proj", x)
+        q = linear(p["q_proj"], x, nh * hd, method).reshape(b, s, nh, hd)
+        k = linear(p["k_proj"], x, nkv * hd, method).reshape(b, s, nkv, hd)
+        v = linear(p["v_proj"], x, nkv * hd, method).reshape(b, s, nkv, hd)
 
     if cfg.qk_norm:
         q = rms_norm(q, p["q_norm"]["weight"], cfg.rms_norm_eps, cfg.norm_offset)
@@ -139,7 +159,11 @@ def attention(
         kc = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, pos, 0, 0))
         vc = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, pos, 0, 0))
         kv_cache = {"k": kc, "v": vc, "pos": pos + s}
-        k, v = kc.astype(x.dtype), vc.astype(x.dtype)
+        if not causal_prefill:
+            # decode / mid-context: attend over the whole cache. The
+            # causal-prefill path keeps the local s-length k/v (the cache
+            # beyond s is empty) so flash attention sees aligned lengths.
+            k, v = kc.astype(x.dtype), vc.astype(x.dtype)
 
     # GQA: repeat kv heads
     if nkv != nh:
@@ -148,14 +172,25 @@ def attention(
         v = jnp.repeat(v, rep, axis=2)
 
     scale = cfg.attn_scale if cfg.attn_scale is not None else hd**-0.5
-    scores = jnp.einsum("bshd,bthd->bhst", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    if cfg.attn_softcap:
-        scores = jnp.tanh(scores / cfg.attn_softcap) * cfg.attn_softcap
-    if mask is not None:
-        scores = scores + mask
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(b, s, nh * hd)
+    if causal_prefill and _flash_ok(cfg, method, q, k):
+        # Pallas TPU flash attention for prefill (replaces the reference's
+        # flash_attn_func call site, awq/modules/fused/attn.py:269-293) —
+        # avoids materializing the [B, H, S, T] score tensor in HBM.
+        from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+        out = _fa.flash_attention(
+            q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2),
+            causal=True, sm_scale=scale,
+        ).swapaxes(1, 2).reshape(b, s, nh * hd)
+    else:
+        scores = jnp.einsum("bshd,bthd->bhst", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if cfg.attn_softcap:
+            scores = jnp.tanh(scores / cfg.attn_softcap) * cfg.attn_softcap
+        if mask is not None:
+            scores = scores + mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(b, s, nh * hd)
 
     _tap(taps, "self_attn.o_proj", out)
     y = linear(p["o_proj"], out, cfg.hidden_size, method)
@@ -177,10 +212,15 @@ def mlp(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
         intermediate: Optional[int] = None,
         tap_prefix: str = "mlp.") -> jax.Array:
     inter = intermediate or cfg.intermediate_size
-    _tap(taps, tap_prefix + "gate_proj", x)
-    _tap(taps, tap_prefix + "up_proj", x)
-    g = linear(p["gate_proj"], x, inter, method)
-    u = linear(p["up_proj"], x, inter, method)
+    if "gate_up_proj" in p:  # fused projection (nn/fuse.py or phi3-style)
+        _tap(taps, tap_prefix + "gate_up_proj", x)
+        gu = linear(p["gate_up_proj"], x, 2 * inter, method)
+        g, u = jnp.split(gu, 2, axis=-1)
+    else:
+        _tap(taps, tap_prefix + "gate_proj", x)
+        _tap(taps, tap_prefix + "up_proj", x)
+        g = linear(p["gate_proj"], x, inter, method)
+        u = linear(p["up_proj"], x, inter, method)
     h = act_fn(cfg.hidden_act, g) * u
     if "act_scale" in p:  # ScaledActivation equivalent (awq/modules/act.py:4)
         h = h / p["act_scale"].astype(h.dtype)
@@ -239,12 +279,13 @@ def block(
     kv_cache: Optional[Dict[str, jax.Array]] = None,
     taps: Optional[Dict] = None,
     method: str = "auto",
+    causal_prefill: bool = False,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """One decoder layer. Pre-norm residual; gemma2 adds post-norms."""
     h = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps,
                  cfg.norm_offset)
     attn_out, kv_cache = attention(cfg, p["self_attn"], h, cos, sin, mask,
-                                   kv_cache, taps, method)
+                                   kv_cache, taps, method, causal_prefill)
     if cfg.post_norms:
         attn_out = rms_norm(attn_out, p["post_attention_layernorm"]["weight"],
                             cfg.rms_norm_eps, cfg.norm_offset)
@@ -317,6 +358,8 @@ def forward(
     positions = jnp.arange(s)[None, :]
     cos, sin = rope_tables(cfg, positions)
     mask = causal_mask(s, sliding_window=cfg.sliding_window)
+    causal_prefill = cfg.sliding_window is None
     for lp in params["layers"]:
-        x, _ = block(cfg, lp, x, cos, sin, mask, None, None, method)
+        x, _ = block(cfg, lp, x, cos, sin, mask, None, None, method,
+                     causal_prefill)
     return logits_fn(cfg, params, x, method)

@@ -118,8 +118,10 @@ def awq_matmul_pallas(
     g = scales.shape[0]
     group_size = k // g
 
+    # NOTE: do NOT run unpadded M<8 blocks — Mosaic accepts sublane-1 blocks
+    # but lowers them to a catastrophically slow path (~40x). Padding decode
+    # M=1 -> 8 costs one tiny copy and keeps (8, 128)-tiled stores.
     bm = min(block_m, max(8, m))
-    # pad rows to a multiple of the row block
     m_pad = -(-m // bm) * bm
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))

@@ -33,13 +33,14 @@ def init_kv_cache(cfg: ModelConfig, batch: int, max_seq_len: int,
     ]
 
 
-def _run_blocks(cfg, params, x, positions, mask, caches, pos, method):
+def _run_blocks(cfg, params, x, positions, mask, caches, pos, method,
+                causal_prefill=False):
     cos, sin = modules.rope_tables(cfg, positions)
     new_caches = []
     for lp, cache in zip(params["layers"], caches):
         kv = {"k": cache["k"], "v": cache["v"], "pos": pos}
         x, kv = modules.block(cfg, lp, x, cos, sin, mask, kv_cache=kv,
-                              method=method)
+                              method=method, causal_prefill=causal_prefill)
         new_caches.append({"k": kv["k"], "v": kv["v"]})
     return x, new_caches
 
@@ -58,14 +59,16 @@ def prefill(
     max_t = caches[0]["k"].shape[1]
     x = modules.embed(cfg, params, tokens, dtype)
     positions = jnp.arange(s)[None, :]
+    causal_prefill = cfg.sliding_window is None
     qi = jnp.arange(s)[:, None]
-    ki = jnp.arange(max_t)[None, :]
+    # causal-prefill attends over the local s keys; windowed over the cache
+    ki = jnp.arange(s if causal_prefill else max_t)[None, :]
     ok = ki <= qi
     if cfg.sliding_window:
         ok &= ki > qi - cfg.sliding_window
     mask = jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[None, None]
     x, caches = _run_blocks(cfg, params, x, positions, mask, caches,
-                            jnp.int32(0), method)
+                            jnp.int32(0), method, causal_prefill)
     logits = modules.logits_fn(cfg, params, x[:, -1:, :], method)
     return logits[:, 0, :], caches
 

@@ -35,22 +35,22 @@ def main():
         head_dim=64,
         max_position_embeddings=2048,
     )
+    from autoawq_tpu.nn.fuse import fuse_model
     from autoawq_tpu.utils.synth import random_quantized_params
 
     rng = np.random.default_rng(0)
-    params = random_quantized_params(cfg, seed=0)
+    params = fuse_model(cfg, random_quantized_params(cfg, seed=0))
     prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, CTX)))
 
-    out = gen.generate_compiled(cfg, params, prompt, DECODE_TOKENS,
-                                dtype=jnp.bfloat16, method="auto")
-    out.block_until_ready()
+    np.asarray(gen.generate_compiled(cfg, params, prompt, DECODE_TOKENS,
+                                     dtype=jnp.bfloat16, method="auto"))
 
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
         out = gen.generate_compiled(cfg, params, prompt, DECODE_TOKENS,
                                     dtype=jnp.bfloat16, method="auto")
-        out.block_until_ready()
+        np.asarray(out)  # full host transfer: immune to async-dispatch lies
         dt = time.perf_counter() - t0
         best = max(best, DECODE_TOKENS / dt)
 

@@ -127,3 +127,24 @@ def test_ppl_gate_quantized_close_to_fp(quantized_dir, fp_model, rng):
     # random-token stream: ppl ~ vocab_size; quantization must not move it
     # by more than a few percent (reference paper gate is 0.3 on wikitext)
     assert abs(ppl_q - ppl_fp) / ppl_fp < 0.05, (ppl_fp, ppl_q)
+
+
+def test_fused_qkv_gateup_matches_unfused(quantized_dir, rng):
+    """fuse_model (load-time qkv/gate-up concat) must not change logits."""
+    from autoawq_tpu.nn.fuse import fuse_model
+
+    from autoawq_tpu.nn import modules as m
+
+    model = AutoAWQForCausalLM.from_quantized(quantized_dir)
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 12)))
+    # loaded checkpoints carry fp16 embeddings; compare in fp32 so the only
+    # difference under test is the fusion itself
+    ref = m.forward(CFG, model.params, tokens, method="jnp",
+                    dtype=jnp.float32)
+    fused = fuse_model(CFG, model.params)
+    lp = fused["layers"][0]
+    assert "qkv_proj" in lp["self_attn"] and "q_proj" not in lp["self_attn"]
+    assert "gate_up_proj" in lp["mlp"]
+    out = m.forward(CFG, fused, tokens, method="jnp", dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

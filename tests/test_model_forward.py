@@ -122,3 +122,25 @@ def test_gemma2_forward_matches_hf(rng):
     tokens = rng.integers(0, 128, (1, 8))
     ref, ours = run_both(model, hf_cfg, tokens)
     np.testing.assert_allclose(ours, ref, rtol=3e-3, atol=3e-3)
+
+
+def test_phi3_fused_proj_forward_matches_hf(rng):
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    torch.manual_seed(6)
+    hf_cfg = Phi3Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=112,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        max_position_embeddings=64,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+    )
+    model = Phi3ForCausalLM(hf_cfg).eval()
+    tokens = rng.integers(0, 128, (2, 10))
+    ref, ours = run_both(model, hf_cfg, tokens)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)

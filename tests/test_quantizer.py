@@ -128,3 +128,32 @@ def test_moe_quantize_end_to_end(rng):
     tokens = rng.integers(0, cfg.vocab_size, (1, 8))
     err = rel_logit_err(cfg, params, qparams, tokens)
     assert np.isfinite(err) and err < 0.2, err
+
+
+def test_phi3_quantize_end_to_end(rng):
+    cfg = ModelConfig(
+        model_type="phi3",
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        head_dim=16,
+        max_position_embeddings=64,
+    )
+    from autoawq_tpu.nn.fuse import fuse_model
+    from autoawq_tpu.io.hf import init_random_params
+
+    params = fuse_model(cfg, init_random_params(cfg, seed=5))
+    calib = rng.integers(0, cfg.vocab_size, (2, 16))
+    q = AwqQuantizer(cfg, AwqConfig(q_group_size=32), params, calib,
+                     progress=False)
+    qparams = q.quantize()
+    lp = qparams["layers"][0]
+    assert "qweight" in lp["self_attn"]["qkv_proj"]
+    assert "qweight" in lp["mlp"]["gate_up_proj"]
+    assert len(q.all_scales[0]) == 4
+    tokens = rng.integers(0, cfg.vocab_size, (1, 8))
+    err = rel_logit_err(cfg, params, qparams, tokens)
+    assert np.isfinite(err) and err < 0.2, err
