@@ -113,14 +113,21 @@ class AwqCausalLM:
         return np.asarray(out)
 
     def to_device(self, dtype=jnp.bfloat16):
-        """Move params to the default device, casting fp leaves."""
-        def cast(x):
-            x = jnp.asarray(x)
-            if jnp.issubdtype(x.dtype, jnp.floating):
-                x = x.astype(dtype)
-            return jax.device_put(x)
+        """Move params to the default device, casting fp leaves.
 
-        self.params = jax.tree_util.tree_map(cast, self.params)
+        Casting happens host-side and the transfer is ONE batched
+        ``device_put`` of the whole tree — per-leaf transfers are ~100x
+        slower over a device tunnel, and host-resident params would be
+        re-uploaded on every jitted call.
+        """
+        def cast(x):
+            x = np.asarray(x)
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                x = x.astype(jnp.dtype(dtype))
+            return x
+
+        host = jax.tree_util.tree_map(cast, self.params)
+        self.params = jax.device_put(host)
         return self
 
 

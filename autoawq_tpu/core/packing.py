@@ -1,22 +1,28 @@
 """int4 bit-packing layouts: the TPU-native *planar* layout and the AutoAWQ
 GEMM interop layout.
 
-TPU planar layout
------------------
+TPU planar layout (row-paired)
+------------------------------
 A quantized weight ``q4 [K, N]`` (values 0..15) is stored as
-``qweight int32 [K, N_pad // 8]`` where ``N_pad`` rounds N up to a multiple of
-the superblock size SB (1024 when N >= 1024, else N rounded to a multiple of
-8). Within each superblock of SB logical columns (L = SB // 8 packed lanes),
-nibble ``i`` (bits 4i..4i+3) of the packed word at lane ``c`` stores logical
-column ``b*SB + i*L + c%L`` where ``b = c // L``.
+``qweight int32 [K // 2, N_pad // 4]`` where ``N_pad`` rounds N up to a
+multiple of the superblock size SB (1024 when N >= 1024, else N rounded to a
+multiple of 32). Within each superblock of SB logical columns (L = SB // 4
+packed lanes), nibble ``j = p + 4h`` (bits ``4p + 16h`` ..) of the packed
+word at packed row ``r``, lane ``c`` stores the logical element
+``(row 2r + h, col b*SB + p*L + c%L)`` where ``b = c // L``.
 
-Why: unpacking nibble slot ``i`` of a 128-lane packed tile is then a single
-shift+mask producing a *contiguous* 128-lane block of logical output columns
-(``[b*SB + i*L, b*SB + (i+1)*L)``). The Pallas dequant-matmul kernel never has
-to interleave lanes — each of the 8 sub-tiles feeds the MXU directly and
-writes a contiguous slice of the output tile. Zero-points are packed
-identically; padded logical columns carry qweight=0, zero=0, scale=1 and are
-sliced off after the matmul.
+Why row-pairing: the Pallas kernel extracts nibble PAIRS (p, p+4) — the low
+and high 16-bit halves of each word — with one shift+mask+or planting each
+nibble in a bf16 mantissa (value ``256 + 16*n``), then a free
+``pltpu.bitcast(int32 -> bf16)`` whose TPU semantics double the *sublane*
+dim (row 2r = low half, 2r+1 = high). Because the pair holds two adjacent
+K-rows of the SAME logical column, the bitcast output is directly a
+[2R, L] slab of contraction-ready weights: per pass one MXU dot over a
+contiguous L-wide column block, 1.5 VPU ops per weight element (vs 3 for
+shift+mask+convert), and the +256 bias cancels against the
+identically-extracted zero-points (packed the same way, pairing along the
+group dim — pad to an even row count first). Padded logical columns carry
+qweight=0, zero=0, scale=1 and are sliced off after the matmul.
 
 AutoAWQ interop layout (for HF-ecosystem checkpoints)
 -----------------------------------------------------
@@ -36,19 +42,21 @@ import numpy as np
 
 AWQ_ORDER = (0, 2, 4, 6, 1, 3, 5, 7)
 REVERSE_AWQ_ORDER = (0, 4, 1, 5, 2, 6, 3, 7)
-SUPERBLOCK = 1024  # logical columns per planar superblock (L = 128 lanes)
+SUPERBLOCK = 1024  # logical columns per planar superblock (L = 256 lanes)
 
 
 def padded_out_features(n: int) -> int:
-    """N_pad for the planar layout: multiple of 1024 above 1024, else of 8."""
+    """N_pad for the planar layout: multiple of 1024 above 1024, else of 32."""
     if n >= SUPERBLOCK:
         return -(-n // SUPERBLOCK) * SUPERBLOCK
-    return -(-n // 8) * 8
+    return -(-n // 32) * 32
 
 
 def lane_block(n_pad: int) -> int:
     """Packed lanes per superblock (L)."""
-    return SUPERBLOCK // 8 if n_pad % SUPERBLOCK == 0 and n_pad >= SUPERBLOCK else n_pad // 8
+    if n_pad % SUPERBLOCK == 0 and n_pad >= SUPERBLOCK:
+        return SUPERBLOCK // 4
+    return n_pad // 4
 
 
 def _pad_cols(q4: np.ndarray, n_pad: int, fill: int = 0) -> np.ndarray:
@@ -61,32 +69,45 @@ def _pad_cols(q4: np.ndarray, n_pad: int, fill: int = 0) -> np.ndarray:
 
 
 def pack_planar(q4: np.ndarray) -> np.ndarray:
-    """int [K, N] (0..15) -> int32 [K, N_pad // 8] in the TPU planar layout."""
+    """int [R, N] (0..15) -> int32 [ceil(R/2), N_pad // 4] planar row-paired.
+
+    R is the contraction dim for weights (K) or the group dim for
+    zero-points; an odd R is padded with a zero row (strip on unpack via
+    ``rows=``).
+    """
     q4 = np.asarray(q4)
-    k, n = q4.shape
+    r, n = q4.shape
+    if r % 2:
+        q4 = np.concatenate([q4, np.zeros((1, n), q4.dtype)], axis=0)
+        r += 1
     n_pad = padded_out_features(n)
     lb = lane_block(n_pad)
     q = _pad_cols(q4.astype(np.uint32) & 0xF, n_pad)
-    # [K, B, 8, L]: b-th superblock, nibble slot i, lane r
-    q = q.reshape(k, n_pad // (8 * lb), 8, lb)
-    words = np.zeros((k, n_pad // (8 * lb), lb), dtype=np.uint32)
-    for i in range(8):
-        words |= q[:, :, i, :] << (4 * i)
-    return words.reshape(k, n_pad // 8).astype(np.int32)
+    # [R/2, h, B, p, L]: row pair half h, superblock b, pass p, lane c
+    q = q.reshape(r // 2, 2, n_pad // (4 * lb), 4, lb)
+    words = np.zeros((r // 2, n_pad // (4 * lb), lb), dtype=np.uint32)
+    for p in range(4):
+        for h in range(2):
+            words |= q[:, h, :, p, :] << (4 * p + 16 * h)
+    return words.reshape(r // 2, n_pad // 4).astype(np.int32)
 
 
-def unpack_planar(qweight: np.ndarray, n: Optional[int] = None) -> np.ndarray:
-    """int32 [K, N_pad // 8] -> int32 [K, N] (0..15)."""
+def unpack_planar(qweight: np.ndarray, n: Optional[int] = None,
+                  rows: Optional[int] = None) -> np.ndarray:
+    """int32 [R/2, N_pad // 4] -> int32 [R (or rows), N (or N_pad)] (0..15)."""
     qweight = np.asarray(qweight).astype(np.uint32)
-    k, n8 = qweight.shape
-    n_pad = n8 * 8
+    r2, n4 = qweight.shape
+    n_pad = n4 * 4
     lb = lane_block(n_pad)
-    words = qweight.reshape(k, n8 // lb, lb)
-    out = np.empty((k, n8 // lb, 8, lb), dtype=np.uint32)
-    for i in range(8):
-        out[:, :, i, :] = (words >> (4 * i)) & 0xF
-    out = out.reshape(k, n_pad)
-    return out[:, : (n if n is not None else n_pad)].astype(np.int32)
+    words = qweight.reshape(r2, n4 // lb, lb)
+    out = np.empty((r2, 2, n4 // lb, 4, lb), dtype=np.uint32)
+    for p in range(4):
+        for h in range(2):
+            out[:, h, :, p, :] = (words >> (4 * p + 16 * h)) & 0xF
+    out = out.reshape(2 * r2, n_pad)
+    out = out[: (rows if rows is not None else 2 * r2),
+              : (n if n is not None else n_pad)]
+    return out.astype(np.int32)
 
 
 def pad_scales_planar(scales: np.ndarray) -> np.ndarray:
@@ -143,7 +164,7 @@ def awq_to_planar(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """AutoAWQ GEMM triple -> (qweight, qzeros, scales) in the planar layout.
 
-    Returned scales are float32 [G, N_pad]; zeros packed planar [G, N_pad//8].
+    Returned scales are float32 [G, N_pad]; zeros packed planar row-paired.
     """
     q4 = unpack_awq(qweight)
     z4 = unpack_awq(qzeros)
@@ -161,8 +182,9 @@ def planar_to_awq(
     out_features: int,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Planar triple -> AutoAWQ GEMM triple (padding stripped, scales fp16)."""
+    g = np.asarray(scales).shape[0]
     q4 = unpack_planar(qweight, out_features)
-    z4 = unpack_planar(qzeros, out_features)
+    z4 = unpack_planar(qzeros, out_features, rows=g)
     return (
         pack_awq(q4),
         pack_awq(z4),

@@ -22,7 +22,8 @@ from autoawq_tpu.models.config import ModelConfig
 def _fuse_quant(lins: List[Dict[str, Any]], ns: List[int]) -> Dict[str, Any]:
     q4 = [packing.unpack_planar(np.asarray(p["qweight"]), n)
           for p, n in zip(lins, ns)]
-    z4 = [packing.unpack_planar(np.asarray(p["qzeros"]), n)
+    z4 = [packing.unpack_planar(np.asarray(p["qzeros"]), n,
+                                rows=np.asarray(p["scales"]).shape[0])
           for p, n in zip(lins, ns)]
     sc = [np.asarray(p["scales"])[:, :n] for p, n in zip(lins, ns)]
     out = {

@@ -26,18 +26,23 @@ import jax.numpy as jnp
 
 
 def unpack_int4_planar(packed: jax.Array) -> jax.Array:
-    """int32 [R, C] planar-packed -> int32 [R, 8*C] logical nibbles.
+    """int32 [R/2, C4] planar row-paired -> int32 [R, 4*C4] logical nibbles.
 
     jnp twin of core.packing.unpack_planar (that one is numpy, host-side).
+    Layout: nibble (p + 4h) of word (r, c) holds logical element
+    (row 2r + h, col b*L*4 ... p*L + c) — see core/packing.py.
     """
-    r, c = packed.shape
-    # superblock lane count: 128 when C is a multiple of 128 (N_pad % 1024
+    r2, c4 = packed.shape
+    # superblock lane count: 256 when C4 is a multiple of 256 (N_pad % 1024
     # == 0), else the whole row is one superblock (small-N case).
-    lb = 128 if c % 128 == 0 and c >= 128 else c
-    w = packed.astype(jnp.uint32).reshape(r, c // lb, 1, lb)
-    shifts = jnp.arange(8, dtype=jnp.uint32).reshape(1, 1, 8, 1) * 4
-    nibbles = (w >> shifts) & 0xF
-    return nibbles.reshape(r, 8 * c).astype(jnp.int32)
+    lb = 256 if c4 % 256 == 0 and c4 >= 256 else c4
+    w = packed.astype(jnp.uint32).reshape(r2, 1, 1, c4 // lb, 1, lb)
+    shifts = (
+        jnp.arange(4, dtype=jnp.uint32).reshape(1, 1, 1, 1, 4, 1) * 4
+        + jnp.arange(2, dtype=jnp.uint32).reshape(1, 2, 1, 1, 1, 1) * 16
+    )
+    nibbles = ((w >> shifts) & 0xF).astype(jnp.int32)  # [R/2, h, 1, B, p, L]
+    return nibbles.reshape(2 * r2, 4 * c4)
 
 
 @partial(jax.jit, static_argnames=("out_features", "dtype"))
@@ -50,12 +55,13 @@ def dequantize_planar(
     dtype: jnp.dtype = jnp.bfloat16,
 ) -> jax.Array:
     """Packed planar triple -> dense weight [K, out_features or N_pad]."""
-    k = qweight.shape[0]
+    k = 2 * qweight.shape[0]  # row-paired packing
     n_pad = scales.shape[1]
     g = scales.shape[0]
     group_size = k // g
-    q = unpack_int4_planar(qweight).astype(jnp.float32)  # [K, N_pad]
-    z = unpack_int4_planar(qzeros).astype(jnp.float32)  # [G, N_pad]
+    q = unpack_int4_planar(qweight).astype(jnp.float32)[:k]  # [K, N_pad]
+    # odd G gets a pad row at pack time — strip it
+    z = unpack_int4_planar(qzeros).astype(jnp.float32)[:g]  # [G, N_pad]
     s = scales.astype(jnp.float32)
     w = (q.reshape(g, group_size, n_pad) - z[:, None, :]) * s[:, None, :]
     w = w.reshape(k, n_pad).astype(dtype)
@@ -99,7 +105,7 @@ def _awq_matmul_impl(x, qweight, scales, qzeros, out_features, method):
         if method == "pallas" or (
             method == "auto"
             and pallas_gemm.supported(
-                x, qweight, qweight.shape[0] // scales.shape[0]
+                x, qweight, 2 * qweight.shape[0] // scales.shape[0]
             )
             and jax.default_backend() == "tpu"
         ):

@@ -6,16 +6,38 @@ gemv.py:178). One kernel covers both regimes: decode (M small,
 HBM-bandwidth-bound — the win is streaming 4-bit weights instead of 16-bit)
 and prefill (M large, MXU-bound).
 
-Layout contract (core/packing.py): ``qweight int32 [K, N8]`` planar with
-128-lane superblocks — nibble slot ``i`` of a 128-lane packed tile unpacks
-with one shift+mask into a *contiguous* 128-lane block of logical columns.
-The kernel therefore does, per (m, n, k) grid cell, 8 shift-mask-dequant +
-``[BM,BK] @ [BK,128]`` MXU dots writing adjacent 128-column slices of the
-output tile. No lane interleaving anywhere.
+Profiled bottleneck on TPU is the VPU nibble-extraction, not DMA (pure
+streaming reaches ~715 GB/s; shift+mask+convert extraction caps at ~430).
+Two tricks get within ~15% of the DMA roofline:
 
-Grid is (M/BM, N8/BN8, K/BK) with K innermost: the f32 accumulator tile lives
-in VMEM scratch across the K sweep while qweight streams through via the
-automatic Pallas double-buffered pipeline.
+1. **Paired magic-number extraction.** Nibble pair (p, p+4) — the low/high
+   16-bit halves of each int32 word — is planted into bf16 mantissas with a
+   single shift+mask+or (``(w >> 4p-3) & 0x00780078 | 0x43804380``): each
+   half becomes the bf16 ``256 + 16*n``. A free ``pltpu.bitcast`` then
+   doubles the *sublane* dim (row 2r = low half, 2r+1 = high). The planar
+   row-paired layout (core/packing.py) stores two adjacent K-rows of the
+   same logical column in each pair, so the bitcast output is directly a
+   contraction-ready [2R, L] weight slab: 1.5 VPU ops per element (vs 3),
+   one MXU dot per pass over a contiguous L-wide column block.
+
+2. **Group-factored scaling.** The +256 bias and the zero-points never touch
+   [K, N]-sized tensors:
+
+       y[m, n] += (s[g, n]/16) * ( sum_{k in g} x[m, k] * wbf[k, n]
+                                   - zbf[g, n] * sum_{k in g} x[m, k] )
+
+   (zeros are packed with the same pairing along the group dim, so the bias
+   cancels). Scales/zeros are applied on [BG, L]-sized f32 tiles — this
+   *improves* numerics vs dequantize-to-bf16-then-matmul: nibbles are exact
+   in bf16 and scales are applied in f32.
+
+Scales/zeros are reshaped (free, row-major) to ``[NK, BG, ...]`` so each
+K-block grabs one leading-dim slab — no Mosaic sublane-multiple constraint
+on the group dim, so BK can be any even-group-count multiple dividing K.
+
+Grid is (M/BM, N_pad/SB, K/BK) with K innermost: the f32 accumulator tile
+lives in VMEM scratch across the K sweep while qweight streams through the
+automatic double-buffered pipeline.
 """
 
 from __future__ import annotations
@@ -28,70 +50,92 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE = 128
-SLOT = 8  # nibbles per int32
+PAIRS = 4  # extraction passes (one per low/high nibble pair)
+QW_BLOCK_MAX = 3 * 1024 * 1024  # qweight block byte cap
+
+_MASK = 0x00780078  # bf16 mantissa bits [3, 7) in both 16-bit halves
+_EXP = 0x43804380  # bf16 exponent 2^8 in both halves -> value 256 + 16n
 
 
-def _kernel(x_ref, qw_ref, sc_ref, qz_ref, out_ref, acc_ref, *, nk: int, group_size: int):
+def _extract_pair(w: jax.Array, p: int) -> jax.Array:
+    """int32 [R, C] -> bf16 [2R, C] holding 256 + 16*nibble for the
+    (p, p+4) nibble pair; row 2r = low half of row r, row 2r+1 = high."""
+    if p == 0:
+        w = jax.lax.shift_left(w, 3)
+    else:
+        w = jax.lax.shift_right_logical(w, 4 * p - 3)
+    return pltpu.bitcast((w & _MASK) | _EXP, jnp.bfloat16)
+
+
+def _kernel(x_ref, qw_ref, sc_ref, qz_ref, out_ref, acc_ref, *, nk: int,
+            group_size: int, lanes: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[:]  # [BM, BK] bf16
-    q = qw_ref[:]  # [BK, LANE] int32
-    qz = qz_ref[:]  # [BG, LANE] int32
-    bk = q.shape[0]
+    x = x_ref[:]  # [BM, BK]
+    q = qw_ref[:]  # [BK/2, L] int32
+    qz = qz_ref[0]  # [BG/2, L] int32 (group-paired zeros)
+    bm, bk = x.shape
     bg = bk // group_size
 
-    for i in range(SLOT):
-        # logical shifts keep everything int32 (Mosaic lacks uint32->f32)
-        wq = (jax.lax.shift_right_logical(q, 4 * i) & 0xF).astype(jnp.float32)
-        zi = (jax.lax.shift_right_logical(qz, 4 * i) & 0xF).astype(jnp.float32)
-        si = sc_ref[:, i * LANE : (i + 1) * LANE].astype(jnp.float32)  # [BG, LANE]
-        w = (wq.reshape(bg, group_size, LANE) - zi[:, None, :]) * si[:, None, :]
-        w = w.reshape(bk, LANE).astype(x.dtype)
-        acc_ref[:, i * LANE : (i + 1) * LANE] += jnp.dot(
-            x, w, preferred_element_type=jnp.float32
-        )
+    xg = x.reshape(bm, bg, group_size).swapaxes(0, 1)  # [BG, BM, gs]
+    # per-group x sums for the zero-point correction: [BG, BM, 1]
+    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)[:, :, None]
+    s_all = sc_ref[0]  # [BG, SB], logical col = p*L + lane
+
+    for p in range(PAIRS):
+        wbf = _extract_pair(q, p)  # [BK, L]: rows are K-rows
+        zbf = _extract_pair(qz, p).astype(jnp.float32)  # [BG, L]
+        partial = jax.lax.dot_general(
+            xg, wbf.reshape(bg, group_size, lanes),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [BG, BM, L]
+        corrected = partial - zbf[:, None, :] * xsum
+        s = s_all[:, p * lanes : (p + 1) * lanes] * 0.0625  # s/16
+        acc_ref[:, p, :] += jnp.sum(s[:, None, :] * corrected, axis=0)
 
     @pl.when(k == nk - 1)
     def _():
-        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+        out_ref[:] = acc_ref[:].reshape(bm, PAIRS * lanes).astype(out_ref.dtype)
 
 
-def _pick_bk(k: int, group_size: int) -> Optional[int]:
-    """Choose the K-block size.
+def _lanes(n4: int) -> int:
+    """Packed lanes per superblock (mirrors core.packing.lane_block)."""
+    return 256 if n4 % 256 == 0 and n4 >= 256 else n4
 
-    Constraint (Mosaic): the scales block's sublane dim (BK / group_size)
-    must be a multiple of 8, or the block must span the full array (BK = K).
-    Prefer a pipelined 1024..4096 block; fall back to full-K (single K step,
-    still double-buffered across the N grid) when K is oddly sized but fits
-    VMEM; else signal unsupported.
-    """
-    for mult in (8, 16, 32):
-        bk = mult * group_size
-        if k % bk == 0 and 1024 <= bk <= 4096:
-            return bk
-    if k * LANE * 4 <= 4 * 1024 * 1024:  # full-K qweight block <= 4 MB
-        return k
-    return None
+
+def _pick_bk(k: int, group_size: int, lanes: int) -> Optional[int]:
+    """Largest divisor of K with an even group count per block whose qweight
+    block fits the VMEM cap — large blocks won on this hardware (per-cell
+    DMA setup cost dominates over pipeline-overlap losses)."""
+    best = None
+    step = 2 * group_size  # even BG so zeros pair cleanly
+    for bk in range(step, k + 1, step):
+        if k % bk == 0 and (bk // 2) * lanes * 4 <= QW_BLOCK_MAX:
+            best = bk
+    return best
 
 
 def supported(x: jax.Array, qweight: jax.Array, group_size: int = 128) -> bool:
-    """Shape gate for the fused kernel: 128-lane superblock layout + aligned K."""
-    k, n8 = qweight.shape
+    """Shape gate for the fused kernel: row-paired planar layout + aligned K."""
+    k2, n4 = qweight.shape
+    k = 2 * k2
     return (
-        n8 % LANE == 0
+        n4 % _lanes(n4) == 0
+        and _lanes(n4) % 8 == 0
         and k % group_size == 0
         and x.shape[-1] == k
-        and _pick_bk(k, group_size) is not None
+        and _pick_bk(k, group_size, _lanes(n4)) is not None
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_features", "block_m", "interpret")
+    jax.jit,
+    static_argnames=("out_features", "block_m", "block_k", "interpret"),
 )
 def awq_matmul_pallas(
     x: jax.Array,
@@ -102,21 +146,24 @@ def awq_matmul_pallas(
     out_features: int,
     bias: Optional[jax.Array] = None,
     block_m: int = 256,
+    block_k: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """``x @ dequant(qweight)[:, :out_features] (+ bias)``.
 
-    x: [..., K] bf16/f32; qweight: int32 [K, N8] (N8 % 128 == 0);
-    scales: [G, 8*N8]; qzeros: int32 [G, N8]. Returns [..., out_features].
+    x: [..., K] bf16/f32; qweight: int32 [K/2, N_pad/4] row-paired planar;
+    scales: [G, N_pad]; qzeros: int32 [ceil(G/2), N_pad/4].
+    Returns [..., out_features].
     """
     orig_shape = x.shape
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
-    n8 = qweight.shape[1]
-    n_pad = 8 * n8
+    n4 = qweight.shape[1]
+    n_pad = 4 * n4
     g = scales.shape[0]
     group_size = k // g
+    lanes = _lanes(n4)
 
     # NOTE: do NOT run unpadded M<8 blocks — Mosaic accepts sublane-1 blocks
     # but lowers them to a catastrophically slow path (~40x). Padding decode
@@ -126,35 +173,41 @@ def awq_matmul_pallas(
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
 
-    bk = _pick_bk(k, group_size)
+    bk = block_k if block_k is not None else _pick_bk(k, group_size, lanes)
     if bk is None:
         raise ValueError(f"unsupported K={k} for fused kernel; use jnp path")
-    bn8 = LANE
     nk = k // bk
+    bg = bk // group_size
+    sb = PAIRS * lanes  # logical columns per superblock
 
-    grid = (m_pad // bm, n8 // bn8, nk)
+    # leading-dim slabs per K-block: kills the sublane-multiple constraint
+    # on the group dim (reshape of a row-major array is free)
+    sc3 = scales.astype(jnp.float32).reshape(nk, bg, n_pad)
+    qz3 = qzeros.reshape(nk, bg // 2, n4)
+
+    grid = (m_pad // bm, n_pad // sb, nk)
     out = pl.pallas_call(
-        functools.partial(_kernel, nk=nk, group_size=group_size),
+        functools.partial(_kernel, nk=nk, group_size=group_size, lanes=lanes),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
-            pl.BlockSpec((bk, bn8), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((bk // group_size, 8 * bn8), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((bk // group_size, bn8), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((bk // 2, lanes), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, bg, sb), lambda i, j, kk: (kk, 0, j)),
+            pl.BlockSpec((1, bg // 2, lanes), lambda i, j, kk: (kk, 0, j)),
         ],
-        out_specs=pl.BlockSpec((bm, 8 * bn8), lambda i, j, kk: (i, j)),
+        out_specs=pl.BlockSpec((bm, sb), lambda i, j, kk: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bm, 8 * bn8), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, PAIRS, lanes), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n_pad * k,
-            bytes_accessed=m_pad * k * 2 + k * n8 * 4 + m_pad * n_pad * 2,
+            bytes_accessed=m_pad * k * 2 + k * n4 * 2 + m_pad * n_pad * 2,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2, qweight, scales, qzeros)
+    )(x2, qweight, sc3, qz3)
 
     y = out[:m, :out_features]
     if bias is not None:

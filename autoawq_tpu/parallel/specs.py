@@ -48,8 +48,8 @@ def _leaf_spec(path: str, leaf_name: str, shape, tensor_size: int) -> P:
             return P(None, "tensor")
         if row and div(0):
             return P("tensor", None)
-    elif leaf_name == "qweight":  # [K, N8]
-        if col and shape[1] % (tensor_size * 128) == 0:
+    elif leaf_name == "qweight":  # [K/2, N_pad/4] row-paired planar
+        if col and shape[1] % (tensor_size * 256) == 0:
             return P(None, "tensor")
         if row and div(0):
             return P("tensor", None)
@@ -58,8 +58,8 @@ def _leaf_spec(path: str, leaf_name: str, shape, tensor_size: int) -> P:
             return P(None, "tensor")
         if row and div(0):
             return P("tensor", None)
-    elif leaf_name == "qzeros":  # [G, N8]
-        if col and shape[1] % (tensor_size * 128) == 0:
+    elif leaf_name == "qzeros":  # [ceil(G/2), N_pad/4]
+        if col and shape[1] % (tensor_size * 256) == 0:
             return P(None, "tensor")
         if row and div(0):
             return P("tensor", None)

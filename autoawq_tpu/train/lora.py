@@ -43,7 +43,7 @@ def add_lora(
                 continue
             k = (
                 p["kernel"].shape[0] if "kernel" in p
-                else p["qweight"].shape[0]
+                else 2 * p["qweight"].shape[0]  # row-paired planar packing
             )
             parts = path.split(".")
             role_key = (

@@ -2,39 +2,48 @@
 
 Generates randomly packed int4 params directly (no calibration) — weight
 values are irrelevant for throughput and compile validation.
+
+Everything here is host-side numpy: device placement is the caller's job
+(one batched ``jax.device_put`` of the whole tree beats per-leaf transfers
+over a device tunnel by ~2 orders of magnitude).
 """
 
 from __future__ import annotations
 
+import ml_dtypes
 import numpy as np
 
 from autoawq_tpu.models.config import ModelConfig
 
 
+def _np_dtype(dt):
+    """Normalize a jnp/np/str dtype-like to a numpy dtype (incl. bfloat16)."""
+    if dt is None:
+        return np.dtype(np.float32)
+    s = dt if isinstance(dt, str) else str(np.dtype(dt) if not hasattr(dt, "dtype") else dt.dtype)
+    if "bfloat16" in s:
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(s)
+
+
 def random_quantized_params(cfg: ModelConfig, seed: int = 0,
                             group_size: int = 128, fp_dtype=None):
-    import jax.numpy as jnp
-
     from autoawq_tpu.core.packing import padded_out_features
 
-    fp_dtype = fp_dtype or jnp.bfloat16
+    fp_dtype = _np_dtype(fp_dtype)
     rng = np.random.default_rng(seed)
     g = group_size
 
     def qlin(k, n):
         n_pad = padded_out_features(n)
         return {
-            "qweight": jnp.asarray(
-                rng.integers(-(2**31), 2**31, (k, n_pad // 8), dtype=np.int64)
-                .astype(np.int32)
-            ),
-            "qzeros": jnp.asarray(
-                rng.integers(-(2**31), 2**31, (k // g, n_pad // 8),
-                             dtype=np.int64).astype(np.int32)
-            ),
-            "scales": jnp.asarray(
-                (rng.random((k // g, n_pad), dtype=np.float32) + 0.5) * 0.01
-            ),
+            "qweight": rng.integers(-(2**31), 2**31, (k // 2, n_pad // 4),
+                                    dtype=np.int64).astype(np.int32),
+            "qzeros": rng.integers(-(2**31), 2**31,
+                                   (-(-(k // g) // 2), n_pad // 4),
+                                   dtype=np.int64).astype(np.int32),
+            "scales": ((rng.random((k // g, n_pad), dtype=np.float32) + 0.5)
+                       * 0.01),
         }
 
     h, hd = cfg.hidden_size, cfg.head_dim_
@@ -42,22 +51,20 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
                       cfg.intermediate_size)
     params = {
         "embed_tokens": {
-            "weight": jnp.asarray(
-                rng.standard_normal((cfg.vocab_size, h)) * 0.02, dtype=fp_dtype
-            )
+            "weight": (rng.standard_normal((cfg.vocab_size, h)) * 0.02)
+            .astype(fp_dtype)
         },
-        "norm": {"weight": jnp.ones((h,), fp_dtype)},
+        "norm": {"weight": np.ones((h,), fp_dtype)},
         "lm_head": None if cfg.tie_word_embeddings else {
-            "kernel": jnp.asarray(
-                rng.standard_normal((h, cfg.vocab_size)) * 0.02, dtype=fp_dtype
-            )
+            "kernel": (rng.standard_normal((h, cfg.vocab_size)) * 0.02)
+            .astype(fp_dtype)
         },
         "layers": [],
     }
     for _ in range(cfg.num_hidden_layers):
         lp = {
-            "input_layernorm": {"weight": jnp.ones((h,), fp_dtype)},
-            "post_attention_layernorm": {"weight": jnp.ones((h,), fp_dtype)},
+            "input_layernorm": {"weight": np.ones((h,), fp_dtype)},
+            "post_attention_layernorm": {"weight": np.ones((h,), fp_dtype)},
             "self_attn": {
                 "q_proj": qlin(h, nh * hd),
                 "k_proj": qlin(h, nkv * hd),
@@ -66,14 +73,14 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
             },
         }
         if cfg.qk_norm:
-            lp["self_attn"]["q_norm"] = {"weight": jnp.ones((hd,), fp_dtype)}
-            lp["self_attn"]["k_norm"] = {"weight": jnp.ones((hd,), fp_dtype)}
+            lp["self_attn"]["q_norm"] = {"weight": np.ones((hd,), fp_dtype)}
+            lp["self_attn"]["k_norm"] = {"weight": np.ones((hd,), fp_dtype)}
         if cfg.is_moe:
             ie = cfg.moe_intermediate_size or inter
             lp["mlp"] = {
-                "gate": {"kernel": jnp.asarray(
-                    rng.standard_normal((h, cfg.num_experts)) * 0.02,
-                    dtype=fp_dtype)},
+                "gate": {"kernel": (
+                    rng.standard_normal((h, cfg.num_experts)) * 0.02
+                ).astype(fp_dtype)},
                 "experts": [
                     {"gate_proj": qlin(h, ie), "up_proj": qlin(h, ie),
                      "down_proj": qlin(ie, h)}

@@ -39,7 +39,12 @@ def main():
     from autoawq_tpu.utils.synth import random_quantized_params
 
     rng = np.random.default_rng(0)
-    params = fuse_model(cfg, random_quantized_params(cfg, seed=0))
+    # host-side synthesis + fusion, then ONE batched device transfer —
+    # host-resident params would be re-uploaded on every jitted call.
+    params = jax.device_put(
+        fuse_model(cfg, random_quantized_params(cfg, seed=0,
+                                                fp_dtype=jnp.bfloat16))
+    )
     prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, CTX)))
 
     np.asarray(gen.generate_compiled(cfg, params, prompt, DECODE_TOKENS,

@@ -77,10 +77,10 @@ def test_pallas_kernel_bias_and_3d(rng):
 
 
 def test_unsupported_shape_falls_back(rng):
-    """N=256 (single small superblock) must route to the jnp path."""
+    """Odd group count (no even-BG K-block exists) must route to jnp."""
     from autoawq_tpu.ops.gemm import awq_matmul
 
-    k, n = 256, 256
+    k, n = 384, 256  # G = 3
     qw, ps, qz, wdq = make_packed(rng, k, n)
     assert not supported(jnp.ones((1, k)), jnp.asarray(qw))
     x = rng.standard_normal((2, k)).astype(np.float32)

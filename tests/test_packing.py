@@ -12,22 +12,34 @@ def test_planar_roundtrip(rng, n):
     k = 128
     q4 = rng.integers(0, 16, (k, n), dtype=np.int32)
     packed = packing.pack_planar(q4)
-    assert packed.shape == (k, packing.padded_out_features(n) // 8)
+    assert packed.shape == (k // 2, packing.padded_out_features(n) // 4)
     out = packing.unpack_planar(packed, n)
     np.testing.assert_array_equal(out, q4)
 
 
+def test_planar_roundtrip_odd_rows(rng):
+    """Odd row counts (zero-points with odd G) pad one row; strip via rows=."""
+    q4 = rng.integers(0, 16, (11, 2048), dtype=np.int32)
+    packed = packing.pack_planar(q4)
+    assert packed.shape == (6, 512)
+    np.testing.assert_array_equal(packing.unpack_planar(packed, rows=11), q4)
+
+
 def test_planar_layout_spec():
-    """Nibble i at lane c within superblock b = logical col b*SB + i*L + c."""
-    k, n = 2, 2048  # two superblocks
-    q4 = np.arange(k * n, dtype=np.int32).reshape(k, n) % 16
+    """Nibble p + 4h of word (r, lane c) within superblock b = logical
+    element (row 2r + h, col b*SB + p*L + c), L = 256 (core/packing.py)."""
+    k, n = 4, 2048  # two superblocks, two row pairs
+    q4 = (np.arange(k * n, dtype=np.int32).reshape(k, n) * 7) % 16
     packed = packing.pack_planar(q4).astype(np.uint32)
-    L = 128
-    for b in range(2):
-        for i in range(8):
-            for c in [0, 7, 127]:
-                word = packed[:, b * L + c]
-                assert ((word >> (4 * i)) & 0xF == q4[:, b * 1024 + i * L + c]).all()
+    L = 256
+    for r in range(2):
+        for b in range(2):
+            for p in range(4):
+                for h in range(2):
+                    for c in [0, 7, 255]:
+                        word = packed[r, b * L + c]
+                        got = (word >> (4 * p + 16 * h)) & 0xF
+                        assert got == q4[2 * r + h, b * 1024 + p * L + c]
 
 
 def test_awq_roundtrip(rng):
