@@ -5,39 +5,366 @@ Reads fp16 HF checkpoints (safetensors) and AutoAWQ-quantized checkpoints
 converting to/from this framework's planar layout. Write path emits
 checkpoints loadable by AutoAWQ / transformers / vLLM
 (reference save path: awq/models/base.py:274-319).
+
+Unlike the reference — which mutates HuggingFace's module tree in place and
+therefore inherits each architecture's naming for free — this framework owns
+its model definition, so the per-architecture naming lives here in
+``ArchLayout`` tables (one per reference plugin, awq/models/*.py). Fused
+query_key_value projections whose HF column order interleaves heads
+(bloom/gpt_neox: [h, 3, d]; falcon: kv-groups) are permuted at load into the
+plain q|k|v concatenation the runtime slices, and permuted back at save —
+per-output-column int4 quantization commutes with column permutation, so
+saved checkpoints remain bit-compatible with AutoAWQ's layout.
 """
 
 from __future__ import annotations
 
-import json
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from autoawq_tpu.config import AwqConfig
 from autoawq_tpu.core import packing
 from autoawq_tpu.models.config import ModelConfig
 
-LN_KEYS = (
-    "input_layernorm",
-    "post_attention_layernorm",
-    "pre_feedforward_layernorm",
-    "post_feedforward_layernorm",
+
+# --------------------------------------------------------------------------
+# Arch layout tables
+# --------------------------------------------------------------------------
+
+def _perm_head_interleaved(cfg: ModelConfig) -> np.ndarray:
+    """bloom / gpt_neox fused qkv: HF columns [h, (q, k, v), d] -> q|k|v."""
+    nh, hd = cfg.num_attention_heads, cfg.head_dim_
+    idx = np.arange(nh * 3 * hd).reshape(nh, 3, hd)
+    return np.concatenate(
+        [idx[:, 0].ravel(), idx[:, 1].ravel(), idx[:, 2].ravel()]
+    )
+
+
+def _perm_falcon(cfg: ModelConfig) -> Optional[np.ndarray]:
+    """falcon fused qkv: new arch groups [nkv, (q*per + k + v), d]."""
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    if nkv == 1:  # falcon-7b multi-query: already [q..., k, v]
+        return None
+    per = nh // nkv
+    idx = np.arange(nkv * (per + 2) * hd).reshape(nkv, per + 2, hd)
+    return np.concatenate(
+        [idx[:, :per].ravel(), idx[:, per].ravel(), idx[:, per + 1].ravel()]
+    )
+
+
+@dataclass(frozen=True)
+class ArchLayout:
+    layer_prefix: str  # format string with {i}
+    embed: str
+    final_norm: str
+    lm_head: Optional[str] = "lm_head"  # None => always tied
+    pos_embed: Optional[str] = None  # learned-position table
+    embed_ln: Optional[str] = None
+    # internal name -> HF name (relative to the layer prefix)
+    norms: Dict[str, str] = field(default_factory=dict)
+    linears: Dict[str, str] = field(default_factory=dict)
+    # permutation builder for a fused qkv projection's output columns
+    qkv_perm: Optional[Callable[[ModelConfig], Optional[np.ndarray]]] = None
+
+
+LLAMA_LAYOUT = ArchLayout(
+    layer_prefix="model.layers.{i}.",
+    embed="model.embed_tokens",
+    final_norm="model.norm",
+    norms={
+        "input_layernorm": "input_layernorm",
+        "post_attention_layernorm": "post_attention_layernorm",
+        "pre_feedforward_layernorm": "pre_feedforward_layernorm",
+        "post_feedforward_layernorm": "post_feedforward_layernorm",
+        "self_attn.q_norm": "self_attn.q_norm",
+        "self_attn.k_norm": "self_attn.k_norm",
+    },
+    linears={
+        "self_attn.q_proj": "self_attn.q_proj",
+        "self_attn.k_proj": "self_attn.k_proj",
+        "self_attn.v_proj": "self_attn.v_proj",
+        "self_attn.qkv_proj": "self_attn.qkv_proj",  # phi3-style fused
+        "self_attn.o_proj": "self_attn.o_proj",
+        "mlp.gate_proj": "mlp.gate_proj",
+        "mlp.up_proj": "mlp.up_proj",
+        "mlp.gate_up_proj": "mlp.gate_up_proj",
+        "mlp.down_proj": "mlp.down_proj",
+    },
 )
 
+ARCH_LAYOUTS: Dict[str, ArchLayout] = {
+    "opt": ArchLayout(
+        layer_prefix="model.decoder.layers.{i}.",
+        embed="model.decoder.embed_tokens",
+        pos_embed="model.decoder.embed_positions",
+        final_norm="model.decoder.final_layer_norm",
+        norms={
+            "input_layernorm": "self_attn_layer_norm",
+            "post_attention_layernorm": "final_layer_norm",
+        },
+        linears={
+            "self_attn.q_proj": "self_attn.q_proj",
+            "self_attn.k_proj": "self_attn.k_proj",
+            "self_attn.v_proj": "self_attn.v_proj",
+            "self_attn.o_proj": "self_attn.out_proj",
+            "mlp.fc1": "fc1",
+            "mlp.fc2": "fc2",
+        },
+    ),
+    "bloom": ArchLayout(
+        layer_prefix="transformer.h.{i}.",
+        embed="transformer.word_embeddings",
+        embed_ln="transformer.word_embeddings_layernorm",
+        final_norm="transformer.ln_f",
+        norms={
+            "input_layernorm": "input_layernorm",
+            "post_attention_layernorm": "post_attention_layernorm",
+        },
+        linears={
+            "self_attn.qkv_proj": "self_attention.query_key_value",
+            "self_attn.o_proj": "self_attention.dense",
+            "mlp.fc1": "mlp.dense_h_to_4h",
+            "mlp.fc2": "mlp.dense_4h_to_h",
+        },
+        qkv_perm=_perm_head_interleaved,
+    ),
+    "gptj": ArchLayout(
+        layer_prefix="transformer.h.{i}.",
+        embed="transformer.wte",
+        final_norm="transformer.ln_f",
+        norms={"input_layernorm": "ln_1"},
+        linears={
+            "self_attn.q_proj": "attn.q_proj",
+            "self_attn.k_proj": "attn.k_proj",
+            "self_attn.v_proj": "attn.v_proj",
+            "self_attn.o_proj": "attn.out_proj",
+            "mlp.fc1": "mlp.fc_in",
+            "mlp.fc2": "mlp.fc_out",
+        },
+    ),
+    "gpt_neox": ArchLayout(
+        layer_prefix="gpt_neox.layers.{i}.",
+        embed="gpt_neox.embed_in",
+        final_norm="gpt_neox.final_layer_norm",
+        lm_head="embed_out",
+        norms={
+            "input_layernorm": "input_layernorm",
+            "post_attention_layernorm": "post_attention_layernorm",
+        },
+        linears={
+            "self_attn.qkv_proj": "attention.query_key_value",
+            "self_attn.o_proj": "attention.dense",
+            "mlp.fc1": "mlp.dense_h_to_4h",
+            "mlp.fc2": "mlp.dense_4h_to_h",
+        },
+        qkv_perm=_perm_head_interleaved,
+    ),
+    "gpt_bigcode": ArchLayout(
+        layer_prefix="transformer.h.{i}.",
+        embed="transformer.wte",
+        pos_embed="transformer.wpe",
+        final_norm="transformer.ln_f",
+        norms={
+            "input_layernorm": "ln_1",
+            "post_attention_layernorm": "ln_2",
+        },
+        linears={
+            "self_attn.qkv_proj": "attn.c_attn",
+            "self_attn.o_proj": "attn.c_proj",
+            "mlp.fc1": "mlp.c_fc",
+            "mlp.fc2": "mlp.c_proj",
+        },
+    ),
+    "starcoder2": ArchLayout(
+        layer_prefix="model.layers.{i}.",
+        embed="model.embed_tokens",
+        final_norm="model.norm",
+        norms={
+            "input_layernorm": "input_layernorm",
+            "post_attention_layernorm": "post_attention_layernorm",
+        },
+        linears={
+            "self_attn.q_proj": "self_attn.q_proj",
+            "self_attn.k_proj": "self_attn.k_proj",
+            "self_attn.v_proj": "self_attn.v_proj",
+            "self_attn.o_proj": "self_attn.o_proj",
+            "mlp.fc1": "mlp.c_fc",
+            "mlp.fc2": "mlp.c_proj",
+        },
+    ),
+    "mpt": ArchLayout(
+        layer_prefix="transformer.blocks.{i}.",
+        embed="transformer.wte",
+        final_norm="transformer.norm_f",
+        norms={
+            "input_layernorm": "norm_1",
+            "post_attention_layernorm": "norm_2",
+        },
+        linears={
+            "self_attn.qkv_proj": "attn.Wqkv",
+            "self_attn.o_proj": "attn.out_proj",
+            "mlp.fc1": "ffn.up_proj",
+            "mlp.fc2": "ffn.down_proj",
+        },
+    ),
+    "falcon": ArchLayout(
+        layer_prefix="transformer.h.{i}.",
+        embed="transformer.word_embeddings",
+        final_norm="transformer.ln_f",
+        norms={
+            # falcon-7b: single input_layernorm; 40b+: ln_attn / ln_mlp
+            "input_layernorm": "input_layernorm",
+            "post_attention_layernorm": "ln_mlp",
+        },
+        linears={
+            "self_attn.qkv_proj": "self_attention.query_key_value",
+            "self_attn.o_proj": "self_attention.dense",
+            "mlp.fc1": "mlp.dense_h_to_4h",
+            "mlp.fc2": "mlp.dense_4h_to_h",
+        },
+        qkv_perm=_perm_falcon,
+    ),
+    "cohere": ArchLayout(
+        layer_prefix="model.layers.{i}.",
+        embed="model.embed_tokens",
+        final_norm="model.norm",
+        norms={"input_layernorm": "input_layernorm"},
+        linears={
+            "self_attn.q_proj": "self_attn.q_proj",
+            "self_attn.k_proj": "self_attn.k_proj",
+            "self_attn.v_proj": "self_attn.v_proj",
+            "self_attn.o_proj": "self_attn.o_proj",
+            "mlp.gate_proj": "mlp.gate_proj",
+            "mlp.up_proj": "mlp.up_proj",
+            "mlp.down_proj": "mlp.down_proj",
+        },
+    ),
+    "qwen": ArchLayout(
+        layer_prefix="transformer.h.{i}.",
+        embed="transformer.wte",
+        final_norm="transformer.ln_f",
+        norms={
+            "input_layernorm": "ln_1",
+            "post_attention_layernorm": "ln_2",
+        },
+        linears={
+            "self_attn.qkv_proj": "attn.c_attn",
+            "self_attn.o_proj": "attn.c_proj",
+            "mlp.gate_proj": "mlp.w2",
+            "mlp.up_proj": "mlp.w1",
+            "mlp.down_proj": "mlp.c_proj",
+        },
+    ),
+}
 
-ATTN_CANDIDATES = ("q_proj", "k_proj", "v_proj", "qkv_proj", "o_proj")
-MLP_CANDIDATES = ("gate_proj", "up_proj", "gate_up_proj", "down_proj")
+
+def get_layout(model_type: str) -> ArchLayout:
+    return ARCH_LAYOUTS.get(model_type, LLAMA_LAYOUT)
 
 
-def _attn_names(cfg: ModelConfig) -> List[str]:
-    return list(ATTN_CANDIDATES)
+def _falcon_norm_fix(cfg: ModelConfig, internal: str, hf: str) -> str:
+    """falcon 40b+ names the attention norm ln_attn instead of
+    input_layernorm (awq/models/falcon.py:44-82)."""
+    if (cfg.model_type == "falcon" and not cfg.shared_input_norm
+            and internal == "input_layernorm"):
+        return "ln_attn"
+    return hf
 
 
-def _mlp_names(cfg: ModelConfig) -> List[str]:
-    return list(MLP_CANDIDATES)
+# --------------------------------------------------------------------------
+# LIN <-> state-dict tensors (with optional output-column permutation)
+# --------------------------------------------------------------------------
 
+def _lin_from_sd(sd: Dict[str, np.ndarray], prefix: str,
+                 perm: Optional[np.ndarray] = None) -> Optional[Dict[str, Any]]:
+    """Build a LIN param dict from HF tensors at ``prefix`` (no trailing dot).
+
+    Handles both fp (``.weight`` [N, K] -> kernel [K, N]) and AutoAWQ
+    quantized (``.qweight/.qzeros/.scales`` -> planar layout). ``perm``
+    reorders output columns (ours[:, j] = hf[:, perm[j]]).
+    """
+    if prefix + ".qweight" in sd:
+        q4 = packing.unpack_awq(np.asarray(sd[prefix + ".qweight"]))
+        sc = np.asarray(sd[prefix + ".scales"]).astype(np.float32)
+        z4 = packing.unpack_awq(np.asarray(sd[prefix + ".qzeros"]),
+                                sc.shape[1])
+        q4 = q4[:, : sc.shape[1]]
+        if perm is not None:
+            q4, z4, sc = q4[:, perm], z4[:, perm], sc[:, perm]
+        p = {
+            "qweight": packing.pack_planar(q4),
+            "qzeros": packing.pack_planar(z4),
+            "scales": packing.pad_scales_planar(sc),
+        }
+        if prefix + ".bias" in sd:
+            b = np.asarray(sd[prefix + ".bias"])
+            p["bias"] = b[perm] if perm is not None else b
+        return p
+    if prefix + ".weight" in sd:
+        w = np.ascontiguousarray(np.asarray(sd[prefix + ".weight"]).T)
+        if perm is not None:
+            w = w[:, perm]
+        p = {"kernel": w}
+        if prefix + ".bias" in sd:
+            b = np.asarray(sd[prefix + ".bias"])
+            p["bias"] = b[perm] if perm is not None else b
+        return p
+    return None
+
+
+def _lin_to_sd(sd: Dict[str, np.ndarray], prefix: str, p: Dict[str, Any],
+               out_features: int, perm: Optional[np.ndarray] = None,
+               dtype=np.float16):
+    """Write a LIN back in HF/AutoAWQ layout (inverting ``perm``)."""
+    if p is None:
+        return
+    inv = None
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(perm.size)
+    if "qweight" in p:
+        g = np.asarray(p["scales"]).shape[0]
+        q4 = packing.unpack_planar(np.asarray(p["qweight"]), out_features)
+        z4 = packing.unpack_planar(np.asarray(p["qzeros"]), out_features,
+                                   rows=g)
+        sc = np.asarray(p["scales"])[:, :out_features]
+        if inv is not None:
+            q4, z4, sc = q4[:, inv], z4[:, inv], sc[:, inv]
+        sd[prefix + ".qweight"] = packing.pack_awq(q4)
+        sd[prefix + ".qzeros"] = packing.pack_awq(z4)
+        sd[prefix + ".scales"] = sc.astype(np.float16)
+    else:
+        w = np.asarray(p["kernel"])
+        if inv is not None:
+            w = w[:, inv]
+        sd[prefix + ".weight"] = np.ascontiguousarray(w.T.astype(dtype))
+    if p.get("bias") is not None:
+        b = np.asarray(p["bias"])
+        if inv is not None:
+            b = b[inv]
+        sd[prefix + ".bias"] = b.astype(dtype)
+
+
+def _norm_from_sd(sd: Dict[str, np.ndarray], prefix: str) -> Optional[Dict]:
+    if prefix + ".weight" not in sd:
+        return None
+    p = {"weight": np.asarray(sd[prefix + ".weight"])}
+    if prefix + ".bias" in sd:
+        p["bias"] = np.asarray(sd[prefix + ".bias"])
+    return p
+
+
+def _norm_to_sd(sd: Dict[str, np.ndarray], prefix: str, p: Dict, dtype):
+    sd[prefix + ".weight"] = np.asarray(p["weight"]).astype(dtype)
+    if p.get("bias") is not None:
+        sd[prefix + ".bias"] = np.asarray(p["bias"]).astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# MoE helpers (mixtral / qwen3_moe / deepseek) — llama-layout models only
+# --------------------------------------------------------------------------
 
 def _expert_prefix(cfg: ModelConfig, i: int, e: int) -> str:
     if cfg.model_type == "mixtral":
@@ -53,113 +380,94 @@ def _gate_key(cfg: ModelConfig, i: int) -> str:
 
 # mixtral expert weights use w1/w3/w2 names for gate/up/down
 _MIXTRAL_EXPERT = {"gate_proj": "w1", "up_proj": "w3", "down_proj": "w2"}
+_MLP_EXPERT_NAMES = ("gate_proj", "up_proj", "down_proj")
 
 
-def _lin_from_sd(sd: Dict[str, np.ndarray], prefix: str) -> Optional[Dict[str, Any]]:
-    """Build a LIN param dict from HF tensors at ``prefix`` (no trailing dot).
+def _expert_hf_name(cfg: ModelConfig, name: str) -> Optional[str]:
+    if cfg.model_type == "mixtral":
+        return _MIXTRAL_EXPERT.get(name)
+    return name
 
-    Handles both fp (``.weight`` [N, K] -> kernel [K, N]) and AutoAWQ
-    quantized (``.qweight/.qzeros/.scales`` -> planar layout).
-    """
-    if prefix + ".qweight" in sd:
-        qw, qz, s = packing.awq_to_planar(
-            sd[prefix + ".qweight"], sd[prefix + ".qzeros"], sd[prefix + ".scales"]
-        )
-        p = {"qweight": qw, "qzeros": qz, "scales": s}
-        if prefix + ".bias" in sd:
-            p["bias"] = np.asarray(sd[prefix + ".bias"])
-        return p
-    if prefix + ".weight" in sd:
-        p = {"kernel": np.ascontiguousarray(np.asarray(sd[prefix + ".weight"]).T)}
-        if prefix + ".bias" in sd:
-            p["bias"] = np.asarray(sd[prefix + ".bias"])
-        return p
-    return None
 
+# --------------------------------------------------------------------------
+# state dict -> params
+# --------------------------------------------------------------------------
 
 def params_from_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Dict:
     """HF (or AutoAWQ-quantized HF) state dict -> functional param pytree."""
+    layout = get_layout(cfg.model_type)
     params: Dict[str, Any] = {
-        "embed_tokens": {"weight": np.asarray(sd["model.embed_tokens.weight"])},
-        "norm": {"weight": np.asarray(sd["model.norm.weight"])},
+        "embed_tokens": {"weight": np.asarray(sd[layout.embed + ".weight"])},
+        "norm": _norm_from_sd(sd, layout.final_norm),
         "layers": [],
     }
+    if layout.pos_embed:
+        params["embed_positions"] = {
+            "weight": np.asarray(sd[layout.pos_embed + ".weight"])
+        }
+    if layout.embed_ln:
+        params["embed_ln"] = _norm_from_sd(sd, layout.embed_ln)
+    lm_key = layout.lm_head
     params["lm_head"] = (
-        _lin_from_sd(sd, "lm_head") if "lm_head.weight" in sd or "lm_head.qweight" in sd else None
+        _lin_from_sd(sd, lm_key)
+        if lm_key and (lm_key + ".weight" in sd or lm_key + ".qweight" in sd)
+        else None
     )
+    qkv_perm = layout.qkv_perm(cfg) if layout.qkv_perm else None
+
     for i in range(cfg.num_hidden_layers):
+        base = layout.layer_prefix.format(i=i)
         lp: Dict[str, Any] = {}
-        base = f"model.layers.{i}."
-        for ln in LN_KEYS:
-            if base + ln + ".weight" in sd:
-                lp[ln] = {"weight": np.asarray(sd[base + ln + ".weight"])}
-        attn: Dict[str, Any] = {}
-        for name in _attn_names(cfg):
-            lin = _lin_from_sd(sd, base + "self_attn." + name)
-            if lin is not None:
-                attn[name] = lin
-        if cfg.qk_norm:
-            attn["q_norm"] = {"weight": np.asarray(sd[base + "self_attn.q_norm.weight"])}
-            attn["k_norm"] = {"weight": np.asarray(sd[base + "self_attn.k_norm.weight"])}
-        lp["self_attn"] = attn
-        if cfg.is_moe:
-            mlp: Dict[str, Any] = {"gate": _lin_from_sd(sd, _gate_key(cfg, i))}
+        for internal, hf in layout.norms.items():
+            hf = _falcon_norm_fix(cfg, internal, hf)
+            p = _norm_from_sd(sd, base + hf)
+            if p is not None:
+                _set_nested(lp, internal, p)
+        attn: Dict[str, Any] = lp.setdefault("self_attn", {})
+        mlp_p: Dict[str, Any] = {}
+        for internal, hf in layout.linears.items():
+            perm = qkv_perm if internal == "self_attn.qkv_proj" else None
+            lin = _lin_from_sd(sd, base + hf, perm)
+            if lin is None:
+                continue
+            _set_nested(lp, internal, lin)
+        if cfg.is_moe and cfg.model_type in ("mixtral", "qwen3_moe"):
+            mlp_p = {"gate": _lin_from_sd(sd, _gate_key(cfg, i))}
             experts = []
             for e in range(cfg.num_experts):
                 ep = {}
-                for name in _mlp_names(cfg):
-                    if cfg.model_type == "mixtral":
-                        if name not in _MIXTRAL_EXPERT:
-                            continue
-                        hf_name = _MIXTRAL_EXPERT[name]
-                    else:
-                        hf_name = name
+                for name in _MLP_EXPERT_NAMES:
+                    hf_name = _expert_hf_name(cfg, name)
+                    if hf_name is None:
+                        continue
                     lin = _lin_from_sd(sd, _expert_prefix(cfg, i, e) + hf_name)
                     if lin is not None:
                         ep[name] = lin
                 experts.append(ep)
-            mlp["experts"] = experts
-            lp["mlp"] = mlp
-        else:
-            lp["mlp"] = {
-                name: lin
-                for name in _mlp_names(cfg)
-                if (lin := _lin_from_sd(sd, base + "mlp." + name)) is not None
-            }
+            mlp_p["experts"] = experts
+            lp["mlp"] = mlp_p
         params["layers"].append(lp)
     return params
 
 
-def _lin_to_sd(sd: Dict[str, np.ndarray], prefix: str, p: Dict[str, Any],
-               dtype=np.float16):
-    if p is None:
-        return
-    if "qweight" in p:
-        n = _lin_out_features(p)
-        qw, qz, s = packing.planar_to_awq(
-            np.asarray(p["qweight"]), np.asarray(p["qzeros"]),
-            np.asarray(p["scales"]), n,
-        )
-        sd[prefix + ".qweight"] = qw
-        sd[prefix + ".qzeros"] = qz
-        sd[prefix + ".scales"] = s
-    else:
-        sd[prefix + ".weight"] = np.ascontiguousarray(
-            np.asarray(p["kernel"]).T.astype(dtype)
-        )
-    if p.get("bias") is not None:
-        sd[prefix + ".bias"] = np.asarray(p["bias"]).astype(dtype)
+def _set_nested(tree: Dict, path: str, value):
+    parts = path.split(".")
+    for p in parts[:-1]:
+        tree = tree.setdefault(p, {})
+    tree[parts[-1]] = value
 
 
-def _lin_out_features(p: Dict[str, Any]) -> int:
-    """Logical out_features of a quantized LIN (strip lane padding)."""
-    n = int(np.asarray(p["out_features"])) if "out_features" in p else None
-    if n is not None:
-        return n
-    if p.get("bias") is not None:
-        return p["bias"].shape[0]
-    raise ValueError("quantized linear missing out_features metadata")
+def _get_nested(tree: Dict, path: str):
+    for p in path.split("."):
+        if not isinstance(tree, dict) or p not in tree:
+            return None
+        tree = tree[p]
+    return tree
 
+
+# --------------------------------------------------------------------------
+# params -> state dict
+# --------------------------------------------------------------------------
 
 def state_dict_from_params(cfg: ModelConfig, params: Dict,
                            out_features_map: Dict[str, int],
@@ -169,64 +477,48 @@ def state_dict_from_params(cfg: ModelConfig, params: Dict,
     ``out_features_map``: role name (e.g. "self_attn.q_proj") -> logical N,
     from :func:`role_out_features`.
     """
+    layout = get_layout(cfg.model_type)
     sd: Dict[str, np.ndarray] = {
-        "model.embed_tokens.weight": np.asarray(params["embed_tokens"]["weight"]).astype(dtype),
-        "model.norm.weight": np.asarray(params["norm"]["weight"]).astype(dtype),
+        layout.embed + ".weight": np.asarray(
+            params["embed_tokens"]["weight"]).astype(dtype),
     }
+    _norm_to_sd(sd, layout.final_norm, params["norm"], dtype)
+    if layout.pos_embed and "embed_positions" in params:
+        sd[layout.pos_embed + ".weight"] = np.asarray(
+            params["embed_positions"]["weight"]).astype(dtype)
+    if layout.embed_ln and "embed_ln" in params:
+        _norm_to_sd(sd, layout.embed_ln, params["embed_ln"], dtype)
+    if params.get("lm_head") is not None and layout.lm_head:
+        _lin_to_sd(sd, layout.lm_head, params["lm_head"],
+                   out_features_map["lm_head"], dtype=dtype)
+    qkv_perm = layout.qkv_perm(cfg) if layout.qkv_perm else None
 
-    def put(prefix: str, p: Dict[str, Any], role: str):
-        if p is None:
-            return
-        if "qweight" in p:
-            n = out_features_map[role]
-            qw, qz, s = packing.planar_to_awq(
-                np.asarray(p["qweight"]), np.asarray(p["qzeros"]),
-                np.asarray(p["scales"]), n,
-            )
-            sd[prefix + ".qweight"] = qw
-            sd[prefix + ".qzeros"] = qz
-            sd[prefix + ".scales"] = s
-        else:
-            sd[prefix + ".weight"] = np.ascontiguousarray(
-                np.asarray(p["kernel"]).T.astype(dtype)
-            )
-        if p.get("bias") is not None:
-            sd[prefix + ".bias"] = np.asarray(p["bias"]).astype(dtype)
-
-    if params.get("lm_head") is not None:
-        put("lm_head", params["lm_head"], "lm_head")
     for i, lp in enumerate(params["layers"]):
-        base = f"model.layers.{i}."
-        for ln in LN_KEYS:
-            if ln in lp:
-                sd[base + ln + ".weight"] = np.asarray(lp[ln]["weight"]).astype(dtype)
-        for name in _attn_names(cfg):
-            if name in lp["self_attn"]:
-                put(base + "self_attn." + name, lp["self_attn"][name],
-                    "self_attn." + name)
-        if cfg.qk_norm:
-            sd[base + "self_attn.q_norm.weight"] = np.asarray(
-                lp["self_attn"]["q_norm"]["weight"]).astype(dtype)
-            sd[base + "self_attn.k_norm.weight"] = np.asarray(
-                lp["self_attn"]["k_norm"]["weight"]).astype(dtype)
-        if cfg.is_moe:
-            put(_gate_key(cfg, i), lp["mlp"]["gate"], "mlp.gate")
+        base = layout.layer_prefix.format(i=i)
+        for internal, hf in layout.norms.items():
+            hf = _falcon_norm_fix(cfg, internal, hf)
+            p = _get_nested(lp, internal)
+            if p is not None:
+                _norm_to_sd(sd, base + hf, p, dtype)
+        for internal, hf in layout.linears.items():
+            p = _get_nested(lp, internal)
+            if p is None:
+                continue
+            perm = qkv_perm if internal == "self_attn.qkv_proj" else None
+            _lin_to_sd(sd, base + hf, p, out_features_map[internal], perm,
+                       dtype)
+        if cfg.is_moe and cfg.model_type in ("mixtral", "qwen3_moe"):
+            _lin_to_sd(sd, _gate_key(cfg, i), lp["mlp"]["gate"],
+                       out_features_map["mlp.gate"], dtype=dtype)
             for e, ep in enumerate(lp["mlp"]["experts"]):
-                for name in _mlp_names(cfg):
+                for name in _MLP_EXPERT_NAMES:
                     if name not in ep:
                         continue
-                    if cfg.model_type == "mixtral":
-                        if name not in _MIXTRAL_EXPERT:
-                            continue
-                        hf_name = _MIXTRAL_EXPERT[name]
-                    else:
-                        hf_name = name
-                    put(_expert_prefix(cfg, i, e) + hf_name, ep[name],
-                        "mlp.experts." + name)
-        else:
-            for name in _mlp_names(cfg):
-                if name in lp["mlp"]:
-                    put(base + "mlp." + name, lp["mlp"][name], "mlp." + name)
+                    hf_name = _expert_hf_name(cfg, name)
+                    _lin_to_sd(sd, _expert_prefix(cfg, i, e) + hf_name,
+                               ep[name],
+                               out_features_map["mlp.experts." + name],
+                               dtype=dtype)
     return sd
 
 
@@ -244,6 +536,8 @@ def role_out_features(cfg: ModelConfig) -> Dict[str, int]:
         "mlp.gate_proj": cfg.intermediate_size,
         "mlp.up_proj": cfg.intermediate_size,
         "mlp.down_proj": cfg.hidden_size,
+        "mlp.fc1": cfg.intermediate_size,
+        "mlp.fc2": cfg.hidden_size,
         "mlp.gate": cfg.num_experts,
         "mlp.experts.gate_proj": inter,
         "mlp.experts.up_proj": inter,
@@ -269,7 +563,8 @@ def load_state_dict_from_dir(path: str) -> Dict[str, np.ndarray]:
 
 def init_random_params(cfg: ModelConfig, seed: int = 0,
                        dtype=np.float32, scale: float = 0.05) -> Dict:
-    """Random fp param pytree for tests and synthetic benchmarks."""
+    """Random fp param pytree for tests and synthetic benchmarks
+    (llama-family shapes)."""
     rng = np.random.default_rng(seed)
 
     def lin(k, n, bias=False):

@@ -38,11 +38,21 @@ class ModelConfig:
     norm_offset: bool = False  # gemma-style (1 + weight) RMSNorm
     embed_scale: Optional[float] = None  # gemma: sqrt(hidden_size)
     logit_softcap: Optional[float] = None  # gemma2 final logits
+    logit_scale: Optional[float] = None  # cohere: logits *= logit_scale
     attn_softcap: Optional[float] = None  # gemma2 attention scores
     sliding_window: Optional[int] = None
     partial_rotary_factor: float = 1.0
     post_norms: bool = False  # gemma2: post-attn / post-ffn norms
     attn_scale: Optional[float] = None  # override 1/sqrt(head_dim)
+    norm_kind: str = "rms"  # "rms" | "ln" (LayerNorm w/ optional bias)
+    pos_embed: str = "rope"  # "rope" | "alibi" | "learned"
+    learned_pos_offset: int = 0  # OPT offsets learned positions by 2
+    rope_style: str = "neox"  # "neox" half-split | "gptj" interleaved
+    parallel_residual: bool = False  # x + attn(ln(x)) + mlp(ln'(x))
+    shared_input_norm: bool = False  # parallel block w/ single ln (gptj/falcon-7b/cohere)
+    gated_mlp: bool = True  # False -> fc1 / act / fc2
+    embed_ln: bool = False  # bloom: LayerNorm right after embeddings
+    lm_head_bias: bool = False  # gptj
     # ---- MoE knobs (mixtral / qwen3-moe) ----
     num_experts: int = 0
     num_experts_per_tok: int = 0
@@ -65,11 +75,19 @@ class ModelConfig:
 
     @classmethod
     def from_hf_dict(cls, d: Dict[str, Any]) -> "ModelConfig":
+        if "autoawq_tpu_config" in d:
+            # our own save path embeds the full native config — exact
+            # round-trip for every arch knob (HF keys can't carry them all)
+            native = d["autoawq_tpu_config"]
+            known = set(cls.__dataclass_fields__)
+            return cls(**{k: v for k, v in native.items() if k in known})
+        mt = d.get("model_type", "llama")
+        if mt in _HF_KEY_ADAPTERS:
+            d = {**d, **_HF_KEY_ADAPTERS[mt](d)}
         known = set(cls.__dataclass_fields__)
         kwargs = {k: v for k, v in d.items() if k in known and v is not None}
         cfg = cls(**kwargs)
         # per-arch knob defaults, applied on top of raw HF fields
-        mt = d.get("model_type", "llama")
         if mt == "qwen3":
             cfg = replace(cfg, qk_norm=True)
         elif mt == "qwen3_moe":
@@ -117,7 +135,14 @@ class ModelConfig:
             return cls.from_hf_dict(json.load(f))
 
     def to_hf_dict(self) -> Dict[str, Any]:
+        from dataclasses import asdict
+
         d = {
+            # exact native round-trip (HF keys below are best-effort for
+            # ecosystem tools; llama-family keys are fully standard)
+            "autoawq_tpu_config": asdict(self),
+        }
+        d |= {
             "model_type": self.model_type,
             "architectures": [ARCHITECTURES.get(self.model_type, "LlamaForCausalLM")],
             "vocab_size": self.vocab_size,
@@ -157,4 +182,238 @@ ARCHITECTURES = {
     "mixtral": "MixtralForCausalLM",
     "gemma": "GemmaForCausalLM",
     "gemma2": "Gemma2ForCausalLM",
+    "opt": "OPTForCausalLM",
+    "bloom": "BloomForCausalLM",
+    "gptj": "GPTJForCausalLM",
+    "gpt_neox": "GPTNeoXForCausalLM",
+    "gpt_bigcode": "GPTBigCodeForCausalLM",
+    "starcoder2": "Starcoder2ForCausalLM",
+    "mpt": "MptForCausalLM",
+    "falcon": "FalconForCausalLM",
+    "cohere": "CohereForCausalLM",
+    "qwen": "QWenLMHeadModel",
+    "phi3": "Phi3ForCausalLM",
+    "deepseek_v2": "DeepseekV2ForCausalLM",
+    "deepseek_v3": "DeepseekV3ForCausalLM",
+    "minicpm3": "MiniCPM3ForCausalLM",
+    "baichuan": "BaichuanForCausalLM",
+    "internlm2": "InternLM2ForCausalLM",
+    "stablelm": "StableLmForCausalLM",
+    "exaone": "ExaoneForCausalLM",
+    "minicpm": "MiniCPMForCausalLM",
+    "aquila": "AquilaForCausalLM",
+    "yi": "YiForCausalLM",
+}
+
+
+# ---------------------------------------------------------------------------
+# Per-arch HF config-key adapters: translate each architecture's config.json
+# vocabulary onto ModelConfig fields (reference analog: each awq/models/*.py
+# plugin reading its own HF config class).
+# ---------------------------------------------------------------------------
+
+def _adapt_opt(d):
+    if d.get("word_embed_proj_dim") not in (None, d.get("hidden_size")):
+        raise NotImplementedError("OPT with word_embed_proj_dim != hidden_size")
+    if d.get("do_layer_norm_before") is False:
+        raise NotImplementedError("OPT with do_layer_norm_before=False")
+    return dict(
+        intermediate_size=d.get("ffn_dim"),
+        hidden_act=d.get("activation_function", "relu"),
+        num_key_value_heads=d["num_attention_heads"],
+        norm_kind="ln",
+        pos_embed="learned",
+        learned_pos_offset=2,
+        gated_mlp=False,
+        attention_bias=True,
+        mlp_bias=True,
+        tie_word_embeddings=d.get("tie_word_embeddings", True),
+        rms_norm_eps=1e-5,
+    )
+
+
+def _adapt_bloom(d):
+    h = d.get("hidden_size", d.get("n_embed"))
+    return dict(
+        hidden_size=h,
+        num_attention_heads=d.get("n_head", d.get("num_attention_heads")),
+        num_key_value_heads=d.get("n_head", d.get("num_attention_heads")),
+        num_hidden_layers=d.get("n_layer", d.get("num_hidden_layers")),
+        intermediate_size=4 * h,
+        hidden_act="gelu",
+        norm_kind="ln",
+        pos_embed="alibi",
+        gated_mlp=False,
+        attention_bias=True,
+        mlp_bias=True,
+        embed_ln=True,
+        tie_word_embeddings=d.get("tie_word_embeddings", True),
+        rms_norm_eps=d.get("layer_norm_epsilon", 1e-5),
+        max_position_embeddings=d.get("seq_length", 2048),
+    )
+
+
+def _adapt_gptj(d):
+    h, nh = d["n_embd"], d["n_head"]
+    rot = d.get("rotary_dim") or h // nh
+    return dict(
+        hidden_size=h,
+        num_attention_heads=nh,
+        num_key_value_heads=nh,
+        num_hidden_layers=d["n_layer"],
+        max_position_embeddings=d.get("n_positions", 2048),
+        intermediate_size=d.get("n_inner") or 4 * h,
+        hidden_act=d.get("activation_function", "gelu_new"),
+        norm_kind="ln",
+        rope_style="gptj",
+        partial_rotary_factor=rot / (h // nh),
+        parallel_residual=True,
+        shared_input_norm=True,
+        gated_mlp=False,
+        mlp_bias=True,
+        lm_head_bias=True,
+        rms_norm_eps=d.get("layer_norm_epsilon", 1e-5),
+    )
+
+
+def _adapt_gpt_neox(d):
+    return dict(
+        num_key_value_heads=d["num_attention_heads"],
+        intermediate_size=d.get("intermediate_size"),
+        hidden_act=d.get("hidden_act", "gelu"),
+        norm_kind="ln",
+        partial_rotary_factor=d.get("rotary_pct", 0.25),
+        parallel_residual=d.get("use_parallel_residual", True),
+        gated_mlp=False,
+        attention_bias=d.get("attention_bias", True),
+        mlp_bias=True,
+        rms_norm_eps=d.get("layer_norm_eps", 1e-5),
+        rope_theta=d.get("rotary_emb_base", d.get("rope_theta", 10000.0)),
+    )
+
+
+def _adapt_gpt_bigcode(d):
+    h = d["n_embd"]
+    return dict(
+        hidden_size=h,
+        num_attention_heads=d["n_head"],
+        num_key_value_heads=1 if d.get("multi_query", True) else d["n_head"],
+        num_hidden_layers=d["n_layer"],
+        max_position_embeddings=d.get("n_positions", 2048),
+        intermediate_size=d.get("n_inner") or 4 * h,
+        hidden_act=d.get("activation_function", "gelu_pytorch_tanh"),
+        norm_kind="ln",
+        pos_embed="learned",
+        gated_mlp=False,
+        attention_bias=True,
+        mlp_bias=True,
+        tie_word_embeddings=d.get("tie_word_embeddings", True),
+        rms_norm_eps=d.get("layer_norm_epsilon", 1e-5),
+    )
+
+
+def _adapt_starcoder2(d):
+    return dict(
+        norm_kind="ln",
+        gated_mlp=False,
+        attention_bias=d.get("use_bias", True),
+        mlp_bias=d.get("use_bias", True),
+        rms_norm_eps=d.get("norm_epsilon", 1e-5),
+        tie_word_embeddings=d.get("tie_word_embeddings", True),
+    )
+
+
+def _adapt_mpt(d):
+    h = d["d_model"]
+    attn_cfg = d.get("attn_config", {}) or {}
+    return dict(
+        hidden_size=h,
+        num_attention_heads=d["n_heads"],
+        num_key_value_heads=attn_cfg.get("kv_n_heads", d["n_heads"]),
+        num_hidden_layers=d["n_layers"],
+        max_position_embeddings=d.get("max_seq_len", 2048),
+        intermediate_size=int(d.get("expansion_ratio", 4)) * h,
+        hidden_act="gelu",
+        norm_kind="ln",
+        pos_embed="alibi" if attn_cfg.get("alibi", True) else "rope",
+        gated_mlp=False,
+        attention_bias=not d.get("no_bias", True),
+        mlp_bias=not d.get("no_bias", True),
+        tie_word_embeddings=True,
+        rms_norm_eps=1e-5,
+    )
+
+
+def _adapt_falcon(d):
+    nh = d["num_attention_heads"]
+    if d.get("new_decoder_architecture"):
+        nkv = d.get("num_kv_heads", nh)
+        shared = False
+    else:
+        nkv = 1 if d.get("multi_query", True) else nh
+        shared = True  # falcon-7b: single input_layernorm feeds attn + mlp
+    return dict(
+        num_key_value_heads=nkv,
+        intermediate_size=d.get("ffn_hidden_size") or 4 * d["hidden_size"],
+        hidden_act="gelu",
+        norm_kind="ln",
+        pos_embed="alibi" if d.get("alibi") else "rope",
+        parallel_residual=d.get("parallel_attn", True),
+        shared_input_norm=shared,
+        gated_mlp=False,
+        attention_bias=d.get("bias", False),
+        mlp_bias=d.get("bias", False),
+        tie_word_embeddings=d.get("tie_word_embeddings", True),
+        rms_norm_eps=d.get("layer_norm_epsilon", 1e-5),
+        max_position_embeddings=d.get("max_position_embeddings", 2048),
+    )
+
+
+def _adapt_cohere(d):
+    return dict(
+        norm_kind="ln",
+        rope_style="gptj",
+        parallel_residual=True,
+        shared_input_norm=True,
+        logit_scale=d.get("logit_scale", 0.0625),
+        tie_word_embeddings=d.get("tie_word_embeddings", True),
+        rms_norm_eps=d.get("layer_norm_eps", 1e-5),
+    )
+
+
+def _adapt_qwen(d):
+    # Qwen v1: intermediate_size counts BOTH gate (w2) and up (w1) halves
+    return dict(
+        intermediate_size=d["intermediate_size"] // 2,
+        num_key_value_heads=d["num_attention_heads"],
+        hidden_act="silu",
+        attention_bias=True,
+        max_position_embeddings=d.get("seq_length", 2048),
+        rms_norm_eps=d.get("layer_norm_epsilon", 1e-6),
+    )
+
+
+def _adapt_stablelm(d):
+    return dict(
+        norm_kind="ln",
+        partial_rotary_factor=d.get("partial_rotary_factor",
+                                    d.get("rope_pct", 0.25)),
+        parallel_residual=d.get("use_parallel_residual", False),
+        attention_bias=d.get("use_qkv_bias", False),
+        rms_norm_eps=d.get("layer_norm_eps", 1e-5),
+    )
+
+
+_HF_KEY_ADAPTERS = {
+    "opt": _adapt_opt,
+    "stablelm": _adapt_stablelm,
+    "bloom": _adapt_bloom,
+    "gptj": _adapt_gptj,
+    "gpt_neox": _adapt_gpt_neox,
+    "gpt_bigcode": _adapt_gpt_bigcode,
+    "starcoder2": _adapt_starcoder2,
+    "mpt": _adapt_mpt,
+    "falcon": _adapt_falcon,
+    "cohere": _adapt_cohere,
+    "qwen": _adapt_qwen,
 }

@@ -194,8 +194,270 @@ class Phi3Plugin:
                 "mlp.gate_up_proj", "mlp.down_proj"]
 
 
+class OptPlugin:
+    """OPT: separate q/k/v, non-gated relu MLP, LayerNorms
+    (reference awq/models/opt.py)."""
+
+    model_types = ("opt",)
+
+    @staticmethod
+    def scale_groups(cfg, layer_params):
+        return [
+            ScaleGroup("input_layernorm", "norm",
+                       ("self_attn.q_proj", "self_attn.k_proj",
+                        "self_attn.v_proj"),
+                       "self_attn.q_proj", "attn"),
+            ScaleGroup("self_attn.v_proj", "fc", ("self_attn.o_proj",),
+                       "self_attn.o_proj", "self_attn.o_proj"),
+            ScaleGroup("post_attention_layernorm", "norm", ("mlp.fc1",),
+                       "mlp.fc1", "mlp.fc1"),
+            ScaleGroup("mlp.fc1", "fc", ("mlp.fc2",), "mlp.fc2", "mlp.fc2"),
+        ]
+
+    @staticmethod
+    def quantizable(cfg, layer_params):
+        return ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+                "self_attn.o_proj", "mlp.fc1", "mlp.fc2"]
+
+
+class BloomPlugin:
+    """bloom: fused qkv scaled against the input LN with the whole block as
+    module2inspect; GELU act scaling on fc2 (reference awq/models/bloom.py).
+    Attention-out scaling intentionally omitted (upstream issue #2)."""
+
+    model_types = ("bloom",)
+    extra_clip_avoid = ("qkv",)  # HF name query_key_value matches "query"
+
+    @staticmethod
+    def scale_groups(cfg, layer_params):
+        return [
+            ScaleGroup("input_layernorm", "norm", ("self_attn.qkv_proj",),
+                       "self_attn.qkv_proj", "block"),
+            ScaleGroup("post_attention_layernorm", "norm", ("mlp.fc1",),
+                       "mlp.fc1", "block"),
+            ScaleGroup("mlp", "act", ("mlp.fc2",), "mlp.fc2", "mlp.fc2"),
+        ]
+
+    @staticmethod
+    def quantizable(cfg, layer_params):
+        return ["self_attn.qkv_proj", "self_attn.o_proj", "mlp.fc1",
+                "mlp.fc2"]
+
+
+class GptjPlugin:
+    """gptj: shared-LN parallel block — one group scales q/k/v AND fc_in
+    against ln_1 with the whole block inspected (awq/models/gptj.py)."""
+
+    model_types = ("gptj",)
+
+    @staticmethod
+    def scale_groups(cfg, layer_params):
+        return [
+            ScaleGroup("input_layernorm", "norm",
+                       ("self_attn.q_proj", "self_attn.k_proj",
+                        "self_attn.v_proj", "mlp.fc1"),
+                       "self_attn.q_proj", "block"),
+            ScaleGroup("self_attn.v_proj", "fc", ("self_attn.o_proj",),
+                       "self_attn.o_proj", "self_attn.o_proj"),
+            ScaleGroup("mlp", "act", ("mlp.fc2",), "mlp.fc2", "mlp.fc2"),
+        ]
+
+    @staticmethod
+    def quantizable(cfg, layer_params):
+        return ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+                "self_attn.o_proj", "mlp.fc1", "mlp.fc2"]
+
+
+class GptNeoxPlugin:
+    """gpt_neox (awq/models/gpt_neox.py); attention-out scaling omitted
+    upstream."""
+
+    model_types = ("gpt_neox",)
+    extra_clip_avoid = ("qkv",)
+
+    @staticmethod
+    def scale_groups(cfg, layer_params):
+        return [
+            ScaleGroup("input_layernorm", "norm", ("self_attn.qkv_proj",),
+                       "self_attn.qkv_proj", "self_attn.qkv_proj"),
+            ScaleGroup("post_attention_layernorm", "norm", ("mlp.fc1",),
+                       "mlp.fc1", "mlp.fc1"),
+            ScaleGroup("mlp", "act", ("mlp.fc2",), "mlp.fc2", "mlp.fc2"),
+        ]
+
+    @staticmethod
+    def quantizable(cfg, layer_params):
+        return ["self_attn.qkv_proj", "self_attn.o_proj", "mlp.fc1",
+                "mlp.fc2"]
+
+
+class GptBigcodePlugin:
+    """gpt_bigcode / starcoder (awq/models/gpt_bigcode.py)."""
+
+    model_types = ("gpt_bigcode",)
+
+    @staticmethod
+    def scale_groups(cfg, layer_params):
+        return [
+            ScaleGroup("input_layernorm", "norm", ("self_attn.qkv_proj",),
+                       "self_attn.qkv_proj", "attn"),
+            ScaleGroup("post_attention_layernorm", "norm", ("mlp.fc1",),
+                       "mlp.fc1", "mlp"),
+            ScaleGroup("mlp", "act", ("mlp.fc2",), "mlp.fc2", "mlp.fc2"),
+        ]
+
+    @staticmethod
+    def quantizable(cfg, layer_params):
+        return ["self_attn.qkv_proj", "self_attn.o_proj", "mlp.fc1",
+                "mlp.fc2"]
+
+
+class Starcoder2Plugin:
+    """starcoder2 (awq/models/starcoder2.py)."""
+
+    model_types = ("starcoder2",)
+
+    @staticmethod
+    def scale_groups(cfg, layer_params):
+        groups = [
+            ScaleGroup("input_layernorm", "norm",
+                       ("self_attn.q_proj", "self_attn.k_proj",
+                        "self_attn.v_proj"),
+                       "self_attn.q_proj", "attn"),
+        ]
+        v = get_by_path(layer_params, "self_attn.v_proj")["kernel"]
+        o = get_by_path(layer_params, "self_attn.o_proj")["kernel"]
+        if v.shape == o.shape:
+            groups.append(
+                ScaleGroup("self_attn.v_proj", "fc", ("self_attn.o_proj",),
+                           "self_attn.o_proj", "self_attn.o_proj"))
+        groups += [
+            ScaleGroup("post_attention_layernorm", "norm", ("mlp.fc1",),
+                       "mlp.fc1", "mlp"),
+            ScaleGroup("mlp", "act", ("mlp.fc2",), "mlp.fc2", "mlp.fc2"),
+        ]
+        return groups
+
+    @staticmethod
+    def quantizable(cfg, layer_params):
+        return ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+                "self_attn.o_proj", "mlp.fc1", "mlp.fc2"]
+
+
+class MptPlugin:
+    """mpt: fused Wqkv; qkv->out uses the trailing-rows fc-fc fold; GELU act
+    scaling (awq/models/mpt.py)."""
+
+    model_types = ("mpt",)
+    extra_clip_avoid = ("qkv",)  # HF name Wqkv is in the reference avoid list
+
+    @staticmethod
+    def scale_groups(cfg, layer_params):
+        return [
+            ScaleGroup("input_layernorm", "norm", ("self_attn.qkv_proj",),
+                       "self_attn.qkv_proj", "attn"),
+            ScaleGroup("self_attn.qkv_proj", "fc", ("self_attn.o_proj",),
+                       "self_attn.o_proj", "self_attn.o_proj"),
+            ScaleGroup("post_attention_layernorm", "norm", ("mlp.fc1",),
+                       "mlp.fc1", "mlp"),
+            ScaleGroup("mlp", "act", ("mlp.fc2",), "mlp.fc2", "mlp.fc2"),
+        ]
+
+    @staticmethod
+    def quantizable(cfg, layer_params):
+        return ["self_attn.qkv_proj", "self_attn.o_proj", "mlp.fc1",
+                "mlp.fc2"]
+
+
+class FalconPlugin:
+    """falcon: 7B (shared LN) scales fc1+qkv together; 40B+ scales each
+    against its own LN; whole-block inspection (awq/models/falcon.py)."""
+
+    model_types = ("falcon",)
+    extra_clip_avoid = ("qkv",)
+
+    @staticmethod
+    def scale_groups(cfg, layer_params):
+        if cfg.shared_input_norm:  # 7B-style old decoder arch
+            return [
+                ScaleGroup("input_layernorm", "norm",
+                           ("mlp.fc1", "self_attn.qkv_proj"),
+                           "self_attn.qkv_proj", "block"),
+            ]
+        return [
+            ScaleGroup("input_layernorm", "norm", ("self_attn.qkv_proj",),
+                       "self_attn.qkv_proj", "block"),
+            ScaleGroup("post_attention_layernorm", "norm", ("mlp.fc1",),
+                       "mlp.fc1", "block"),
+        ]
+
+    @staticmethod
+    def quantizable(cfg, layer_params):
+        return ["self_attn.qkv_proj", "self_attn.o_proj", "mlp.fc1",
+                "mlp.fc2"]
+
+
+class CoherePlugin:
+    """cohere: shared-LN parallel block — q/k/v + gate/up all scale against
+    the single input LN (awq/models/cohere.py)."""
+
+    model_types = ("cohere",)
+
+    @staticmethod
+    def scale_groups(cfg, layer_params):
+        groups = [
+            ScaleGroup("input_layernorm", "norm",
+                       ("self_attn.q_proj", "self_attn.k_proj",
+                        "self_attn.v_proj", "mlp.gate_proj", "mlp.up_proj"),
+                       "self_attn.q_proj", "block"),
+        ]
+        v = get_by_path(layer_params, "self_attn.v_proj")["kernel"]
+        o = get_by_path(layer_params, "self_attn.o_proj")["kernel"]
+        if v.shape == o.shape:
+            groups.append(
+                ScaleGroup("self_attn.v_proj", "fc", ("self_attn.o_proj",),
+                           "self_attn.o_proj", "self_attn.o_proj"))
+        groups.append(
+            ScaleGroup("mlp.up_proj", "fc", ("mlp.down_proj",),
+                       "mlp.down_proj", "mlp.down_proj"))
+        return groups
+
+    @staticmethod
+    def quantizable(cfg, layer_params):
+        return ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+                "self_attn.o_proj", "mlp.gate_proj", "mlp.up_proj",
+                "mlp.down_proj"]
+
+
+class QwenV1Plugin:
+    """qwen (v1): fused c_attn; gated MLP with w2=gate, w1=up
+    (awq/models/qwen.py)."""
+
+    model_types = ("qwen",)
+
+    @staticmethod
+    def scale_groups(cfg, layer_params):
+        return [
+            ScaleGroup("input_layernorm", "norm", ("self_attn.qkv_proj",),
+                       "self_attn.qkv_proj", "attn"),
+            ScaleGroup("post_attention_layernorm", "norm",
+                       ("mlp.gate_proj", "mlp.up_proj"),
+                       "mlp.gate_proj", "mlp"),
+            ScaleGroup("mlp.up_proj", "fc", ("mlp.down_proj",),
+                       "mlp.down_proj", "mlp.down_proj"),
+        ]
+
+    @staticmethod
+    def quantizable(cfg, layer_params):
+        return ["self_attn.qkv_proj", "self_attn.o_proj", "mlp.gate_proj",
+                "mlp.up_proj", "mlp.down_proj"]
+
+
 PLUGINS: Dict[str, type] = {}
-for plugin in (LlamaFamilyPlugin, MoEFamilyPlugin, Phi3Plugin):
+for plugin in (LlamaFamilyPlugin, MoEFamilyPlugin, Phi3Plugin, OptPlugin,
+               BloomPlugin, GptjPlugin, GptNeoxPlugin, GptBigcodePlugin,
+               Starcoder2Plugin, MptPlugin, FalconPlugin, CoherePlugin,
+               QwenV1Plugin):
     for mt in plugin.model_types:
         PLUGINS[mt] = plugin
 
@@ -219,6 +481,14 @@ def make_inspect_fn(cfg: ModelConfig, group: ScaleGroup,
         def f(lp, x, cos, sin, mask):
             return modules.attention(cfg, lp["self_attn"], x, cos, sin, mask,
                                      method="jnp")[0]
+        return f
+    if group.inspect == "block":
+        # whole-decoder-block inspection (reference module2inspect=module,
+        # e.g. awq/models/bloom.py:34-41) — fed the post-LN features, same
+        # quirk as upstream
+        def f(lp, x, cos, sin, mask):
+            return modules.block(cfg, lp, x, cos, sin, mask,
+                                 method="jnp")[0]
         return f
     if group.inspect == "mlp":
         def f(lp, x, cos, sin, mask):

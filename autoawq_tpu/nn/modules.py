@@ -78,6 +78,50 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float,
     return (x * w).astype(dtype)
 
 
+def layer_norm(x: jax.Array, weight: jax.Array,
+               bias: Optional[jax.Array], eps: float) -> jax.Array:
+    """LayerNorm in fp32 (opt/bloom/gptj/neox/bigcode/mpt/falcon/cohere)."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    x = x * weight.astype(jnp.float32)
+    if bias is not None:
+        x = x + bias.astype(jnp.float32)
+    return x.astype(dtype)
+
+
+def norm(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array) -> jax.Array:
+    """Apply the architecture's norm (per cfg.norm_kind)."""
+    if cfg.norm_kind == "ln":
+        return layer_norm(x, p["weight"], p.get("bias"), cfg.rms_norm_eps)
+    return rms_norm(x, p["weight"], cfg.rms_norm_eps, cfg.norm_offset)
+
+
+def alibi_slopes(n_heads: int) -> jax.Array:
+    """ALiBi per-head slopes (reference: awq/modules/fused/attn.py:101
+    ``gen_slopes``): powers of 2^(-8/n) with the non-power-of-2 head-count
+    interpolation."""
+    import math
+
+    n = 2 ** math.floor(math.log2(n_heads))
+    m0 = 2.0 ** (-8.0 / n)
+    slopes = m0 ** jnp.arange(1, n + 1)
+    if n < n_heads:
+        m1 = 2.0 ** (-4.0 / n)
+        extra = m1 ** jnp.arange(1, 1 + 2 * (n_heads - n), 2)
+        slopes = jnp.concatenate([slopes, extra])
+    return slopes.astype(jnp.float32)  # [H]
+
+
+def alibi_bias(n_heads: int, q_pos: jax.Array, k_pos: jax.Array) -> jax.Array:
+    """Additive ALiBi attention bias [1, H, S, T]: slope_h * (j - i) for
+    keys j <= query i (more-negative further back)."""
+    rel = (k_pos[None, :] - q_pos[:, None]).astype(jnp.float32)  # [S, T]
+    return alibi_slopes(n_heads)[None, :, None, None] * rel[None, None]
+
+
 def rope_tables(cfg: ModelConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """cos/sin tables [*, rotary_dim//2] (fp32) for given positions."""
     rot = cfg.rotary_dim
@@ -89,14 +133,26 @@ def rope_tables(cfg: ModelConfig, positions: jax.Array) -> Tuple[jax.Array, jax.
 
 
 def apply_rope(q: jax.Array, cos: jax.Array, sin: jax.Array,
-               rotary_dim: int) -> jax.Array:
-    """HF-convention rotary (half-split rotate): q [..., S, H, D]."""
+               rotary_dim: int, style: str = "neox") -> jax.Array:
+    """Rotary embedding: q [..., S, H, D].
+
+    "neox": HF half-split rotate (llama & most); "gptj": interleaved
+    rotate-every-two (gptj, cohere — the reference's non-neox rope,
+    awq/modules/fused/block.py:266-322).
+    """
     d = q.shape[-1]
     qr, qp = q[..., :rotary_dim], q[..., rotary_dim:]
-    q1, q2 = jnp.split(qr.astype(jnp.float32), 2, axis=-1)
     c = cos[..., None, :]  # broadcast over heads: [.., S, 1, rot/2]
     s = sin[..., None, :]
-    out = jnp.concatenate([q1 * c - q2 * s, q2 * c + q1 * s], axis=-1)
+    if style == "gptj":
+        q1 = qr.astype(jnp.float32)[..., 0::2]
+        q2 = qr.astype(jnp.float32)[..., 1::2]
+        out = jnp.stack(
+            [q1 * c - q2 * s, q2 * c + q1 * s], axis=-1
+        ).reshape(qr.shape)
+    else:
+        q1, q2 = jnp.split(qr.astype(jnp.float32), 2, axis=-1)
+        out = jnp.concatenate([q1 * c - q2 * s, q2 * c + q1 * s], axis=-1)
     out = out.astype(q.dtype)
     return out if rotary_dim == d else jnp.concatenate([out, qp], axis=-1)
 
@@ -151,8 +207,9 @@ def attention(
         q = rms_norm(q, p["q_norm"]["weight"], cfg.rms_norm_eps, cfg.norm_offset)
         k = rms_norm(k, p["k_norm"]["weight"], cfg.rms_norm_eps, cfg.norm_offset)
 
-    q = apply_rope(q, cos, sin, cfg.rotary_dim)
-    k = apply_rope(k, cos, sin, cfg.rotary_dim)
+    if cfg.pos_embed == "rope":
+        q = apply_rope(q, cos, sin, cfg.rotary_dim, cfg.rope_style)
+        k = apply_rope(k, cos, sin, cfg.rotary_dim, cfg.rope_style)
 
     if kv_cache is not None:
         pos = kv_cache["pos"]
@@ -212,6 +269,13 @@ def mlp(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
         intermediate: Optional[int] = None,
         tap_prefix: str = "mlp.") -> jax.Array:
     inter = intermediate or cfg.intermediate_size
+    if "fc1" in p:  # non-gated MLP: fc1 -> act -> fc2 (opt/bloom/gptj/...)
+        _tap(taps, tap_prefix + "fc1", x)
+        h = act_fn(cfg.hidden_act, linear(p["fc1"], x, inter, method))
+        if "act_scale" in p:  # ScaledActivation (awq/modules/act.py:4)
+            h = h / p["act_scale"].astype(h.dtype)
+        _tap(taps, tap_prefix + "fc2", h)
+        return linear(p["fc2"], h, cfg.hidden_size, method)
     if "gate_up_proj" in p:  # fused projection (nn/fuse.py or phi3-style)
         _tap(taps, tap_prefix + "gate_up_proj", x)
         gu = linear(p["gate_up_proj"], x, 2 * inter, method)
@@ -281,21 +345,29 @@ def block(
     method: str = "auto",
     causal_prefill: bool = False,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
-    """One decoder layer. Pre-norm residual; gemma2 adds post-norms."""
-    h = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps,
-                 cfg.norm_offset)
+    """One decoder layer. Pre-norm residual; gemma2 adds post-norms;
+    gptj/falcon/cohere/neox run attention and MLP in parallel off the
+    residual input (reference fused analogues: awq/modules/fused/block.py)."""
+    h = norm(cfg, p["input_layernorm"], x)
+
+    if cfg.parallel_residual:
+        attn_out, kv_cache = attention(cfg, p["self_attn"], h, cos, sin,
+                                       mask, kv_cache, taps, method,
+                                       causal_prefill)
+        mlp_in = h if cfg.shared_input_norm else norm(
+            cfg, p["post_attention_layernorm"], x)
+        mlp_out = mlp(cfg, p["mlp"], mlp_in, taps, method)
+        return x + attn_out + mlp_out, kv_cache
+
     attn_out, kv_cache = attention(cfg, p["self_attn"], h, cos, sin, mask,
                                    kv_cache, taps, method, causal_prefill)
     if cfg.post_norms:
-        attn_out = rms_norm(attn_out, p["post_attention_layernorm"]["weight"],
-                            cfg.rms_norm_eps, cfg.norm_offset)
+        attn_out = norm(cfg, p["post_attention_layernorm"], attn_out)
         x = x + attn_out
-        h = rms_norm(x, p["pre_feedforward_layernorm"]["weight"],
-                     cfg.rms_norm_eps, cfg.norm_offset)
+        h = norm(cfg, p["pre_feedforward_layernorm"], x)
     else:
         x = x + attn_out
-        h = rms_norm(x, p["post_attention_layernorm"]["weight"],
-                     cfg.rms_norm_eps, cfg.norm_offset)
+        h = norm(cfg, p["post_attention_layernorm"], x)
 
     if cfg.is_moe:
         mlp_out = moe_block(cfg, p["mlp"], h, taps, method)
@@ -303,18 +375,23 @@ def block(
         mlp_out = mlp(cfg, p["mlp"], h, taps, method)
 
     if cfg.post_norms:
-        mlp_out = rms_norm(mlp_out, p["post_feedforward_layernorm"]["weight"],
-                           cfg.rms_norm_eps, cfg.norm_offset)
+        mlp_out = norm(cfg, p["post_feedforward_layernorm"], mlp_out)
     return x + mlp_out, kv_cache
 
 
 def embed(cfg: ModelConfig, params: Dict[str, Any], tokens: jax.Array,
-          dtype=None) -> jax.Array:
+          dtype=None, positions: Optional[jax.Array] = None) -> jax.Array:
     x = jnp.asarray(params["embed_tokens"]["weight"])[tokens]
     if dtype is not None:
         x = x.astype(dtype)
     if cfg.embed_scale:
         x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
+    if cfg.pos_embed == "learned":
+        pe = jnp.asarray(params["embed_positions"]["weight"])
+        x = x + pe[positions + cfg.learned_pos_offset].astype(x.dtype)
+    if cfg.embed_ln:  # bloom: LayerNorm right after the embedding
+        x = layer_norm(x, params["embed_ln"]["weight"],
+                       params["embed_ln"].get("bias"), cfg.rms_norm_eps)
     return x
 
 
@@ -334,12 +411,14 @@ def causal_mask(s: int, t: Optional[int] = None,
 
 def logits_fn(cfg: ModelConfig, params: Dict[str, Any], x: jax.Array,
               method: str = "auto") -> jax.Array:
-    x = rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps, cfg.norm_offset)
+    x = norm(cfg, params["norm"], x)
     if params.get("lm_head") is not None:
         logits = linear(params["lm_head"], x, cfg.vocab_size, method)
     else:  # tied embeddings
         logits = jnp.dot(x, params["embed_tokens"]["weight"].T.astype(x.dtype))
     logits = logits.astype(jnp.float32)
+    if cfg.logit_scale:  # cohere
+        logits = logits * cfg.logit_scale
     if cfg.logit_softcap:
         logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
     return logits
@@ -354,11 +433,14 @@ def forward(
 ) -> jax.Array:
     """Full prefill forward -> logits [B, S, V]."""
     b, s = tokens.shape
-    x = embed(cfg, params, tokens, dtype)
     positions = jnp.arange(s)[None, :]
+    x = embed(cfg, params, tokens, dtype, positions)
     cos, sin = rope_tables(cfg, positions)
     mask = causal_mask(s, sliding_window=cfg.sliding_window)
-    causal_prefill = cfg.sliding_window is None
+    if cfg.pos_embed == "alibi":
+        mask = mask + alibi_bias(cfg.num_attention_heads, jnp.arange(s),
+                                 jnp.arange(s))
+    causal_prefill = cfg.sliding_window is None and cfg.pos_embed != "alibi"
     for lp in params["layers"]:
         x, _ = block(cfg, lp, x, cos, sin, mask, None, None, method,
                      causal_prefill)

@@ -118,14 +118,20 @@ class AwqQuantizer:
         """
         cfg = self.cfg
         tokens = jnp.asarray(self.calib_tokens)
-        emb = {"embed_tokens": {
-            "weight": jnp.asarray(self.params["embed_tokens"]["weight"])
-        }}
-        x = modules.embed(cfg, emb, tokens, dtype=self.compute_dtype)
+        emb = {
+            k: _to_jnp(self.params[k])
+            for k in ("embed_tokens", "embed_positions", "embed_ln")
+            if k in self.params
+        }
         s = tokens.shape[1]
         positions = jnp.arange(s)[None, :]
+        x = modules.embed(cfg, emb, tokens, dtype=self.compute_dtype,
+                          positions=positions)
         cos, sin = modules.rope_tables(cfg, positions)
         mask = modules.causal_mask(s, sliding_window=cfg.sliding_window)
+        if cfg.pos_embed == "alibi":
+            mask = mask + modules.alibi_bias(cfg.num_attention_heads,
+                                             jnp.arange(s), jnp.arange(s))
 
         new_layers = []
         iterator = range(cfg.num_hidden_layers)
@@ -152,8 +158,9 @@ class AwqQuantizer:
             # [3] clip search + clamp
             layer_clips = []
             if self.do_clip:
+                avoid = CLIP_AVOID + getattr(self.plugin, "extra_clip_avoid", ())
                 for path in self.plugin.quantizable(cfg, lp):
-                    if any(a in path for a in CLIP_AVOID):
+                    if any(a in path for a in avoid):
                         continue
                     if path not in taps:
                         continue

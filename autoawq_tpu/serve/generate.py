@@ -57,9 +57,9 @@ def prefill(
     """Process the prompt; returns (last-position logits [B, V], caches)."""
     b, s = tokens.shape
     max_t = caches[0]["k"].shape[1]
-    x = modules.embed(cfg, params, tokens, dtype)
     positions = jnp.arange(s)[None, :]
-    causal_prefill = cfg.sliding_window is None
+    x = modules.embed(cfg, params, tokens, dtype, positions)
+    causal_prefill = cfg.sliding_window is None and cfg.pos_embed != "alibi"
     qi = jnp.arange(s)[:, None]
     # causal-prefill attends over the local s keys; windowed over the cache
     ki = jnp.arange(s if causal_prefill else max_t)[None, :]
@@ -67,6 +67,9 @@ def prefill(
     if cfg.sliding_window:
         ok &= ki > qi - cfg.sliding_window
     mask = jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[None, None]
+    if cfg.pos_embed == "alibi":
+        mask = mask + modules.alibi_bias(cfg.num_attention_heads,
+                                         qi[:, 0], ki[0])
     x, caches = _run_blocks(cfg, params, x, positions, mask, caches,
                             jnp.int32(0), method, causal_prefill)
     logits = modules.logits_fn(cfg, params, x[:, -1:, :], method)
@@ -86,13 +89,16 @@ def decode_step(
 ) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
     """One decode step; donates and returns the KV caches."""
     max_t = caches[0]["k"].shape[1]
-    x = modules.embed(cfg, params, token, dtype)
     positions = pos[None, None] if pos.ndim == 0 else pos
+    x = modules.embed(cfg, params, token, dtype, positions)
     ki = jnp.arange(max_t)[None, :]
     ok = ki <= pos
     if cfg.sliding_window:
         ok &= ki > pos - cfg.sliding_window
     mask = jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[None, None]
+    if cfg.pos_embed == "alibi":
+        mask = mask + modules.alibi_bias(cfg.num_attention_heads,
+                                         positions[0], ki[0])
     x, caches = _run_blocks(cfg, params, x, positions, mask, caches, pos,
                             method)
     logits = modules.logits_fn(cfg, params, x, method)
