@@ -94,7 +94,33 @@ LLAMA_LAYOUT = ArchLayout(
     },
 )
 
+DEEPSEEK_LAYOUT = ArchLayout(
+    layer_prefix="model.layers.{i}.",
+    embed="model.embed_tokens",
+    final_norm="model.norm",
+    norms={
+        "input_layernorm": "input_layernorm",
+        "post_attention_layernorm": "post_attention_layernorm",
+        "self_attn.q_a_layernorm": "self_attn.q_a_layernorm",
+        "self_attn.kv_a_layernorm": "self_attn.kv_a_layernorm",
+    },
+    linears={
+        "self_attn.q_proj": "self_attn.q_proj",
+        "self_attn.q_a_proj": "self_attn.q_a_proj",
+        "self_attn.q_b_proj": "self_attn.q_b_proj",
+        "self_attn.kv_a_proj_with_mqa": "self_attn.kv_a_proj_with_mqa",
+        "self_attn.kv_b_proj": "self_attn.kv_b_proj",
+        "self_attn.o_proj": "self_attn.o_proj",
+        "mlp.gate_proj": "mlp.gate_proj",
+        "mlp.up_proj": "mlp.up_proj",
+        "mlp.down_proj": "mlp.down_proj",
+    },
+)
+
 ARCH_LAYOUTS: Dict[str, ArchLayout] = {
+    "deepseek_v2": DEEPSEEK_LAYOUT,
+    "deepseek_v3": DEEPSEEK_LAYOUT,
+    "minicpm3": DEEPSEEK_LAYOUT,
     "opt": ArchLayout(
         layer_prefix="model.decoder.layers.{i}.",
         embed="model.decoder.embed_tokens",
@@ -431,8 +457,12 @@ def params_from_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Dict:
             if lin is None:
                 continue
             _set_nested(lp, internal, lin)
-        if cfg.is_moe and cfg.model_type in ("mixtral", "qwen3_moe"):
+        # structural MoE detection: deepseek keeps the first k layers dense
+        if cfg.is_moe and _gate_key(cfg, i) + ".weight" in sd:
             mlp_p = {"gate": _lin_from_sd(sd, _gate_key(cfg, i))}
+            bias_key = _gate_key(cfg, i) + ".e_score_correction_bias"
+            if bias_key in sd:  # deepseek_v3 router bias buffer
+                mlp_p["gate"]["e_score_correction_bias"] = np.asarray(sd[bias_key])
             experts = []
             for e in range(cfg.num_experts):
                 ep = {}
@@ -445,6 +475,13 @@ def params_from_state_dict(cfg: ModelConfig, sd: Dict[str, np.ndarray]) -> Dict:
                         ep[name] = lin
                 experts.append(ep)
             mlp_p["experts"] = experts
+            shared = {
+                name: lin for name in _MLP_EXPERT_NAMES
+                if (lin := _lin_from_sd(
+                    sd, base + "mlp.shared_experts." + name)) is not None
+            }
+            if shared:
+                mlp_p["shared_experts"] = shared
             lp["mlp"] = mlp_p
         params["layers"].append(lp)
     return params
@@ -507,9 +544,14 @@ def state_dict_from_params(cfg: ModelConfig, params: Dict,
             perm = qkv_perm if internal == "self_attn.qkv_proj" else None
             _lin_to_sd(sd, base + hf, p, out_features_map[internal], perm,
                        dtype)
-        if cfg.is_moe and cfg.model_type in ("mixtral", "qwen3_moe"):
-            _lin_to_sd(sd, _gate_key(cfg, i), lp["mlp"]["gate"],
+        if cfg.is_moe and "experts" in lp.get("mlp", {}):
+            gate = dict(lp["mlp"]["gate"])
+            bias = gate.pop("e_score_correction_bias", None)
+            _lin_to_sd(sd, _gate_key(cfg, i), gate,
                        out_features_map["mlp.gate"], dtype=dtype)
+            if bias is not None:
+                sd[_gate_key(cfg, i) + ".e_score_correction_bias"] = (
+                    np.asarray(bias).astype(np.float32))
             for e, ep in enumerate(lp["mlp"]["experts"]):
                 for name in _MLP_EXPERT_NAMES:
                     if name not in ep:
@@ -519,6 +561,10 @@ def state_dict_from_params(cfg: ModelConfig, params: Dict,
                                ep[name],
                                out_features_map["mlp.experts." + name],
                                dtype=dtype)
+            for name, p in lp["mlp"].get("shared_experts", {}).items():
+                _lin_to_sd(sd, base + "mlp.shared_experts." + name, p,
+                           out_features_map["mlp.shared_experts." + name],
+                           dtype=dtype)
     return sd
 
 
@@ -526,10 +572,22 @@ def role_out_features(cfg: ModelConfig) -> Dict[str, int]:
     """Logical out_features by layer role (needed to strip lane padding)."""
     hd, nh, nkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
     inter = cfg.moe_intermediate_size or cfg.intermediate_size
-    return {
+    shared_inter = (cfg.moe_intermediate_size or 0) * max(1, cfg.n_shared_experts)
+    mla = {
+        "self_attn.q_a_proj": cfg.q_lora_rank or 0,
+        "self_attn.q_b_proj": nh * (cfg.qk_nope_head_dim + cfg.qk_rope_head_dim),
+        "self_attn.kv_a_proj_with_mqa": (cfg.kv_lora_rank or 0) + cfg.qk_rope_head_dim,
+        "self_attn.kv_b_proj": nh * (cfg.qk_nope_head_dim + cfg.v_head_dim),
+        "mlp.shared_experts.gate_proj": shared_inter,
+        "mlp.shared_experts.up_proj": shared_inter,
+        "mlp.shared_experts.down_proj": cfg.hidden_size,
+    }
+    q_out = (nh * (cfg.qk_nope_head_dim + cfg.qk_rope_head_dim)
+             if cfg.is_mla else nh * hd)
+    return mla | {
         "self_attn.qkv_proj": (nh + 2 * nkv) * hd,
         "mlp.gate_up_proj": 2 * cfg.intermediate_size,
-        "self_attn.q_proj": nh * hd,
+        "self_attn.q_proj": q_out,
         "self_attn.k_proj": nkv * hd,
         "self_attn.v_proj": nkv * hd,
         "self_attn.o_proj": cfg.hidden_size,

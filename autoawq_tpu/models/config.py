@@ -53,12 +53,25 @@ class ModelConfig:
     gated_mlp: bool = True  # False -> fc1 / act / fc2
     embed_ln: bool = False  # bloom: LayerNorm right after embeddings
     lm_head_bias: bool = False  # gptj
-    # ---- MoE knobs (mixtral / qwen3-moe) ----
+    # ---- MoE knobs (mixtral / qwen3-moe / deepseek) ----
     num_experts: int = 0
     num_experts_per_tok: int = 0
     moe_intermediate_size: Optional[int] = None
     shared_expert_intermediate_size: Optional[int] = None
     norm_topk_prob: bool = False
+    n_shared_experts: int = 0  # deepseek shared experts (x moe_intermediate)
+    routed_scaling_factor: float = 1.0
+    scoring_func: str = "softmax"  # "softmax" (v2) | "sigmoid" (v3)
+    topk_method: str = "greedy"  # "greedy" | "group_limited_greedy" | "noaux_tc"
+    n_group: int = 1
+    topk_group: int = 1
+    first_k_dense_replace: int = 0  # deepseek: first k layers are dense MLP
+    # ---- MLA knobs (deepseek_v2/v3, minicpm3) ----
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: Optional[int] = None
+    qk_rope_head_dim: int = 0
+    qk_nope_head_dim: int = 0
+    v_head_dim: int = 0
 
     @property
     def head_dim_(self) -> int:
@@ -66,12 +79,18 @@ class ModelConfig:
 
     @property
     def rotary_dim(self) -> int:
+        if self.is_mla:
+            return self.qk_rope_head_dim
         r = int(self.head_dim_ * self.partial_rotary_factor)
         return r - (r % 2)
 
     @property
     def is_moe(self) -> bool:
         return self.num_experts > 0
+
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank is not None
 
     @classmethod
     def from_hf_dict(cls, d: Dict[str, Any]) -> "ModelConfig":
@@ -404,9 +423,30 @@ def _adapt_stablelm(d):
     )
 
 
+def _adapt_deepseek(d):
+    out = dict(
+        num_experts=d.get("n_routed_experts") or 0,
+        n_shared_experts=d.get("n_shared_experts") or 0,
+        norm_topk_prob=d.get("norm_topk_prob", False),
+        topk_method=d.get("topk_method", "greedy"),
+        n_group=d.get("n_group") or 1,
+        topk_group=d.get("topk_group") or 1,
+        routed_scaling_factor=d.get("routed_scaling_factor", 1.0),
+        first_k_dense_replace=d.get("first_k_dense_replace", 0),
+        num_key_value_heads=d.get("num_attention_heads"),
+    )
+    if d.get("model_type") == "deepseek_v3":
+        out["scoring_func"] = "sigmoid"
+        out["topk_method"] = "noaux_tc"
+    return out
+
+
 _HF_KEY_ADAPTERS = {
     "opt": _adapt_opt,
     "stablelm": _adapt_stablelm,
+    "deepseek_v2": _adapt_deepseek,
+    "deepseek_v3": _adapt_deepseek,
+    "minicpm3": _adapt_deepseek,
     "bloom": _adapt_bloom,
     "gptj": _adapt_gptj,
     "gpt_neox": _adapt_gpt_neox,

@@ -453,11 +453,97 @@ class QwenV1Plugin:
                 "mlp.up_proj", "mlp.down_proj"]
 
 
+class DeepseekPlugin:
+    """deepseek_v2 / v3 / minicpm3 — MLA attention: q_a/kv_a scale against
+    the input LN, q_b against q_a_layernorm, kv_b against kv_a_layernorm;
+    MoE layers scale all routed+shared gate/up experts against the post-attn
+    LN with router-input features (awq/models/deepseek_v2.py:20-115)."""
+
+    model_types = ("deepseek_v2", "deepseek_v3", "minicpm3")
+
+    @staticmethod
+    def scale_groups(cfg, layer_params):
+        attn = layer_params["self_attn"]
+        groups = []
+        if "q_proj" in attn:  # lite
+            groups.append(
+                ScaleGroup("input_layernorm", "norm",
+                           ("self_attn.q_proj",
+                            "self_attn.kv_a_proj_with_mqa"),
+                           "self_attn.q_proj", "attn"))
+        else:
+            groups.append(
+                ScaleGroup("input_layernorm", "norm",
+                           ("self_attn.q_a_proj",
+                            "self_attn.kv_a_proj_with_mqa"),
+                           "self_attn.q_a_proj", "attn"))
+            groups.append(
+                ScaleGroup("self_attn.q_a_layernorm", "norm",
+                           ("self_attn.q_b_proj",),
+                           "self_attn.q_b_proj", "self_attn.q_b_proj"))
+        groups.append(
+            ScaleGroup("self_attn.kv_a_layernorm", "norm",
+                       ("self_attn.kv_b_proj",),
+                       "self_attn.kv_b_proj", "self_attn.kv_b_proj"))
+        if "experts" in layer_params["mlp"]:
+            targets = []
+            for e in range(cfg.num_experts):
+                targets += [f"mlp.experts.{e}.gate_proj",
+                            f"mlp.experts.{e}.up_proj"]
+            if "shared_experts" in layer_params["mlp"]:
+                targets += ["mlp.shared_experts.gate_proj",
+                            "mlp.shared_experts.up_proj"]
+            groups.append(
+                ScaleGroup("post_attention_layernorm", "norm",
+                           tuple(targets), "mlp.gate", "moe"))
+            for e in range(cfg.num_experts):
+                groups.append(
+                    ScaleGroup(f"mlp.experts.{e}.up_proj", "fc",
+                               (f"mlp.experts.{e}.down_proj",),
+                               f"mlp.experts.{e}.down_proj",
+                               f"mlp.experts.{e}.down_proj"))
+            if "shared_experts" in layer_params["mlp"]:
+                groups.append(
+                    ScaleGroup("mlp.shared_experts.up_proj", "fc",
+                               ("mlp.shared_experts.down_proj",),
+                               "mlp.shared_experts.down_proj",
+                               "mlp.shared_experts.down_proj"))
+        else:  # first_k_dense layers
+            groups.append(
+                ScaleGroup("post_attention_layernorm", "norm",
+                           ("mlp.gate_proj", "mlp.up_proj"),
+                           "mlp.gate_proj", "mlp"))
+            groups.append(
+                ScaleGroup("mlp.up_proj", "fc", ("mlp.down_proj",),
+                           "mlp.down_proj", "mlp.down_proj"))
+        return groups
+
+    @staticmethod
+    def quantizable(cfg, layer_params):
+        attn = layer_params["self_attn"]
+        paths = [
+            "self_attn." + n
+            for n in ("q_proj", "q_a_proj", "q_b_proj",
+                      "kv_a_proj_with_mqa", "kv_b_proj", "o_proj")
+            if n in attn
+        ]
+        if "experts" in layer_params["mlp"]:
+            for e in range(cfg.num_experts):
+                paths += [f"mlp.experts.{e}.{n}"
+                          for n in ("gate_proj", "up_proj", "down_proj")]
+            if "shared_experts" in layer_params["mlp"]:
+                paths += [f"mlp.shared_experts.{n}"
+                          for n in ("gate_proj", "up_proj", "down_proj")]
+        else:
+            paths += ["mlp.gate_proj", "mlp.up_proj", "mlp.down_proj"]
+        return paths
+
+
 PLUGINS: Dict[str, type] = {}
 for plugin in (LlamaFamilyPlugin, MoEFamilyPlugin, Phi3Plugin, OptPlugin,
                BloomPlugin, GptjPlugin, GptNeoxPlugin, GptBigcodePlugin,
                Starcoder2Plugin, MptPlugin, FalconPlugin, CoherePlugin,
-               QwenV1Plugin):
+               QwenV1Plugin, DeepseekPlugin):
     for mt in plugin.model_types:
         PLUGINS[mt] = plugin
 
@@ -478,9 +564,11 @@ def make_inspect_fn(cfg: ModelConfig, group: ScaleGroup,
     Returns f(layer_params, inp, cos, sin, mask) -> output.
     """
     if group.inspect == "attn":
+        attn_fn = modules.mla_attention if cfg.is_mla else modules.attention
+
         def f(lp, x, cos, sin, mask):
-            return modules.attention(cfg, lp["self_attn"], x, cos, sin, mask,
-                                     method="jnp")[0]
+            return attn_fn(cfg, lp["self_attn"], x, cos, sin, mask,
+                           method="jnp")[0]
         return f
     if group.inspect == "block":
         # whole-decoder-block inspection (reference module2inspect=module,

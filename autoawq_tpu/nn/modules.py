@@ -254,6 +254,91 @@ def attention(
     return y, kv_cache
 
 
+def mla_attention(
+    cfg: ModelConfig,
+    p: Dict[str, Any],
+    x: jax.Array,  # [B, S, H]
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: Optional[jax.Array],
+    kv_cache: Optional[Dict[str, jax.Array]] = None,
+    taps: Optional[Dict] = None,
+    method: str = "auto",
+    causal_prefill: bool = False,
+) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
+    """Multi-head Latent Attention (deepseek_v2/v3, minicpm3).
+
+    Matches HF DeepseekV2Attention numerics: low-rank q (optional), low-rank
+    compressed kv with a decoupled rope head shared across heads, interleaved
+    (gptj-style) rotary on the rope dims only, softmax scale qk_head_dim^-0.5.
+    Reference scaling topology: awq/models/deepseek_v2.py:28-75.
+
+    Correctness-first formulation: the full per-head K/V are materialized
+    and cached. (The latent-cache decode optimization — caching only the
+    compressed kv + rope head — is a serving optimization, not needed for
+    calibration parity.)
+    """
+    b, s, _ = x.shape
+    nh = cfg.num_attention_heads
+    dr, dn, dv = cfg.qk_rope_head_dim, cfg.qk_nope_head_dim, cfg.v_head_dim
+    dq = dn + dr
+
+    if "q_proj" in p:  # lite models
+        _tap(taps, "self_attn.q_proj", x)
+        q = linear(p["q_proj"], x, nh * dq, method)
+    else:
+        _tap(taps, "self_attn.q_a_proj", x)
+        qa = linear(p["q_a_proj"], x, cfg.q_lora_rank, method)
+        qa = rms_norm(qa, p["q_a_layernorm"]["weight"], cfg.rms_norm_eps)
+        _tap(taps, "self_attn.q_b_proj", qa)
+        q = linear(p["q_b_proj"], qa, nh * dq, method)
+    q = q.reshape(b, s, nh, dq)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+
+    _tap(taps, "self_attn.kv_a_proj_with_mqa", x)
+    ckv = linear(p["kv_a_proj_with_mqa"], x, cfg.kv_lora_rank + dr, method)
+    c, k_pe = ckv[..., : cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank :]
+    c = rms_norm(c, p["kv_a_layernorm"]["weight"], cfg.rms_norm_eps)
+    _tap(taps, "self_attn.kv_b_proj", c)
+    kv = linear(p["kv_b_proj"], c, nh * (dn + dv), method)
+    kv = kv.reshape(b, s, nh, dn + dv)
+    k_nope, v = kv[..., :dn], kv[..., dn:]
+
+    # decoupled rope head: interleaved pairs (HF view_as_complex semantics)
+    q_pe = apply_rope(q_pe, cos, sin, dr, style="gptj")
+    k_pe = apply_rope(k_pe[:, :, None, :], cos, sin, dr, style="gptj")
+
+    k = jnp.concatenate(
+        [k_nope, jnp.broadcast_to(k_pe, (b, s, nh, dr))], axis=-1
+    )  # [B, S, nh, dq]
+
+    if kv_cache is not None:
+        pos = kv_cache["pos"]
+        kc = jax.lax.dynamic_update_slice(
+            kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, pos, 0, 0))
+        vc = jax.lax.dynamic_update_slice(
+            kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, pos, 0, 0))
+        kv_cache = {"k": kc, "v": vc, "pos": pos + s}
+        if not causal_prefill:
+            k, v = kc.astype(x.dtype), vc.astype(x.dtype)
+
+    scale = cfg.attn_scale if cfg.attn_scale is not None else dq**-0.5
+    scores = jnp.einsum("bshd,bthd->bhst", q_nope.astype(x.dtype), k[..., :dn],
+                        preferred_element_type=jnp.float32)
+    scores = scores + jnp.einsum(
+        "bshd,bthd->bhst", q_pe.astype(x.dtype), k[..., dn:],
+        preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(b, s, nh * dv)
+
+    _tap(taps, "self_attn.o_proj", out)
+    y = linear(p["o_proj"], out, cfg.hidden_size, method)
+    return y, kv_cache
+
+
 def act_fn(name: str, x: jax.Array) -> jax.Array:
     if name == "silu":
         return jax.nn.silu(x)
@@ -304,11 +389,37 @@ def moe_block(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
     b, s, h = x.shape
     xt = x.reshape(-1, h)
     _tap(taps, "mlp.gate", x)
-    router_logits = linear(p["gate"], xt, cfg.num_experts, method)
-    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
-    topw, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    router_logits = linear(p["gate"], xt.astype(jnp.float32),
+                           cfg.num_experts, method).astype(jnp.float32)
+    if cfg.scoring_func == "sigmoid":  # deepseek_v3
+        probs = jax.nn.sigmoid(router_logits)
+    else:
+        probs = jax.nn.softmax(router_logits, axis=-1)
+
+    choice = probs
+    if cfg.topk_method == "noaux_tc" and "e_score_correction_bias" in p["gate"]:
+        choice = probs + p["gate"]["e_score_correction_bias"].astype(jnp.float32)
+    if cfg.topk_method in ("group_limited_greedy", "noaux_tc") and cfg.n_group > 1:
+        # deepseek group-limited routing: keep only the top-k expert GROUPS
+        # (v2 scores a group by its max expert, v3 by its top-2 sum)
+        gsz = cfg.num_experts // cfg.n_group
+        grouped = choice.reshape(-1, cfg.n_group, gsz)
+        if cfg.topk_method == "noaux_tc":
+            gscore = jnp.sum(jax.lax.top_k(grouped, 2)[0], axis=-1)
+        else:
+            gscore = jnp.max(grouped, axis=-1)
+        _, gidx = jax.lax.top_k(gscore, cfg.topk_group)
+        gmask = jnp.sum(jax.nn.one_hot(gidx, cfg.n_group), axis=1)  # [T, G]
+        emask = jnp.repeat(gmask, gsz, axis=-1)
+        choice = jnp.where(emask > 0, choice, 0.0)
+
+    _, topi = jax.lax.top_k(choice, cfg.num_experts_per_tok)
+    topw = jnp.take_along_axis(
+        choice if cfg.topk_method != "noaux_tc" else probs, topi, axis=-1)
     if cfg.model_type == "mixtral" or cfg.norm_topk_prob:
-        topw = topw / topw.sum(-1, keepdims=True)
+        eps = 1e-20 if cfg.scoring_func == "sigmoid" else 0.0
+        topw = topw / (topw.sum(-1, keepdims=True) + eps)
+    topw = topw * cfg.routed_scaling_factor
     weights = jnp.sum(
         jax.nn.one_hot(topi, cfg.num_experts, dtype=jnp.float32)
         * topw[..., None],
@@ -320,7 +431,7 @@ def moe_block(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
         ye = mlp(cfg, ep, xt[None], taps, method, intermediate=inter,
                  tap_prefix=f"mlp.experts.{e}.")[0]
         out = out + weights[:, e : e + 1] * ye.astype(jnp.float32)
-    if "shared_expert" in p:
+    if "shared_expert" in p:  # qwen2-moe style (sigmoid-gated)
         se = mlp(cfg, p["shared_expert"], xt[None], taps, method,
                  intermediate=cfg.shared_expert_intermediate_size,
                  tap_prefix="mlp.shared_expert.")[0]
@@ -329,6 +440,11 @@ def moe_block(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
                 linear(p["shared_expert_gate"], xt, 1, method).astype(jnp.float32)
             )
             se = se * gate
+        out = out + se.astype(jnp.float32)
+    if "shared_experts" in p:  # deepseek style (ungated, always-on)
+        se = mlp(cfg, p["shared_experts"], xt[None], taps, method,
+                 intermediate=inter * max(1, cfg.n_shared_experts),
+                 tap_prefix="mlp.shared_experts.")[0]
         out = out + se.astype(jnp.float32)
     return out.astype(x.dtype).reshape(b, s, h)
 
@@ -349,18 +465,19 @@ def block(
     gptj/falcon/cohere/neox run attention and MLP in parallel off the
     residual input (reference fused analogues: awq/modules/fused/block.py)."""
     h = norm(cfg, p["input_layernorm"], x)
+    attn_fn = mla_attention if cfg.is_mla else attention
 
     if cfg.parallel_residual:
-        attn_out, kv_cache = attention(cfg, p["self_attn"], h, cos, sin,
-                                       mask, kv_cache, taps, method,
-                                       causal_prefill)
+        attn_out, kv_cache = attn_fn(cfg, p["self_attn"], h, cos, sin,
+                                     mask, kv_cache, taps, method,
+                                     causal_prefill)
         mlp_in = h if cfg.shared_input_norm else norm(
             cfg, p["post_attention_layernorm"], x)
         mlp_out = mlp(cfg, p["mlp"], mlp_in, taps, method)
         return x + attn_out + mlp_out, kv_cache
 
-    attn_out, kv_cache = attention(cfg, p["self_attn"], h, cos, sin, mask,
-                                   kv_cache, taps, method, causal_prefill)
+    attn_out, kv_cache = attn_fn(cfg, p["self_attn"], h, cos, sin, mask,
+                                 kv_cache, taps, method, causal_prefill)
     if cfg.post_norms:
         attn_out = norm(cfg, p["post_attention_layernorm"], attn_out)
         x = x + attn_out
@@ -369,7 +486,8 @@ def block(
         x = x + attn_out
         h = norm(cfg, p["post_attention_layernorm"], x)
 
-    if cfg.is_moe:
+    # structural dispatch: deepseek keeps the first k layers dense
+    if "experts" in p["mlp"]:
         mlp_out = moe_block(cfg, p["mlp"], h, taps, method)
     else:
         mlp_out = mlp(cfg, p["mlp"], h, taps, method)

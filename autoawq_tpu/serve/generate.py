@@ -23,6 +23,17 @@ from autoawq_tpu.nn import modules
 
 def init_kv_cache(cfg: ModelConfig, batch: int, max_seq_len: int,
                   dtype=jnp.bfloat16) -> List[Dict[str, jax.Array]]:
+    if cfg.is_mla:  # full-head K (nope+rope) and V caches per MLA head
+        nh = cfg.num_attention_heads
+        dk = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
+        dv = cfg.v_head_dim
+        return [
+            {
+                "k": jnp.zeros((batch, max_seq_len, nh, dk), dtype),
+                "v": jnp.zeros((batch, max_seq_len, nh, dv), dtype),
+            }
+            for _ in range(cfg.num_hidden_layers)
+        ]
     hd, nkv = cfg.head_dim_, cfg.num_key_value_heads
     return [
         {

@@ -192,6 +192,123 @@ def test_parity_gemma2():
     )
 
 
+def test_parity_phi3():
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    _run_parity(
+        Phi3Config(vocab_size=128, hidden_size=64, intermediate_size=128,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   num_key_value_heads=4, max_position_embeddings=64,
+                   pad_token_id=0),
+        Phi3ForCausalLM,
+    )
+
+
+def test_parity_qwen2():
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    _run_parity(
+        Qwen2Config(vocab_size=128, hidden_size=64, intermediate_size=128,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    num_key_value_heads=2, max_position_embeddings=64),
+        Qwen2ForCausalLM,
+    )
+
+
+def test_parity_gemma():
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    _run_parity(
+        GemmaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    num_key_value_heads=2, head_dim=16,
+                    max_position_embeddings=64,
+                    hidden_activation="gelu_pytorch_tanh"),
+        GemmaForCausalLM,
+    )
+
+
+def test_parity_stablelm():
+    from transformers import StableLmConfig, StableLmForCausalLM
+
+    _run_parity(
+        StableLmConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2, partial_rotary_factor=0.25,
+                       max_position_embeddings=64,
+                       use_parallel_residual=False),
+        StableLmForCausalLM,
+    )
+
+
+def test_parity_deepseek_v2_lite():
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    _run_parity(
+        DeepseekV2Config(vocab_size=128, hidden_size=64, intermediate_size=128,
+                         moe_intermediate_size=64, num_hidden_layers=3,
+                         num_attention_heads=4, num_key_value_heads=4,
+                         n_routed_experts=4, n_shared_experts=1,
+                         num_experts_per_tok=2, first_k_dense_replace=1,
+                         q_lora_rank=None, kv_lora_rank=32,
+                         qk_rope_head_dim=8, qk_nope_head_dim=16,
+                         v_head_dim=16, head_dim=8, topk_method="greedy",
+                         max_position_embeddings=64, rope_scaling=None),
+        DeepseekV2ForCausalLM,
+    )
+
+
+def test_parity_deepseek_v2_full():
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    _run_parity(
+        DeepseekV2Config(vocab_size=128, hidden_size=64, intermediate_size=128,
+                         moe_intermediate_size=64, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=4,
+                         n_routed_experts=8, n_shared_experts=2,
+                         num_experts_per_tok=2, first_k_dense_replace=1,
+                         q_lora_rank=48, kv_lora_rank=32,
+                         qk_rope_head_dim=8, qk_nope_head_dim=16,
+                         v_head_dim=16, head_dim=8,
+                         topk_method="group_limited_greedy", n_group=4,
+                         topk_group=2, routed_scaling_factor=1.5,
+                         max_position_embeddings=64, rope_scaling=None),
+        DeepseekV2ForCausalLM,
+    )
+
+
+def test_parity_deepseek_v3():
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    _run_parity(
+        DeepseekV3Config(vocab_size=128, hidden_size=64, intermediate_size=128,
+                         moe_intermediate_size=64, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=4,
+                         n_routed_experts=8, n_shared_experts=1,
+                         num_experts_per_tok=2, first_k_dense_replace=1,
+                         q_lora_rank=48, kv_lora_rank=32,
+                         qk_rope_head_dim=8, qk_nope_head_dim=16,
+                         v_head_dim=16, head_dim=8, n_group=4, topk_group=2,
+                         norm_topk_prob=True, routed_scaling_factor=2.0,
+                         max_position_embeddings=64, rope_scaling=None),
+        DeepseekV3ForCausalLM,
+    )
+
+
+def test_parity_qwen3_moe():
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    _run_parity(
+        Qwen3MoeConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                       moe_intermediate_size=64, num_hidden_layers=2,
+                       num_attention_heads=4, num_key_value_heads=2,
+                       head_dim=16, num_experts=4, num_experts_per_tok=2,
+                       norm_topk_prob=True, max_position_embeddings=64,
+                       decoder_sparse_step=1),
+        Qwen3MoeForCausalLM,
+    )
+
+
 def test_parity_mixtral():
     from transformers import MixtralConfig, MixtralForCausalLM
 

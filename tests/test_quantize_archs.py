@@ -46,6 +46,20 @@ def _tiny_hf(name):
                          num_attention_heads=4, num_kv_heads=2,
                          new_decoder_architecture=True, bias=False,
                          alibi=False, max_position_embeddings=64))
+    if name == "deepseek_v2":
+        from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+        return DeepseekV2ForCausalLM(
+            DeepseekV2Config(vocab_size=128, hidden_size=64,
+                             intermediate_size=128, moe_intermediate_size=64,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             num_key_value_heads=4, n_routed_experts=4,
+                             n_shared_experts=1, num_experts_per_tok=2,
+                             first_k_dense_replace=1, q_lora_rank=64,
+                             kv_lora_rank=32, qk_rope_head_dim=8,
+                             qk_nope_head_dim=16, v_head_dim=16, head_dim=8,
+                             topk_method="greedy",
+                             max_position_embeddings=64, rope_scaling=None))
     if name == "cohere":
         from transformers import CohereConfig, CohereForCausalLM
 
@@ -57,7 +71,7 @@ def _tiny_hf(name):
     raise KeyError(name)
 
 
-@pytest.mark.parametrize("arch", ["opt", "bloom", "gptj", "falcon", "cohere"])
+@pytest.mark.parametrize("arch", ["opt", "bloom", "gptj", "falcon", "cohere", "deepseek_v2"])
 def test_quantize_roundtrip(arch, rng):
     torch.manual_seed(0)
     hf = _tiny_hf(arch).eval()
