@@ -60,12 +60,17 @@ def _fuse(lins, ns):
     return _fuse_fp(lins, ns)
 
 
-def fuse_model(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
-    """In-place: replace q/k/v with qkv_proj and gate/up with gate_up_proj."""
+def fuse_model(cfg: ModelConfig, params: Dict[str, Any],
+               stack_experts: bool = True) -> Dict[str, Any]:
+    """In-place: replace q/k/v with qkv_proj, gate/up with gate_up_proj, and
+    (quantized MoE) stack per-expert weights into [E, ...] tensors for the
+    grouped Pallas kernel — the analogue of the reference's
+    ``fuse_linears(op=torch.stack)`` expert stacking
+    (awq/models/mixtral.py:129-158)."""
     hd, nh, nkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
     for lp in params["layers"]:
         attn = lp["self_attn"]
-        if "q_proj" in attn:
+        if "q_proj" in attn and not cfg.is_mla:
             attn["qkv_proj"] = _fuse(
                 [attn.pop("q_proj"), attn.pop("k_proj"), attn.pop("v_proj")],
                 [nh * hd, nkv * hd, nkv * hd],
@@ -82,4 +87,17 @@ def fuse_model(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
                 e["gate_up_proj"] = _fuse(
                     [e.pop("gate_proj"), e.pop("up_proj")], [inter, inter]
                 )
+        experts = m.get("experts")
+        if (stack_experts and experts
+                and all("qweight" in e.get("gate_up_proj", {})
+                        and "qweight" in e.get("down_proj", {})
+                        for e in experts)):
+            m["experts_stacked"] = {
+                name: {
+                    leaf: np.stack([np.asarray(e[name][leaf]) for e in experts])
+                    for leaf in ("qweight", "scales", "qzeros")
+                }
+                for name in ("gate_up_proj", "down_proj")
+            }
+            del m["experts"]
     return params

@@ -426,11 +426,22 @@ def moe_block(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
         axis=1,
     )  # [T, E]
     inter = cfg.moe_intermediate_size or cfg.intermediate_size
-    out = jnp.zeros((xt.shape[0], h), dtype=jnp.float32)
-    for e, ep in enumerate(p["experts"]):
-        ye = mlp(cfg, ep, xt[None], taps, method, intermediate=inter,
-                 tap_prefix=f"mlp.experts.{e}.")[0]
-        out = out + weights[:, e : e + 1] * ye.astype(jnp.float32)
+    if "experts_stacked" in p:
+        # serving path: expert-stacked int4 weights through the grouped
+        # Pallas kernel (replaces awq_ext.grouped_gemm_forward,
+        # awq/modules/fused/moe.py:60-91)
+        from autoawq_tpu.ops import moe_gemm
+
+        out = moe_gemm.moe_mlp(
+            cfg, p["experts_stacked"], xt, topw, topi, cfg.hidden_act,
+            inter, interpret=jax.default_backend() != "tpu",
+        ).astype(jnp.float32)
+    else:
+        out = jnp.zeros((xt.shape[0], h), dtype=jnp.float32)
+        for e, ep in enumerate(p["experts"]):
+            ye = mlp(cfg, ep, xt[None], taps, method, intermediate=inter,
+                     tap_prefix=f"mlp.experts.{e}.")[0]
+            out = out + weights[:, e : e + 1] * ye.astype(jnp.float32)
     if "shared_expert" in p:  # qwen2-moe style (sigmoid-gated)
         se = mlp(cfg, p["shared_expert"], xt[None], taps, method,
                  intermediate=cfg.shared_expert_intermediate_size,
@@ -487,7 +498,7 @@ def block(
         h = norm(cfg, p["post_attention_layernorm"], x)
 
     # structural dispatch: deepseek keeps the first k layers dense
-    if "experts" in p["mlp"]:
+    if "experts" in p["mlp"] or "experts_stacked" in p["mlp"]:
         mlp_out = moe_block(cfg, p["mlp"], h, taps, method)
     else:
         mlp_out = mlp(cfg, p["mlp"], h, taps, method)
