@@ -131,8 +131,118 @@ class AwqCausalLM:
         return self
 
 
-class AutoAWQForCausalLM:
-    """Name-compatible dispatcher (reference awq/models/auto.py:60)."""
+class AwqLlavaModel:
+    """LLaVA-family multimodal model: fp vision tower + quantized LM
+    (reference awq/models/llava.py — only the language model is quantized)."""
 
-    from_pretrained = AwqCausalLM.from_pretrained
-    from_quantized = AwqCausalLM.from_quantized
+    def __init__(self, text_cfg: ModelConfig, vision_cfg: Dict,
+                 raw_config: Dict, params: Dict[str, Any],
+                 qcfg: Optional[AwqConfig] = None):
+        self.cfg = text_cfg
+        self.vision_cfg = vision_cfg
+        self.raw_config = raw_config
+        self.params = params
+        self.quant_config = qcfg
+
+    # ------------------------------------------------------------- loading
+    @classmethod
+    def _load(cls, path: str):
+        import json
+        import os
+
+        from autoawq_tpu.io.hf import load_state_dict_from_dir
+        from autoawq_tpu.models.vision import llava_params_from_state_dict
+
+        with open(os.path.join(path, "config.json")) as f:
+            raw = json.load(f)
+        text_cfg = ModelConfig.from_hf_dict(raw["text_config"])
+        sd = load_state_dict_from_dir(path)
+        params = llava_params_from_state_dict(text_cfg, sd)
+        qcfg = (AwqConfig.from_dict(raw["quantization_config"])
+                if "quantization_config" in raw else None)
+        return cls(text_cfg, raw["vision_config"], raw, params, qcfg)
+
+    from_pretrained = classmethod(lambda cls, path: cls._load(path))
+    from_quantized = classmethod(lambda cls, path: cls._load(path))
+
+    # ---------------------------------------------------------- quantizing
+    def quantize(self, tokenizer=None, quant_config=None, **kw) -> None:
+        """AWQ-quantize the language model only (text calibration)."""
+        lm = AwqCausalLM(self.cfg, self.params["language_model"])
+        lm.quantize(tokenizer, quant_config, **kw)
+        self.params["language_model"] = lm.params
+        self.quant_config = lm.quant_config
+
+    def save_quantized(self, path: str) -> None:
+        import json
+        import os
+
+        from safetensors.numpy import save_file
+
+        from autoawq_tpu.models.vision import llava_state_dict_from_params
+
+        if self.quant_config is None:
+            raise RuntimeError("model is not quantized")
+        os.makedirs(path, exist_ok=True)
+        raw = dict(self.raw_config)
+        raw["quantization_config"] = self.quant_config.to_transformers_dict()
+        raw.setdefault("text_config", {})["autoawq_tpu_config"] = (
+            self.cfg.to_hf_dict()["autoawq_tpu_config"]
+        )
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(raw, f, indent=2)
+        sd = llava_state_dict_from_params(self.cfg, self.params)
+        save_file(sd, os.path.join(path, "model.safetensors"))
+
+    # ----------------------------------------------------------- inference
+    def __call__(self, input_ids, pixel_values=None, method: str = "auto"):
+        from autoawq_tpu.models.vision import llava_forward
+
+        return llava_forward(
+            self.cfg, self.vision_cfg, self.params,
+            jnp.asarray(input_ids),
+            None if pixel_values is None else jnp.asarray(pixel_values),
+            image_token_index=self.raw_config.get("image_token_index", 32000),
+            vision_feature_layer=self.raw_config.get("vision_feature_layer", -2),
+            vision_feature_select_strategy=self.raw_config.get(
+                "vision_feature_select_strategy", "default"),
+            method=method,
+        )
+
+    def to_device(self, dtype=jnp.bfloat16):
+        def cast(x):
+            x = np.asarray(x)
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                x = x.astype(jnp.dtype(dtype))
+            return x
+
+        self.params = jax.device_put(jax.tree_util.tree_map(cast, self.params))
+        return self
+
+
+MULTIMODAL_TYPES = ("llava", "llava_next")
+
+
+class AutoAWQForCausalLM:
+    """Name-compatible dispatcher (reference awq/models/auto.py:60):
+    routes on config.json's model_type, including multimodal wrappers."""
+
+    @staticmethod
+    def _route(path: str):
+        import json
+        import os
+
+        with open(os.path.join(path, "config.json")) as f:
+            mt = json.load(f).get("model_type", "llama")
+        return AwqLlavaModel if mt in MULTIMODAL_TYPES else AwqCausalLM
+
+    @classmethod
+    def from_pretrained(cls, path: str):
+        return cls._route(path).from_pretrained(path)
+
+    @classmethod
+    def from_quantized(cls, path: str, **kw):
+        target = cls._route(path)
+        if target is AwqLlavaModel:
+            return target.from_quantized(path)
+        return target.from_quantized(path, **kw)

@@ -1,0 +1,109 @@
+"""LLaVA multimodal parity vs transformers + quantize-LM-only flow."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import jax.numpy as jnp
+
+from autoawq_tpu.models.config import ModelConfig
+from autoawq_tpu.models.vision import llava_forward, llava_params_from_state_dict
+
+
+def _tiny_llava():
+    from transformers import (
+        CLIPVisionConfig,
+        LlamaConfig,
+        LlavaConfig,
+        LlavaForConditionalGeneration,
+    )
+
+    vc = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                          num_hidden_layers=2, num_attention_heads=2,
+                          image_size=16, patch_size=8, projection_dim=16)
+    tc = LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                     num_hidden_layers=2, num_attention_heads=2,
+                     num_key_value_heads=2, max_position_embeddings=64)
+    cfg = LlavaConfig(vision_config=vc, text_config=tc, image_token_index=5,
+                      vision_feature_layer=-2,
+                      vision_feature_select_strategy="default")
+    torch.manual_seed(0)
+    return LlavaForConditionalGeneration(cfg).eval(), cfg
+
+
+def test_llava_parity(rng):
+    hf, cfg = _tiny_llava()
+    n_patch = (16 // 8) ** 2  # 4 image tokens per image
+    ids = rng.integers(6, 64, (1, 12))
+    ids[0, 2 : 2 + n_patch] = 5  # image placeholder tokens
+    ids_t = torch.asarray(ids)
+    pixels = torch.randn(1, 3, 16, 16)
+    with torch.no_grad():
+        ref = hf(input_ids=ids_t, pixel_values=pixels).logits.float().numpy()
+
+    sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+    text_cfg = ModelConfig.from_hf_dict(cfg.text_config.to_dict())
+    params = llava_params_from_state_dict(text_cfg, sd)
+    ours = np.asarray(llava_forward(
+        text_cfg, cfg.vision_config.to_dict(), params,
+        jnp.asarray(ids), jnp.asarray(pixels.numpy()),
+        image_token_index=5, method="jnp",
+    ))
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(ours / scale, ref / scale, atol=3e-3, rtol=3e-3)
+
+
+def test_llava_quantize_lm_only(rng):
+    """Quantize the language model only (reference awq/models/llava.py:26-27);
+    vision tower stays fp and the multimodal forward still works."""
+    from autoawq_tpu.api import AwqCausalLM
+
+    hf, cfg = _tiny_llava()
+    sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+    text_cfg = ModelConfig.from_hf_dict(cfg.text_config.to_dict())
+    params = llava_params_from_state_dict(text_cfg, sd)
+
+    lm = AwqCausalLM(text_cfg, params["language_model"])
+    calib = rng.integers(0, 64, (4, 32))
+    lm.quantize(quant_config={"q_group_size": 32}, calib_data=calib,
+                progress=False)
+    params["language_model"] = lm.params
+
+    ids = rng.integers(6, 64, (1, 12))
+    ids[0, 2:6] = 5
+    pixels = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
+    logits = np.asarray(llava_forward(
+        text_cfg, cfg.vision_config.to_dict(), params,
+        jnp.asarray(ids), jnp.asarray(pixels),
+        image_token_index=5, method="jnp",
+    ))
+    assert np.isfinite(logits).all()
+    # vision tower untouched (fp kernels, no qweight anywhere)
+    flat = str(params["vision_tower"].keys())
+    assert "qweight" not in flat
+
+
+def test_llava_save_load_roundtrip(rng, tmp_path):
+    """quantize -> save (HF llava layout) -> from_quantized -> same logits."""
+    from autoawq_tpu.api import AutoAWQForCausalLM, AwqLlavaModel
+
+    hf, cfg = _tiny_llava()
+    sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+    text_cfg = ModelConfig.from_hf_dict(cfg.text_config.to_dict())
+    params = llava_params_from_state_dict(text_cfg, sd)
+    model = AwqLlavaModel(text_cfg, cfg.vision_config.to_dict(),
+                          cfg.to_dict(), params)
+    calib = rng.integers(0, 64, (4, 32))
+    model.quantize(quant_config={"q_group_size": 32}, calib_data=calib,
+                   progress=False)
+    out_dir = str(tmp_path / "llava-awq")
+    model.save_quantized(out_dir)
+
+    m2 = AutoAWQForCausalLM.from_quantized(out_dir)
+    assert isinstance(m2, AwqLlavaModel)
+    ids = rng.integers(6, 64, (1, 12))
+    ids[0, 2:6] = 5
+    pixels = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
+    a = np.asarray(model(ids, pixels, method="jnp"))
+    b = np.asarray(m2(ids, pixels, method="jnp"))
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
