@@ -73,9 +73,15 @@ def pack_planar(q4: np.ndarray) -> np.ndarray:
 
     R is the contraction dim for weights (K) or the group dim for
     zero-points; an odd R is padded with a zero row (strip on unpack via
-    ``rows=``).
+    ``rows=``). Dispatches to the native C++ kernel when available
+    (csrc/packing.cpp); this numpy body is the fallback and oracle.
     """
     q4 = np.asarray(q4)
+    from autoawq_tpu.core import native
+
+    fast = native.pack_planar(q4, padded_out_features(q4.shape[1]))
+    if fast is not None:
+        return fast
     r, n = q4.shape
     if r % 2:
         q4 = np.concatenate([q4, np.zeros((1, n), q4.dtype)], axis=0)
@@ -95,6 +101,14 @@ def pack_planar(q4: np.ndarray) -> np.ndarray:
 def unpack_planar(qweight: np.ndarray, n: Optional[int] = None,
                   rows: Optional[int] = None) -> np.ndarray:
     """int32 [R/2, N_pad // 4] -> int32 [R (or rows), N (or N_pad)] (0..15)."""
+    from autoawq_tpu.core import native
+
+    q = np.asarray(qweight)
+    fast = native.unpack_planar(
+        q, rows if rows is not None else 2 * q.shape[0],
+        n if n is not None else 4 * q.shape[1])
+    if fast is not None:
+        return fast
     qweight = np.asarray(qweight).astype(np.uint32)
     r2, n4 = qweight.shape
     n_pad = n4 * 4
@@ -122,6 +136,11 @@ def pack_awq(q4: np.ndarray) -> np.ndarray:
     q4 = np.asarray(q4)
     k, n = q4.shape
     assert n % 8 == 0, f"AutoAWQ layout needs N % 8 == 0, got {n}"
+    from autoawq_tpu.core import native
+
+    fast = native.pack_awq(q4)
+    if fast is not None:
+        return fast
     q = (q4.astype(np.uint32) & 0xF).reshape(k, n // 8, 8)
     words = np.zeros((k, n // 8), dtype=np.uint32)
     for i, col in enumerate(AWQ_ORDER):
@@ -131,6 +150,12 @@ def pack_awq(q4: np.ndarray) -> np.ndarray:
 
 def unpack_awq(qweight: np.ndarray, n: Optional[int] = None) -> np.ndarray:
     """AutoAWQ-order int32 [K, N // 8] -> int [K, N] (0..15)."""
+    from autoawq_tpu.core import native
+
+    q = np.asarray(qweight)
+    fast = native.unpack_awq(q, n if n is not None else 8 * q.shape[1])
+    if fast is not None:
+        return fast
     qweight = np.asarray(qweight).astype(np.uint32)
     k, n8 = qweight.shape
     out = np.empty((k, n8, 8), dtype=np.uint32)

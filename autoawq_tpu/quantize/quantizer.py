@@ -24,6 +24,7 @@ order, and propagation of *unquantized* block outputs to the next block
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -89,6 +90,7 @@ class AwqQuantizer:
         n_clip_sample_tokens: int = 512,
         compute_dtype=jnp.float32,
         progress: bool = True,
+        resume_dir: Optional[str] = None,
     ):
         self.cfg = cfg
         self.qcfg = qcfg
@@ -101,6 +103,7 @@ class AwqQuantizer:
         self.n_clip_sample_tokens = n_clip_sample_tokens
         self.compute_dtype = compute_dtype
         self.progress = progress
+        self.resume_dir = resume_dir
         self.plugin = get_plugin(cfg.model_type)
         self.out_features_map = role_out_features(cfg)
         self._search_cache: Dict[Any, Any] = {}
@@ -143,6 +146,14 @@ class AwqQuantizer:
             except ImportError:
                 pass
         for i in iterator:
+            # per-layer resume: the AWQ loop is per-block, so a crashed
+            # 70B-class calibration restarts from the last finished layer
+            # (the reference has no mid-quantization resume, SURVEY §5)
+            ck = self._resume_path(i)
+            if ck is not None and os.path.exists(ck):
+                lp, x = _load_layer_ckpt(ck)
+                new_layers.append(lp)
+                continue
             lp = _to_jnp(self.params["layers"][i])
             # [1] capture per-linear inputs + propagate fp activations
             taps: Dict[str, jax.Array] = {}
@@ -176,8 +187,12 @@ class AwqQuantizer:
                     set_by_path(lp, path,
                                 quantize_linear_params(get_by_path(lp, path),
                                                        self.qcfg))
-            new_layers.append(jax.device_get(lp))
+            lp_host = jax.device_get(lp)
+            new_layers.append(lp_host)
             x = next_x
+            ck = self._resume_path(i)
+            if ck is not None:
+                _save_layer_ckpt(ck, lp_host, jax.device_get(x))
 
         out = _clone(self.params)
         out["layers"] = new_layers
@@ -312,6 +327,56 @@ class AwqQuantizer:
 
             self._search_cache[key] = jax.jit(search)
         return self._search_cache[key](w, inp)
+
+
+    def _resume_path(self, layer: int) -> Optional[str]:
+        if self.resume_dir is None:
+            return None
+        os.makedirs(self.resume_dir, exist_ok=True)
+        return os.path.join(self.resume_dir, f"layer_{layer:04d}.npz")
+
+
+def _save_layer_ckpt(path: str, lp, x) -> None:
+    flat: Dict[str, np.ndarray] = {"__x__": np.asarray(x)}
+
+    def walk(tree, prefix):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, f"{prefix}/{k}")
+        elif isinstance(tree, list):
+            for i, v in enumerate(tree):
+                walk(v, f"{prefix}/#{i}")
+        elif tree is not None:
+            flat[prefix] = np.asarray(tree)
+
+    walk(lp, "p")
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def _load_layer_ckpt(path: str):
+    data = np.load(path)
+    x = jnp.asarray(data["__x__"])
+    tree: Dict = {}
+    for key in data.files:
+        if key == "__x__":
+            continue
+        parts = key.split("/")[1:]
+        node = tree
+        for i, p in enumerate(parts[:-1]):
+            child_is_list = parts[i + 1].startswith("#")
+            if p.startswith("#"):
+                idx = int(p[1:])
+                while len(node) <= idx:
+                    node.append([] if child_is_list else {})
+                node = node[idx]
+            else:
+                if p not in node:
+                    node[p] = [] if child_is_list else {}
+                node = node[p]
+        node[parts[-1]] = data[key]
+    return tree, x
 
 
 def _to_jnp(tree):

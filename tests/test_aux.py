@@ -1,0 +1,64 @@
+"""Auxiliary subsystems: calibration resume, orbax checkpoints, profiling."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from autoawq_tpu.config import AwqConfig
+from autoawq_tpu.io.hf import init_random_params
+from autoawq_tpu.models.config import ModelConfig
+from autoawq_tpu.quantize.quantizer import AwqQuantizer
+
+
+def _cfg():
+    return ModelConfig(model_type="llama", vocab_size=64, hidden_size=64,
+                       intermediate_size=128, num_hidden_layers=2,
+                       num_attention_heads=2, num_key_value_heads=2,
+                       head_dim=32, max_position_embeddings=64)
+
+
+def test_calibration_resume(rng, tmp_path):
+    cfg = _cfg()
+    params = init_random_params(cfg, seed=0, scale=0.1)
+    calib = rng.integers(0, 64, (4, 32))
+    qcfg = AwqConfig(q_group_size=32)
+
+    resume = str(tmp_path / "resume")
+    q1 = AwqQuantizer(cfg, qcfg, params, calib, progress=False,
+                      resume_dir=resume)
+    out1 = q1.quantize()
+    import os
+
+    assert sorted(os.listdir(resume)) == ["layer_0000.npz", "layer_0001.npz"]
+
+    # restart: all layers come from the checkpoints (bit-identical result)
+    q2 = AwqQuantizer(cfg, qcfg, params, calib, progress=False,
+                      resume_dir=resume)
+    out2 = q2.quantize()
+    a = np.asarray(out1["layers"][1]["mlp"]["down_proj"]["qweight"])
+    b = np.asarray(out2["layers"][1]["mlp"]["down_proj"]["qweight"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_orbax_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from autoawq_tpu.io import orbax_ckpt
+
+    tree = {"a": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "b": np.asarray([1, 2, 3], np.int32)}
+    path = str(tmp_path / "ckpt")
+    orbax_ckpt.save(path, tree)
+    back = orbax_ckpt.load(path, tree)
+    np.testing.assert_array_equal(np.asarray(back["a"]["w"]), tree["a"]["w"])
+    np.testing.assert_array_equal(np.asarray(back["b"]), tree["b"])
+
+
+def test_nan_check_toggle():
+    import jax
+
+    from autoawq_tpu.utils.profiling import enable_nan_checks
+
+    enable_nan_checks(True)
+    assert jax.config.jax_debug_nans
+    enable_nan_checks(False)
+    assert not jax.config.jax_debug_nans
