@@ -105,6 +105,7 @@ class AwqQuantizer:
         self.progress = progress
         self.resume_dir = resume_dir
         self.plugin = get_plugin(cfg.model_type)
+        self._skip = tuple(qcfg.modules_to_not_convert or ())
         self.out_features_map = role_out_features(cfg)
         self._search_cache: Dict[Any, Any] = {}
         # recorded per-layer artifacts (for introspection / resume)
@@ -170,7 +171,7 @@ class AwqQuantizer:
             layer_clips = []
             if self.do_clip:
                 avoid = CLIP_AVOID + getattr(self.plugin, "extra_clip_avoid", ())
-                for path in self.plugin.quantizable(cfg, lp):
+                for path in self._quantizable(lp):
                     if any(a in path for a in avoid):
                         continue
                     if path not in taps:
@@ -183,7 +184,7 @@ class AwqQuantizer:
             self.all_clips.append(layer_clips)
             # [4] quantize + pack
             if not export_compatible:
-                for path in self.plugin.quantizable(cfg, lp):
+                for path in self._quantizable(lp):
                     set_by_path(lp, path,
                                 quantize_linear_params(get_by_path(lp, path),
                                                        self.qcfg))
@@ -203,7 +204,7 @@ class AwqQuantizer:
         reference base.py:250-268)."""
         out = _clone(params)
         for i, lp in enumerate(out["layers"]):
-            for path in self.plugin.quantizable(self.cfg, lp):
+            for path in self._quantizable(lp):
                 p = get_by_path(lp, path)
                 if "kernel" in p:
                     set_by_path(lp, path, quantize_linear_params(p, self.qcfg))
@@ -328,6 +329,14 @@ class AwqQuantizer:
             self._search_cache[key] = jax.jit(search)
         return self._search_cache[key](w, inp)
 
+
+    def _quantizable(self, lp) -> List[str]:
+        """Plugin's quantizable paths minus modules_to_not_convert
+        (reference: awq/utils/module.py:56 exclude_layers_to_not_quantize)."""
+        return [
+            path for path in self.plugin.quantizable(self.cfg, lp)
+            if not any(skip in path for skip in self._skip)
+        ]
 
     def _resume_path(self, layer: int) -> Optional[str]:
         if self.resume_dir is None:

@@ -116,6 +116,21 @@ def decode_step(
     return logits[:, 0, :], caches
 
 
+@functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+def roll_kv(caches: List[Dict[str, jax.Array]], n: int) -> List[Dict[str, jax.Array]]:
+    """Evict the oldest ``n`` positions by shifting the caches left
+    (reference: WindowedCache.roll_kv_n_steps, awq/modules/fused/cache.py:48
+    — the sliding-window overflow path of prepare_cache,
+    awq/utils/fused_utils.py:14-27). Rolled-off tokens are dropped."""
+    out = []
+    for c in caches:
+        out.append({
+            "k": jnp.roll(c["k"], -n, axis=1),
+            "v": jnp.roll(c["v"], -n, axis=1),
+        })
+    return out
+
+
 def sample(logits: jax.Array, temperature: float, key) -> jax.Array:
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1)
@@ -139,12 +154,14 @@ def generate(
     """Python-loop generation (streaming-friendly). Returns [B, S + new]."""
     b, s = prompt.shape
     total = max_seq_len or (s + max_new_tokens)
+    roll_step = 128  # eviction granularity on overflow (reference rolls 100)
     caches = init_kv_cache(cfg, b, total, dtype)
     logits, caches = prefill(cfg, params, prompt, caches, method, dtype)
     key = jax.random.PRNGKey(seed)
     out = [prompt]
     token = None
     finished = jnp.zeros((b,), dtype=bool)
+    pos = s
     for i in range(max_new_tokens):
         key, sub = jax.random.split(key)
         token = sample(logits, temperature, sub)[:, None]  # [B, 1]
@@ -156,8 +173,12 @@ def generate(
         if eos_token_id is not None and bool(finished.all()):
             break
         if i + 1 < max_new_tokens:
+            if pos >= total:  # windowed eviction: drop the oldest tokens
+                caches = roll_kv(caches, roll_step)
+                pos -= roll_step
             logits, caches = decode_step(cfg, params, token, caches,
-                                         jnp.int32(s + i), method, dtype)
+                                         jnp.int32(pos), method, dtype)
+            pos += 1
     return jnp.concatenate(out, axis=1)
 
 

@@ -62,3 +62,23 @@ def test_nan_check_toggle():
     assert jax.config.jax_debug_nans
     enable_nan_checks(False)
     assert not jax.config.jax_debug_nans
+
+
+def test_windowed_cache_roll(rng):
+    """Generation beyond max_seq_len evicts oldest cache entries and keeps
+    producing finite tokens (reference WindowedCache roll semantics)."""
+    from autoawq_tpu.serve import generate as gen
+
+    cfg = _cfg()
+    params = init_random_params(cfg, seed=1, scale=0.1)
+    prompt = jnp.asarray(rng.integers(0, 64, (1, 8)))
+    out = np.asarray(gen.generate(cfg, params, prompt, 24, max_seq_len=16,
+                                  method="jnp", dtype=jnp.float32))
+    assert out.shape == (1, 32)
+    assert (out >= 0).all() and (out < 64).all()
+
+    caches = gen.init_kv_cache(cfg, 1, 8, jnp.float32)
+    caches[0]["k"] = caches[0]["k"].at[0, :, 0, 0].set(jnp.arange(8.0))
+    rolled = gen.roll_kv(caches, 3)
+    np.testing.assert_allclose(np.asarray(rolled[0]["k"][0, :5, 0, 0]),
+                               [3, 4, 5, 6, 7])
