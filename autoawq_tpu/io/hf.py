@@ -321,9 +321,10 @@ def _lin_from_sd(sd: Dict[str, np.ndarray], prefix: str,
             q4, z4, sc = q4[:, perm], z4[:, perm], sc[:, perm]
         p = {
             "qweight": packing.pack_planar(q4),
-            "qzeros": packing.pack_planar(z4),
             "scales": packing.pad_scales_planar(sc),
         }
+        if (z4 != 8).any():  # all-8 == symmetric: take the zeros-free path
+            p["qzeros"] = packing.pack_planar(z4)
         if prefix + ".bias" in sd:
             b = np.asarray(sd[prefix + ".bias"])
             p["bias"] = b[perm] if perm is not None else b
@@ -353,8 +354,11 @@ def _lin_to_sd(sd: Dict[str, np.ndarray], prefix: str, p: Dict[str, Any],
     if "qweight" in p:
         g = np.asarray(p["scales"]).shape[0]
         q4 = packing.unpack_planar(np.asarray(p["qweight"]), out_features)
-        z4 = packing.unpack_planar(np.asarray(p["qzeros"]), out_features,
-                                   rows=g)
+        if "qzeros" in p:
+            z4 = packing.unpack_planar(np.asarray(p["qzeros"]), out_features,
+                                       rows=g)
+        else:  # symmetric: regenerate the constant-8 zeros AutoAWQ expects
+            z4 = np.full((g, out_features), 8, np.int32)
         sc = np.asarray(p["scales"])[:, :out_features]
         if inv is not None:
             q4, z4, sc = q4[:, inv], z4[:, inv], sc[:, inv]

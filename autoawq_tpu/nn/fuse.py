@@ -22,15 +22,21 @@ from autoawq_tpu.models.config import ModelConfig
 def _fuse_quant(lins: List[Dict[str, Any]], ns: List[int]) -> Dict[str, Any]:
     q4 = [packing.unpack_planar(np.asarray(p["qweight"]), n)
           for p, n in zip(lins, ns)]
-    z4 = [packing.unpack_planar(np.asarray(p["qzeros"]), n,
-                                rows=np.asarray(p["scales"]).shape[0])
-          for p, n in zip(lins, ns)]
     sc = [np.asarray(p["scales"])[:, :n] for p, n in zip(lins, ns)]
     out = {
         "qweight": packing.pack_planar(np.concatenate(q4, axis=1)),
-        "qzeros": packing.pack_planar(np.concatenate(z4, axis=1)),
         "scales": packing.pad_scales_planar(np.concatenate(sc, axis=1)),
     }
+    if any("qzeros" in p for p in lins):
+        # mixed symmetric/asymmetric members: synthesize constant-8 zeros
+        z4 = [
+            packing.unpack_planar(np.asarray(p["qzeros"]), n,
+                                  rows=np.asarray(p["scales"]).shape[0])
+            if "qzeros" in p
+            else np.full((np.asarray(p["scales"]).shape[0], n), 8, np.int32)
+            for p, n in zip(lins, ns)
+        ]
+        out["qzeros"] = packing.pack_planar(np.concatenate(z4, axis=1))
     if any(p.get("bias") is not None for p in lins):
         out["bias"] = np.concatenate([
             np.asarray(p["bias"]) if p.get("bias") is not None
@@ -90,8 +96,10 @@ def fuse_model(cfg: ModelConfig, params: Dict[str, Any],
         experts = m.get("experts")
         if (stack_experts and experts
                 and all("qweight" in e.get("gate_up_proj", {})
+                        and "qzeros" in e.get("gate_up_proj", {})
                         and "qweight" in e.get("down_proj", {})
-                        for e in experts)):
+                        and "qzeros" in e.get("down_proj", {})
+                        for e in experts)):  # symmetric MoE: dense loop path
             m["experts_stacked"] = {
                 name: {
                     leaf: np.stack([np.asarray(e[name][leaf]) for e in experts])

@@ -50,7 +50,7 @@ def linear(p: Dict[str, Any], x: jax.Array, out_features: int,
     x: [..., K] -> [..., N]."""
     if is_quantized(p):
         y = awq_matmul(
-            x, p["qweight"], p["scales"], p["qzeros"],
+            x, p["qweight"], p["scales"], p.get("qzeros"),
             out_features=out_features, bias=p.get("bias"), method=method,
         )
     else:

@@ -49,19 +49,25 @@ def unpack_int4_planar(packed: jax.Array) -> jax.Array:
 def dequantize_planar(
     qweight: jax.Array,
     scales: jax.Array,
-    qzeros: jax.Array,
+    qzeros: Optional[jax.Array] = None,
     *,
     out_features: Optional[int] = None,
     dtype: jnp.dtype = jnp.bfloat16,
 ) -> jax.Array:
-    """Packed planar triple -> dense weight [K, out_features or N_pad]."""
+    """Packed planar triple -> dense weight [K, out_features or N_pad].
+
+    ``qzeros=None`` means symmetric quantization (constant zero-point 8).
+    """
     k = 2 * qweight.shape[0]  # row-paired packing
     n_pad = scales.shape[1]
     g = scales.shape[0]
     group_size = k // g
     q = unpack_int4_planar(qweight).astype(jnp.float32)[:k]  # [K, N_pad]
-    # odd G gets a pad row at pack time — strip it
-    z = unpack_int4_planar(qzeros).astype(jnp.float32)[:g]  # [G, N_pad]
+    if qzeros is None:
+        z = jnp.full((g, n_pad), 8.0, jnp.float32)
+    else:
+        # odd G gets a pad row at pack time — strip it
+        z = unpack_int4_planar(qzeros).astype(jnp.float32)[:g]  # [G, N_pad]
     s = scales.astype(jnp.float32)
     w = (q.reshape(g, group_size, n_pad) - z[:, None, :]) * s[:, None, :]
     w = w.reshape(k, n_pad).astype(dtype)

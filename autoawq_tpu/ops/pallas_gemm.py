@@ -67,8 +67,18 @@ def _extract_pair(w: jax.Array, p: int) -> jax.Array:
     return pltpu.bitcast((w & _MASK) | _EXP, jnp.bfloat16)
 
 
-def _kernel(x_ref, qw_ref, sc_ref, qz_ref, out_ref, acc_ref, *, nk: int,
-            group_size: int, lanes: int):
+def _kernel(x_ref, qw_ref, sc_ref, *rest, nk: int, group_size: int,
+            lanes: int):
+    """rest = (qz_ref, out_ref, acc_ref) or, symmetric, (out_ref, acc_ref).
+
+    Symmetric quantization (Marlin-parity fast path, reference
+    awq/modules/linear/marlin.py) has the constant zero-point 8 — the
+    extracted bias is 256 + 16*8 = 384 for every column, so the qzeros
+    stream and its extraction disappear entirely.
+    """
+    symmetric = len(rest) == 2
+    qz_ref = None if symmetric else rest[0]
+    out_ref, acc_ref = rest[-2], rest[-1]
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -77,7 +87,6 @@ def _kernel(x_ref, qw_ref, sc_ref, qz_ref, out_ref, acc_ref, *, nk: int,
 
     x = x_ref[:]  # [BM, BK]
     q = qw_ref[:]  # [BK/2, L] int32
-    qz = qz_ref[0]  # [BG/2, L] int32 (group-paired zeros)
     bm, bk = x.shape
     bg = bk // group_size
 
@@ -88,13 +97,16 @@ def _kernel(x_ref, qw_ref, sc_ref, qz_ref, out_ref, acc_ref, *, nk: int,
 
     for p in range(PAIRS):
         wbf = _extract_pair(q, p)  # [BK, L]: rows are K-rows
-        zbf = _extract_pair(qz, p).astype(jnp.float32)  # [BG, L]
         partial = jax.lax.dot_general(
             xg, wbf.reshape(bg, group_size, lanes),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [BG, BM, L]
-        corrected = partial - zbf[:, None, :] * xsum
+        if symmetric:
+            corrected = partial - 384.0 * xsum
+        else:
+            zbf = _extract_pair(qz_ref[0], p).astype(jnp.float32)  # [BG, L]
+            corrected = partial - zbf[:, None, :] * xsum
         s = s_all[:, p * lanes : (p + 1) * lanes] * 0.0625  # s/16
         acc_ref[:, p, :] += jnp.sum(s[:, None, :] * corrected, axis=0)
 
@@ -141,7 +153,7 @@ def awq_matmul_pallas(
     x: jax.Array,
     qweight: jax.Array,
     scales: jax.Array,
-    qzeros: jax.Array,
+    qzeros: Optional[jax.Array] = None,
     *,
     out_features: int,
     bias: Optional[jax.Array] = None,
@@ -152,7 +164,9 @@ def awq_matmul_pallas(
     """``x @ dequant(qweight)[:, :out_features] (+ bias)``.
 
     x: [..., K] bf16/f32; qweight: int32 [K/2, N_pad/4] row-paired planar;
-    scales: [G, N_pad]; qzeros: int32 [ceil(G/2), N_pad/4].
+    scales: [G, N_pad]; qzeros: int32 [ceil(G/2), N_pad/4], or None for
+    symmetric quantization (constant zero-point 8 — the Marlin-parity fast
+    path that skips the zeros stream entirely).
     Returns [..., out_features].
     """
     orig_shape = x.shape
@@ -183,18 +197,23 @@ def awq_matmul_pallas(
     # leading-dim slabs per K-block: kills the sublane-multiple constraint
     # on the group dim (reshape of a row-major array is free)
     sc3 = scales.astype(jnp.float32).reshape(nk, bg, n_pad)
-    qz3 = qzeros.reshape(nk, bg // 2, n4)
+
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+        pl.BlockSpec((bk // 2, lanes), lambda i, j, kk: (kk, j)),
+        pl.BlockSpec((1, bg, sb), lambda i, j, kk: (kk, 0, j)),
+    ]
+    operands = [x2, qweight, sc3]
+    if qzeros is not None:
+        in_specs.append(
+            pl.BlockSpec((1, bg // 2, lanes), lambda i, j, kk: (kk, 0, j)))
+        operands.append(qzeros.reshape(nk, bg // 2, n4))
 
     grid = (m_pad // bm, n_pad // sb, nk)
     out = pl.pallas_call(
         functools.partial(_kernel, nk=nk, group_size=group_size, lanes=lanes),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
-            pl.BlockSpec((bk // 2, lanes), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((1, bg, sb), lambda i, j, kk: (kk, 0, j)),
-            pl.BlockSpec((1, bg // 2, lanes), lambda i, j, kk: (kk, 0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, sb), lambda i, j, kk: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype),
         scratch_shapes=[pltpu.VMEM((bm, PAIRS, lanes), jnp.float32)],
@@ -207,7 +226,7 @@ def awq_matmul_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2, qweight, sc3, qz3)
+    )(*operands)
 
     y = out[:m, :out_features]
     if bias is not None:

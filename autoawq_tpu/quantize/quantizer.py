@@ -63,13 +63,14 @@ def quantize_linear_params(p: Dict[str, Any], qcfg: AwqConfig) -> Dict[str, Any]
         w, bits=qcfg.w_bit, group_size=qcfg.q_group_size,
         zero_point=qcfg.zero_point,
     )
-    if z is None:  # symmetric: implicit zero-point at mid-range
-        z = jnp.full((s.shape[0], q.shape[1]), 2 ** (qcfg.w_bit - 1), jnp.int32)
     out = {
         "qweight": jnp.asarray(packing.pack_planar(np.asarray(q))),
-        "qzeros": jnp.asarray(packing.pack_planar(np.asarray(z))),
         "scales": jnp.asarray(packing.pad_scales_planar(np.asarray(s))),
     }
+    if z is not None:
+        out["qzeros"] = jnp.asarray(packing.pack_planar(np.asarray(z)))
+    # symmetric (zero_point=False): omit qzeros — the kernels use the
+    # constant mid-range zero-point 8 (Marlin-parity fast path)
     if p.get("bias") is not None:
         out["bias"] = p["bias"]
     return out

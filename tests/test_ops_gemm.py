@@ -87,3 +87,43 @@ def test_unsupported_shape_falls_back(rng):
     y = awq_matmul(jnp.asarray(x), jnp.asarray(qw), jnp.asarray(ps),
                    jnp.asarray(qz), out_features=n)
     np.testing.assert_allclose(np.asarray(y), x @ wdq, rtol=5e-3, atol=5e-3)
+
+
+def test_symmetric_zeros_free_path(rng):
+    """zero_point=False LINs omit qzeros; kernel + jnp agree, and the saved
+    AutoAWQ checkpoint regenerates constant-8 zeros (Marlin-parity path)."""
+    import tempfile
+
+    from autoawq_tpu.api import AwqCausalLM
+    from autoawq_tpu.io.hf import init_random_params
+    from autoawq_tpu.models.config import ModelConfig
+    from autoawq_tpu.ops.gemm import awq_matmul_jnp
+    from autoawq_tpu.ops.pallas_gemm import awq_matmul_pallas
+
+    cfg = ModelConfig(model_type="llama", vocab_size=64, hidden_size=256,
+                      intermediate_size=256, num_hidden_layers=1,
+                      num_attention_heads=4, num_key_value_heads=4,
+                      head_dim=64, max_position_embeddings=64)
+    m = AwqCausalLM(cfg, init_random_params(cfg, seed=0, scale=0.1))
+    m.quantize(quant_config={"q_group_size": 64, "zero_point": False},
+               calib_data=rng.integers(0, 64, (2, 32)), progress=False)
+    lin = m.params["layers"][0]["self_attn"]["q_proj"]
+    assert "qzeros" not in lin
+
+    x = jnp.asarray(rng.standard_normal((2, 256)), jnp.float32)
+    y_jnp = awq_matmul_jnp(x, lin["qweight"], lin["scales"], None,
+                           out_features=256)
+    y_pal = awq_matmul_pallas(x, lin["qweight"], lin["scales"], None,
+                              out_features=256,
+                              interpret=jax.default_backend() != "tpu")
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_jnp),
+                               rtol=2e-2, atol=2e-2)
+
+    with tempfile.TemporaryDirectory() as d:
+        m.save_quantized(d)
+        m2 = AwqCausalLM.from_quantized(d)
+    lin2 = m2.params["layers"][0]["self_attn"]["q_proj"]
+    assert "qzeros" not in lin2  # round-trips back to the symmetric path
+    ids = rng.integers(0, 64, (1, 8))
+    np.testing.assert_allclose(np.asarray(m(ids)), np.asarray(m2(ids)),
+                               rtol=2e-2, atol=2e-2)
