@@ -10,5 +10,9 @@ checkpoints.
 __version__ = "0.1.0"
 
 from autoawq_tpu.config import AwqConfig  # noqa: F401
-from autoawq_tpu.api import AutoAWQForCausalLM, AwqCausalLM  # noqa: F401
+from autoawq_tpu.api import (  # noqa: F401
+    AutoAWQForCausalLM,
+    AwqCausalLM,
+    AwqLlavaModel,
+)
 from autoawq_tpu.models.config import ModelConfig  # noqa: F401
