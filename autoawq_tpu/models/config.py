@@ -45,6 +45,8 @@ class ModelConfig:
     post_norms: bool = False  # gemma2: post-attn / post-ffn norms
     attn_scale: Optional[float] = None  # override 1/sqrt(head_dim)
     norm_kind: str = "rms"  # "rms" | "ln" (LayerNorm w/ optional bias)
+    residual_scale: Optional[float] = None  # minicpm: scale_depth/sqrt(L)
+    logit_divisor: Optional[float] = None  # minicpm: hidden/dim_model_base
     pos_embed: str = "rope"  # "rope" | "alibi" | "learned"
     learned_pos_offset: int = 0  # OPT offsets learned positions by 2
     rope_style: str = "neox"  # "neox" half-split | "gptj" interleaved
@@ -441,12 +443,27 @@ def _adapt_deepseek(d):
     return out
 
 
+def _adapt_minicpm(d):
+    out = {}
+    if d.get("scale_emb"):
+        out["embed_scale"] = float(d["scale_emb"])
+    if d.get("scale_depth"):
+        out["residual_scale"] = (
+            float(d["scale_depth"]) / float(d["num_hidden_layers"]) ** 0.5)
+    if d.get("dim_model_base"):
+        out["logit_divisor"] = d["hidden_size"] / d["dim_model_base"]
+    if d.get("model_type") == "minicpm3":
+        out.update(_adapt_deepseek(d))
+    return out
+
+
 _HF_KEY_ADAPTERS = {
     "opt": _adapt_opt,
+    "minicpm": _adapt_minicpm,
     "stablelm": _adapt_stablelm,
     "deepseek_v2": _adapt_deepseek,
     "deepseek_v3": _adapt_deepseek,
-    "minicpm3": _adapt_deepseek,
+    "minicpm3": _adapt_minicpm,
     "bloom": _adapt_bloom,
     "gptj": _adapt_gptj,
     "gpt_neox": _adapt_gpt_neox,

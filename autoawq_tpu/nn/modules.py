@@ -485,10 +485,15 @@ def block(
         mlp_in = h if cfg.shared_input_norm else norm(
             cfg, p["post_attention_layernorm"], x)
         mlp_out = mlp(cfg, p["mlp"], mlp_in, taps, method)
+        if cfg.residual_scale:  # minicpm depth scaling
+            attn_out = attn_out * cfg.residual_scale
+            mlp_out = mlp_out * cfg.residual_scale
         return x + attn_out + mlp_out, kv_cache
 
     attn_out, kv_cache = attn_fn(cfg, p["self_attn"], h, cos, sin, mask,
                                  kv_cache, taps, method, causal_prefill)
+    if cfg.residual_scale:  # minicpm: out = x + branch * scale_depth/sqrt(L)
+        attn_out = attn_out * cfg.residual_scale
     if cfg.post_norms:
         attn_out = norm(cfg, p["post_attention_layernorm"], attn_out)
         x = x + attn_out
@@ -503,6 +508,8 @@ def block(
     else:
         mlp_out = mlp(cfg, p["mlp"], h, taps, method)
 
+    if cfg.residual_scale:
+        mlp_out = mlp_out * cfg.residual_scale
     if cfg.post_norms:
         mlp_out = norm(cfg, p["post_feedforward_layernorm"], mlp_out)
     return x + mlp_out, kv_cache
@@ -546,6 +553,8 @@ def logits_fn(cfg: ModelConfig, params: Dict[str, Any], x: jax.Array,
     else:  # tied embeddings
         logits = jnp.dot(x, params["embed_tokens"]["weight"].T.astype(x.dtype))
     logits = logits.astype(jnp.float32)
+    if cfg.logit_divisor:  # minicpm: logits / (hidden / dim_model_base)
+        logits = logits / cfg.logit_divisor
     if cfg.logit_scale:  # cohere
         logits = logits * cfg.logit_scale
     if cfg.logit_softcap:

@@ -82,3 +82,42 @@ def test_windowed_cache_roll(rng):
     rolled = gen.roll_kv(caches, 3)
     np.testing.assert_allclose(np.asarray(rolled[0]["k"][0, :5, 0, 0]),
                                [3, 4, 5, 6, 7])
+
+
+def test_minicpm_scaling_knobs():
+    """minicpm residual/logit scaling changes outputs the expected way."""
+    from dataclasses import replace
+
+    from autoawq_tpu.models.config import ModelConfig
+    from autoawq_tpu.nn import modules
+
+    cfg = _cfg()
+    params = init_random_params(cfg, seed=2, scale=0.1)
+    toks = np.arange(6)[None]
+    base = np.asarray(modules.forward(cfg, params, jnp.asarray(toks),
+                                      method="jnp", dtype=np.float32))
+    # logit_divisor scales logits exactly
+    cfg2 = replace(cfg, logit_divisor=4.0)
+    div = np.asarray(modules.forward(cfg2, params, jnp.asarray(toks),
+                                     method="jnp", dtype=np.float32))
+    np.testing.assert_allclose(div, base / 4.0, rtol=1e-5, atol=1e-6)
+    # residual_scale=1.0 is a no-op; 0.5 changes results
+    cfg3 = replace(cfg, residual_scale=1.0)
+    same = np.asarray(modules.forward(cfg3, params, jnp.asarray(toks),
+                                      method="jnp", dtype=np.float32))
+    np.testing.assert_allclose(same, base, rtol=1e-5, atol=1e-6)
+    cfg4 = replace(cfg, residual_scale=0.5)
+    diff = np.asarray(modules.forward(cfg4, params, jnp.asarray(toks),
+                                      method="jnp", dtype=np.float32))
+    assert np.abs(diff - base).max() > 1e-3
+
+    # adapter wiring
+    c = ModelConfig.from_hf_dict({
+        "model_type": "minicpm", "vocab_size": 64, "hidden_size": 64,
+        "intermediate_size": 128, "num_hidden_layers": 4,
+        "num_attention_heads": 2, "num_key_value_heads": 2,
+        "scale_emb": 12, "scale_depth": 1.4, "dim_model_base": 32,
+    })
+    assert c.embed_scale == 12.0
+    np.testing.assert_allclose(c.residual_scale, 1.4 / 2.0)
+    assert c.logit_divisor == 2.0
