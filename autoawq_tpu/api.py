@@ -68,8 +68,19 @@ class AwqCausalLM:
         duo_scaling: bool = True,
         export_compatible: bool = False,
         progress: bool = True,
+        n_parallel_calib_samples: Optional[int] = None,
+        offload_taps: bool = False,
+        resume_dir: Optional[str] = None,
     ) -> None:
-        """Run AWQ calibration and (unless export_compatible) pack int4."""
+        """Run AWQ calibration and (unless export_compatible) pack int4.
+
+        Memory knobs for big models on one chip (reference:
+        awq/quantize/quantizer.py:268-292,631): ``n_parallel_calib_samples``
+        runs calibration forwards in sample chunks; ``offload_taps`` keeps
+        captured input features host-resident between searches. Weights
+        already stream per-layer. ``resume_dir`` checkpoints each finished
+        layer for crash-resume.
+        """
         if isinstance(quant_config, dict) or quant_config is None:
             quant_config = AwqConfig.from_dict(quant_config)
         self.quant_config = quant_config
@@ -80,6 +91,8 @@ class AwqCausalLM:
         self._quantizer = AwqQuantizer(
             self.cfg, quant_config, self.params, calib,
             duo_scaling=duo_scaling, apply_clip=apply_clip, progress=progress,
+            n_parallel_calib_samples=n_parallel_calib_samples,
+            offload_taps=offload_taps, resume_dir=resume_dir,
         )
         self.params = self._quantizer.quantize(export_compatible=export_compatible)
 
@@ -162,8 +175,27 @@ class AwqLlavaModel:
                 if "quantization_config" in raw else None)
         return cls(text_cfg, raw["vision_config"], raw, params, qcfg)
 
-    from_pretrained = classmethod(lambda cls, path: cls._load(path))
-    from_quantized = classmethod(lambda cls, path: cls._load(path))
+    @classmethod
+    def from_pretrained(cls, path: str) -> "AwqLlavaModel":
+        return cls._load(serialize.resolve_model_path(path))
+
+    @classmethod
+    def from_quantized(cls, path: str, fuse_layers: bool = False,
+                       to_device: bool = False,
+                       dtype=jnp.bfloat16) -> "AwqLlavaModel":
+        """Load a quantized LLaVA checkpoint. ``fuse_layers`` fuses the
+        LANGUAGE model's q/k/v + gate/up (the vision tower stays fp);
+        ``to_device`` batches the params onto the accelerator
+        (reference from_quantized knobs, awq/models/base.py:409-479)."""
+        m = cls._load(serialize.resolve_model_path(path))
+        if fuse_layers:
+            from autoawq_tpu.nn.fuse import fuse_model
+
+            m.params["language_model"] = fuse_model(
+                m.cfg, m.params["language_model"])
+        if to_device:
+            m.to_device(dtype)
+        return m
 
     # ---------------------------------------------------------- quantizing
     def quantize(self, tokenizer=None, quant_config=None, **kw) -> None:
@@ -176,8 +208,6 @@ class AwqLlavaModel:
     def save_quantized(self, path: str) -> None:
         import json
         import os
-
-        from safetensors.numpy import save_file
 
         from autoawq_tpu.models.vision import llava_state_dict_from_params
 
@@ -192,7 +222,7 @@ class AwqLlavaModel:
         with open(os.path.join(path, "config.json"), "w") as f:
             json.dump(raw, f, indent=2)
         sd = llava_state_dict_from_params(self.cfg, self.params)
-        save_file(sd, os.path.join(path, "model.safetensors"))
+        serialize.write_safetensors(path, sd)  # shards past 4 GB
 
     # ----------------------------------------------------------- inference
     def __call__(self, input_ids, pixel_values=None, method: str = "auto"):
@@ -220,7 +250,167 @@ class AwqLlavaModel:
         return self
 
 
+class AwqQwen2VLModel:
+    """Qwen2-VL / Qwen2.5-VL: fp vision tower + AWQ-quantized LM
+    (reference awq/models/qwen2vl.py, qwen2_5_vl.py — only the language
+    model is converted; modules_to_not_convert=["visual"])."""
+
+    def __init__(self, text_cfg: ModelConfig, vision_cfg: Dict,
+                 raw_config: Dict, params: Dict[str, Any],
+                 qcfg: Optional[AwqConfig] = None):
+        self.cfg = text_cfg
+        self.vision_cfg = vision_cfg
+        self.raw_config = raw_config
+        self.params = params
+        self.quant_config = qcfg
+
+    @property
+    def _is_25(self) -> bool:
+        return self.cfg.model_type == "qwen2_5_vl"
+
+    # ------------------------------------------------------------- loading
+    @classmethod
+    def _load(cls, path: str):
+        import json
+        import os
+
+        from autoawq_tpu.io.hf import load_state_dict_from_dir
+        from autoawq_tpu.models import qwen_vl
+
+        with open(os.path.join(path, "config.json")) as f:
+            raw = json.load(f)
+        text_cfg = ModelConfig.from_hf_dict(raw)
+        vcfg = dict(raw["vision_config"])
+        vcfg.setdefault("in_channels", vcfg.pop("in_chans", 3))
+        sd = load_state_dict_from_dir(path)
+        conv = (qwen_vl.qwen25vl_params_from_state_dict
+                if text_cfg.model_type == "qwen2_5_vl"
+                else qwen_vl.qwen2vl_params_from_state_dict)
+        params = conv(text_cfg, vcfg, sd)
+        qcfg = (AwqConfig.from_dict(raw["quantization_config"])
+                if "quantization_config" in raw else None)
+        return cls(text_cfg, vcfg, raw, params, qcfg)
+
+    @classmethod
+    def from_pretrained(cls, path: str) -> "AwqQwen2VLModel":
+        return cls._load(serialize.resolve_model_path(path))
+
+    @classmethod
+    def from_quantized(cls, path: str, fuse_layers: bool = False,
+                       to_device: bool = False,
+                       dtype=jnp.bfloat16) -> "AwqQwen2VLModel":
+        m = cls._load(serialize.resolve_model_path(path))
+        if fuse_layers:
+            from autoawq_tpu.nn.fuse import fuse_model
+
+            m.params["language_model"] = fuse_model(
+                m.cfg, m.params["language_model"])
+        if to_device:
+            m.to_device(dtype)
+        return m
+
+    # ---------------------------------------------------------- quantizing
+    def quantize(self, tokenizer=None, quant_config=None, **kw) -> None:
+        """AWQ-quantize the language model only (text calibration — the
+        multimodal-calibration recipe feeds image-conditioned activations
+        through the same taps; reference docs/examples.md:267-420)."""
+        lm = AwqCausalLM(self.cfg, self.params["language_model"])
+        lm.quantize(tokenizer, quant_config, **kw)
+        self.params["language_model"] = lm.params
+        self.quant_config = lm.quant_config
+
+    def save_quantized(self, path: str) -> None:
+        import json
+        import os
+
+        from autoawq_tpu.models import qwen_vl
+
+        if self.quant_config is None:
+            raise RuntimeError("model is not quantized")
+        os.makedirs(path, exist_ok=True)
+        raw = dict(self.raw_config)
+        raw["quantization_config"] = self.quant_config.to_transformers_dict()
+        raw["autoawq_tpu_config"] = (
+            self.cfg.to_hf_dict()["autoawq_tpu_config"])
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(raw, f, indent=2)
+        sd = qwen_vl.qwen2vl_state_dict_from_params(
+            self.cfg, self.vision_cfg, self.params) if not self._is_25 \
+            else self._sd_25()
+        serialize.write_safetensors(path, sd)
+
+    def _sd_25(self):
+        # 2.5 reuses the 2.0 writer for the LM and shared block fields,
+        # plus the gated-MLP / RMSNorm vision leaves
+        from autoawq_tpu.io.hf import role_out_features, state_dict_from_params
+
+        lm_sd = state_dict_from_params(self.cfg, self.params["language_model"],
+                                       role_out_features(self.cfg))
+        sd = {}
+        for k, v in lm_sd.items():
+            if k.startswith("model."):
+                sd["model.language_model." + k[len("model."):]] = v
+            else:
+                sd[k] = v
+        vis = self.params["visual"]
+        vroot = "model.visual."
+        import numpy as np
+
+        def put_lin(name, p):
+            sd[vroot + name + ".weight"] = np.ascontiguousarray(
+                np.asarray(p["kernel"]).T).astype(np.float16)
+            if p.get("bias") is not None:
+                sd[vroot + name + ".bias"] = np.asarray(p["bias"]).astype(
+                    np.float16)
+
+        pe = np.asarray(vis["patch_embed"]["kernel"]).T
+        v = self.vision_cfg
+        sd[vroot + "patch_embed.proj.weight"] = np.ascontiguousarray(
+            pe.reshape(pe.shape[0], v.get("in_channels", 3),
+                       v.get("temporal_patch_size", 2), v["patch_size"],
+                       v["patch_size"])).astype(np.float16)
+        for i, bp in enumerate(vis["blocks"]):
+            for nm in ("norm1", "norm2"):
+                sd[f"{vroot}blocks.{i}.{nm}.weight"] = np.asarray(
+                    bp[nm]["weight"]).astype(np.float16)
+            put_lin(f"blocks.{i}.attn.qkv", bp["qkv"])
+            put_lin(f"blocks.{i}.attn.proj", bp["proj"])
+            for nm in ("gate_proj", "up_proj", "down_proj"):
+                put_lin(f"blocks.{i}.mlp.{nm}", bp[nm])
+        sd[vroot + "merger.ln_q.weight"] = np.asarray(
+            vis["merger"]["ln_q"]["weight"]).astype(np.float16)
+        put_lin("merger.mlp.0", vis["merger"]["mlp0"])
+        put_lin("merger.mlp.2", vis["merger"]["mlp2"])
+        return sd
+
+    # ----------------------------------------------------------- inference
+    def __call__(self, input_ids, pixel_values=None, image_grid_thw=(),
+                 method: str = "auto"):
+        from autoawq_tpu.models import qwen_vl
+
+        fwd = (qwen_vl.qwen25vl_forward if self._is_25
+               else qwen_vl.qwen2vl_forward)
+        return fwd(
+            self.cfg, self.vision_cfg, self.params, input_ids,
+            None if pixel_values is None else jnp.asarray(pixel_values),
+            [tuple(int(x) for x in g) for g in image_grid_thw],
+            image_token_id=self.raw_config.get("image_token_id", 151655),
+            method=method,
+        )
+
+    def to_device(self, dtype=jnp.bfloat16):
+        def cast(x):
+            x = np.asarray(x)
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                x = x.astype(jnp.dtype(dtype))
+            return x
+
+        self.params = jax.device_put(jax.tree_util.tree_map(cast, self.params))
+        return self
+
+
 MULTIMODAL_TYPES = ("llava", "llava_next")
+QWEN_VL_TYPES = ("qwen2_vl", "qwen2_5_vl")
 
 
 class AutoAWQForCausalLM:
@@ -229,20 +419,25 @@ class AutoAWQForCausalLM:
 
     @staticmethod
     def _route(path: str):
+        """Resolve (HF hub id or local dir) and pick the wrapper class."""
         import json
         import os
 
+        path = serialize.resolve_model_path(path)
         with open(os.path.join(path, "config.json")) as f:
             mt = json.load(f).get("model_type", "llama")
-        return AwqLlavaModel if mt in MULTIMODAL_TYPES else AwqCausalLM
+        if mt in MULTIMODAL_TYPES:
+            return AwqLlavaModel, path
+        if mt in QWEN_VL_TYPES:
+            return AwqQwen2VLModel, path
+        return AwqCausalLM, path
 
     @classmethod
     def from_pretrained(cls, path: str):
-        return cls._route(path).from_pretrained(path)
+        target, path = cls._route(path)
+        return target.from_pretrained(path)
 
     @classmethod
     def from_quantized(cls, path: str, **kw):
-        target = cls._route(path)
-        if target is AwqLlavaModel:
-            return target.from_quantized(path)
+        target, path = cls._route(path)
         return target.from_quantized(path, **kw)

@@ -59,12 +59,18 @@ class AwqConfig:
         }
 
     def to_transformers_dict(self) -> Dict:
-        """The dict written into config.json's ``quantization_config``."""
+        """The dict written into config.json's ``quantization_config``.
+
+        ``version`` is always written as "gemm": this framework packs one
+        layout and its checkpoints are bit-exactly AutoAWQ-GEMM
+        (awq/modules/linear/gemm.py) — echoing a user-passed "gemv" would
+        mislabel the file for upstream loaders, which dispatch kernels on
+        this field (reference base.py:661-674)."""
         return {
             "quant_method": "awq",
             "zero_point": self.zero_point,
             "group_size": self.q_group_size,
             "bits": self.w_bit,
-            "version": self.version.lower(),
+            "version": "gemm",
             "modules_to_not_convert": self.modules_to_not_convert,
         }

@@ -69,14 +69,63 @@ def kl_divergence(
     top_k: int = 5,
     method: str = "auto",
 ) -> Tuple[float, float]:
-    """Mean token-level KL(ref || test) and top-k agreement rate."""
+    """Mean token-level KL(ref || test) and top-k agreement rate (fraction
+    of positions whose reference argmax appears in the test model's top-k)."""
+    r = kl_divergence_report(cfg_ref, params_ref, cfg_test, params_test,
+                             tokens, top_ks=(top_k,), method=method)
+    return r["kl_mean"], r[f"ref_top{top_k}"]
+
+
+def kl_divergence_report(
+    cfg_ref: ModelConfig,
+    params_ref: Dict[str, Any],
+    cfg_test: ModelConfig,
+    params_test: Dict[str, Any],
+    tokens: np.ndarray,  # [B, S]
+    top_ks: Tuple[int, ...] = (1, 5, 10),
+    method: str = "auto",
+    alpha: float = 0.05,
+) -> Dict[str, float]:
+    """Full KL report mirroring the reference
+    (awq/evaluation/kl_divergence.py:42-145): per-token KL mean with a
+    normal-approx confidence interval, q90/q95/q99 quantiles, and two-sided
+    top-k agreement — ``ref_topK`` = P(ref argmax in test top-K) and
+    ``test_topK`` = P(test argmax in ref top-K) — each with a ±
+    binomial-proportion half-interval (``*_ci``)."""
+    import math
+
     t = jnp.asarray(tokens)
     lr = modules.forward(cfg_ref, params_ref, t, method=method).astype(jnp.float32)
     lt = modules.forward(cfg_test, params_test, t, method=method).astype(jnp.float32)
     pr = jax.nn.log_softmax(lr, axis=-1)
     pt = jax.nn.log_softmax(lt, axis=-1)
-    kl = jnp.sum(jnp.exp(pr) * (pr - pt), axis=-1).mean()
-    top_ref = jax.lax.top_k(lr, top_k)[1]
-    top_test = jax.lax.top_k(lt, top_k)[1]
-    agree = (top_ref[..., 0:1] == top_test[..., 0:1]).mean()
-    return float(kl), float(agree)
+    kls = np.asarray(
+        jnp.sum(jnp.exp(pr) * (pr - pt), axis=-1)).reshape(-1)  # per token
+    n = kls.size
+    z = float(jax.scipy.special.ndtri(1 - alpha / 2))
+    report: Dict[str, float] = {
+        "kl_mean": float(kls.mean()),
+        "kl_ci": float(z * kls.std(ddof=1) / math.sqrt(n)) if n > 1 else 0.0,
+        "kl_q90": float(np.quantile(kls, 0.90)),
+        "kl_q95": float(np.quantile(kls, 0.95)),
+        "kl_q99": float(np.quantile(kls, 0.99)),
+        "kl_max": float(kls.max()),
+    }
+
+    def bin_conf(p):  # binomial proportion ± half-interval
+        return float(z * math.sqrt(max(p * (1 - p), 0.0) / n))
+
+    ref_arg = jnp.argmax(lr, axis=-1)
+    test_arg = jnp.argmax(lt, axis=-1)
+    for k in top_ks:
+        topk_test = jax.lax.top_k(lt, k)[1]
+        topk_ref = jax.lax.top_k(lr, k)[1]
+        ref_in_test = float(
+            (topk_test == ref_arg[..., None]).any(-1).mean())
+        test_in_ref = float(
+            (topk_ref == test_arg[..., None]).any(-1).mean())
+        report[f"ref_top{k}"] = ref_in_test
+        report[f"ref_top{k}_ci"] = bin_conf(ref_in_test)
+        report[f"test_top{k}"] = test_in_ref
+        report[f"test_top{k}_ci"] = bin_conf(test_in_ref)
+    return report

@@ -267,6 +267,66 @@ ARCH_LAYOUTS: Dict[str, ArchLayout] = {
             "mlp.down_proj": "mlp.down_proj",
         },
     ),
+    "baichuan": ArchLayout(
+        # reference awq/models/baichuan.py:43 — fused W_pack is a plain
+        # q|k|v concatenation (MHA), so no column permutation is needed
+        layer_prefix="model.layers.{i}.",
+        embed="model.embed_tokens",
+        final_norm="model.norm",
+        norms={
+            "input_layernorm": "input_layernorm",
+            "post_attention_layernorm": "post_attention_layernorm",
+        },
+        linears={
+            "self_attn.qkv_proj": "self_attn.W_pack",
+            "self_attn.o_proj": "self_attn.o_proj",
+            "mlp.gate_proj": "mlp.gate_proj",
+            "mlp.up_proj": "mlp.up_proj",
+            "mlp.down_proj": "mlp.down_proj",
+        },
+    ),
+    "internlm2": ArchLayout(
+        # reference awq/models/internlm2.py:34-70. wqkv's HF column order
+        # groups [nkv, (per q-heads, k, v), hd] — the falcon permutation —
+        # and is rearranged into plain q|k|v at load (inverted at save, so
+        # quantized checkpoints stay bit-compatible with AutoAWQ's).
+        layer_prefix="model.layers.{i}.",
+        embed="model.tok_embeddings",
+        final_norm="model.norm",
+        lm_head="output",
+        norms={
+            "input_layernorm": "attention_norm",
+            "post_attention_layernorm": "ffn_norm",
+        },
+        linears={
+            "self_attn.qkv_proj": "attention.wqkv",
+            "self_attn.o_proj": "attention.wo",
+            "mlp.gate_proj": "feed_forward.w1",
+            "mlp.up_proj": "feed_forward.w3",
+            "mlp.down_proj": "feed_forward.w2",
+        },
+        qkv_perm=_perm_falcon,
+    ),
+    "exaone": ArchLayout(
+        # reference awq/models/exaone.py:74-83 — llama math under GPT-style
+        # names (c_fc_0=gate, c_fc_1=up)
+        layer_prefix="transformer.h.{i}.",
+        embed="transformer.wte",
+        final_norm="transformer.ln_f",
+        norms={
+            "input_layernorm": "ln_1",
+            "post_attention_layernorm": "ln_2",
+        },
+        linears={
+            "self_attn.q_proj": "attn.attention.q_proj",
+            "self_attn.k_proj": "attn.attention.k_proj",
+            "self_attn.v_proj": "attn.attention.v_proj",
+            "self_attn.o_proj": "attn.attention.out_proj",
+            "mlp.gate_proj": "mlp.c_fc_0",
+            "mlp.up_proj": "mlp.c_fc_1",
+            "mlp.down_proj": "mlp.c_proj",
+        },
+    ),
     "qwen": ArchLayout(
         layer_prefix="transformer.h.{i}.",
         embed="transformer.wte",

@@ -23,6 +23,28 @@ from autoawq_tpu.models.config import ModelConfig
 SHARD_BYTES = 4 * 1024**3
 
 
+def resolve_model_path(model_name_or_path: str, **download_kwargs) -> str:
+    """Local directory passthrough, or HF-hub ``snapshot_download`` for a
+    repo id (reference: awq/models/base.py:572-632 ``_load_config``).
+
+    Only config + safetensors weights + tokenizer files are fetched
+    (matching the reference's ignore list of *.msgpack/*.h5 etc)."""
+    if os.path.isdir(model_name_or_path):
+        return model_name_or_path
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError as e:  # pragma: no cover
+        raise FileNotFoundError(
+            f"{model_name_or_path} is not a local directory and "
+            "huggingface_hub is not installed to download it"
+        ) from e
+    return snapshot_download(
+        model_name_or_path,
+        allow_patterns=["*.json", "*.safetensors", "*.model", "*.txt"],
+        **download_kwargs,
+    )
+
+
 def save_quantized(
     path: str,
     cfg: ModelConfig,
@@ -39,11 +61,22 @@ def save_quantized(
         json.dump(hf_cfg, f, indent=2)
 
     sd = hf_io.state_dict_from_params(cfg, params, hf_io.role_out_features(cfg))
+    for k, v in params.get("_extra", {}).items():  # unmodeled tensors
+        v = np.asarray(v)
+        sd[k] = v.astype(np.float16) if v.dtype == np.float32 else v
+    write_safetensors(path, sd, shard_bytes)
+
+
+def write_safetensors(path: str, sd: Dict[str, np.ndarray],
+                      shard_bytes: int = SHARD_BYTES) -> None:
+    """Write a state dict as model.safetensors, or size-sharded files plus
+    an HF-style index when it exceeds ``shard_bytes``."""
+    from safetensors.numpy import save_file
+
     total = sum(v.nbytes for v in sd.values())
     if total <= shard_bytes:
         save_file(sd, os.path.join(path, "model.safetensors"))
         return
-    # size-based sharding with an HF-style index
     shards, cur, cur_bytes = [], {}, 0
     for k, v in sd.items():
         if cur and cur_bytes + v.nbytes > shard_bytes:
@@ -75,20 +108,52 @@ def load_config(path: str) -> Tuple[ModelConfig, Optional[AwqConfig]]:
     return cfg, qcfg
 
 
+class _TrackingSD(dict):
+    """State dict that records which keys the layer map actually reads."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
+def _load_params_with_extras(cfg: ModelConfig,
+                             sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """params_from_state_dict + preserve tensors the layer map doesn't
+    model (e.g. phi3_v's ``model.vision_embed_tokens.*``, stray rotary
+    buffers) in ``params["_extra"]`` so save_quantized round-trips them —
+    the analogue of the reference mutating the HF tree in place, which
+    keeps unknown submodules for free."""
+    tsd = _TrackingSD(sd)
+    params = hf_io.params_from_state_dict(cfg, tsd)
+    extra = {k: np.asarray(v) for k, v in sd.items()
+             if k not in tsd.consumed}
+    if extra:
+        params["_extra"] = extra
+    return params
+
+
 def from_quantized(path: str) -> Tuple[ModelConfig, AwqConfig, Dict[str, Any]]:
-    """Load an AutoAWQ-format quantized checkpoint (ours or upstream's)."""
+    """Load an AutoAWQ-format quantized checkpoint (ours or upstream's).
+    ``path`` may be a local directory or an HF-hub repo id."""
+    path = resolve_model_path(path)
     cfg, qcfg = load_config(path)
     if qcfg is None:
         raise ValueError(f"{path} has no quantization_config")
     sd = hf_io.load_state_dict_from_dir(path)
-    params = hf_io.params_from_state_dict(cfg, sd)
+    params = _load_params_with_extras(cfg, sd)
     return cfg, qcfg, params
 
 
 def from_pretrained(path: str) -> Tuple[ModelConfig, Dict[str, Any]]:
-    """Load an fp16/fp32 HF checkpoint into the functional param pytree."""
+    """Load an fp16/fp32 HF checkpoint into the functional param pytree.
+    ``path`` may be a local directory or an HF-hub repo id."""
+    path = resolve_model_path(path)
     cfg, _ = load_config(path)
     sd = hf_io.load_state_dict_from_dir(path)
     sd = {k: np.asarray(v).astype(np.float32) for k, v in sd.items()}
-    params = hf_io.params_from_state_dict(cfg, sd)
+    params = _load_params_with_extras(cfg, sd)
     return cfg, params

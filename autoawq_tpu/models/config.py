@@ -42,6 +42,13 @@ class ModelConfig:
     attn_softcap: Optional[float] = None  # gemma2 attention scores
     sliding_window: Optional[int] = None
     partial_rotary_factor: float = 1.0
+    # rope_scaling, stored as a hashable tuple of (key, value) pairs (cfg is
+    # a static jit arg). Use ``rope_scaling_dict`` for dict access. Covers
+    # llama3 / linear / dynamic-NTK / yarn (incl. deepseek mscale) / longrope
+    # — the reference inherits all of these from HF (explicit site:
+    # awq/models/phi3.py:118, awq/modules/fused/block.py:500).
+    rope_scaling: Optional[Tuple[Tuple[str, Any], ...]] = None
+    original_max_position_embeddings: Optional[int] = None  # phi3 longrope
     post_norms: bool = False  # gemma2: post-attn / post-ffn norms
     attn_scale: Optional[float] = None  # override 1/sqrt(head_dim)
     norm_kind: str = "rms"  # "rms" | "ln" (LayerNorm w/ optional bias)
@@ -80,6 +87,24 @@ class ModelConfig:
         return self.head_dim or self.hidden_size // self.num_attention_heads
 
     @property
+    def rope_scaling_dict(self) -> Optional[Dict[str, Any]]:
+        """rope_scaling as a dict (values un-frozen), or None."""
+        if self.rope_scaling is None:
+            return None
+        return {
+            k: list(v) if isinstance(v, tuple) else v
+            for k, v in self.rope_scaling
+        }
+
+    @property
+    def rope_type(self) -> str:
+        d = self.rope_scaling_dict
+        if not d:
+            return "default"
+        t = d.get("rope_type", d.get("type", "default"))
+        return "dynamic" if t == "dynamic_ntk" else t
+
+    @property
     def rotary_dim(self) -> int:
         if self.is_mla:
             return self.qk_rope_head_dim
@@ -101,12 +126,23 @@ class ModelConfig:
             # round-trip for every arch knob (HF keys can't carry them all)
             native = d["autoawq_tpu_config"]
             known = set(cls.__dataclass_fields__)
-            return cls(**{k: v for k, v in native.items() if k in known})
+            kwargs = {k: v for k, v in native.items() if k in known}
+            if kwargs.get("rope_scaling") is not None:
+                kwargs["rope_scaling"] = _freeze_rope(kwargs["rope_scaling"])
+            return cls(**kwargs)
         mt = d.get("model_type", "llama")
+        if isinstance(d.get("text_config"), dict):
+            # composite configs (qwen2_vl/qwen2_5_vl/...) nest the LM fields
+            # under text_config; hoist them (nested keys win — the top level
+            # holds stale defaults in HF's to_dict)
+            d = {**d, **d["text_config"]}
+            d["model_type"] = mt
         if mt in _HF_KEY_ADAPTERS:
             d = {**d, **_HF_KEY_ADAPTERS[mt](d)}
         known = set(cls.__dataclass_fields__)
         kwargs = {k: v for k, v in d.items() if k in known and v is not None}
+        if kwargs.get("rope_scaling") is not None:
+            kwargs["rope_scaling"] = _freeze_rope(kwargs["rope_scaling"])
         cfg = cls(**kwargs)
         # per-arch knob defaults, applied on top of raw HF fields
         if mt == "qwen3":
@@ -191,7 +227,22 @@ class ModelConfig:
             d["num_experts_per_tok"] = self.num_experts_per_tok
         if self.sliding_window:
             d["sliding_window"] = self.sliding_window
+        if self.rope_scaling is not None:
+            d["rope_scaling"] = self.rope_scaling_dict
+        if self.original_max_position_embeddings is not None:
+            d["original_max_position_embeddings"] = (
+                self.original_max_position_embeddings)
         return d
+
+
+def _freeze_rope(rs) -> Tuple[Tuple[str, Any], ...]:
+    """rope_scaling dict (or round-tripped pairs) -> hashable sorted tuple.
+    List values (longrope short/long factor arrays) become tuples."""
+    items = rs.items() if isinstance(rs, dict) else rs
+    return tuple(sorted(
+        (k, tuple(v) if isinstance(v, (list, tuple)) else v)
+        for k, v in items
+    ))
 
 
 ARCHITECTURES = {
@@ -224,6 +275,11 @@ ARCHITECTURES = {
     "minicpm": "MiniCPMForCausalLM",
     "aquila": "AquilaForCausalLM",
     "yi": "YiForCausalLM",
+    "qwen2_vl": "Qwen2VLForConditionalGeneration",
+    "qwen2_5_vl": "Qwen2_5_VLForConditionalGeneration",
+    # phi3_v: phi3 LM + fp vision_embed_tokens (kept via params["_extra"];
+    # reference: awq/models/phi3_v.py:15 modules_to_not_convert)
+    "phi3_v": "Phi3VForCausalLM",
 }
 
 
@@ -457,7 +513,39 @@ def _adapt_minicpm(d):
     return out
 
 
+def _adapt_baichuan(d):
+    # Baichuan(-2) 7B uses rope; the 13B variants use ALiBi. The config
+    # carries no explicit flag — the 13B shape (hidden 5120 / 40 heads)
+    # is the discriminator every inference stack uses for this family.
+    out = dict(
+        num_key_value_heads=d["num_attention_heads"],  # MHA
+        max_position_embeddings=d.get("model_max_length",
+                                      d.get("max_position_embeddings", 4096)),
+    )
+    if d.get("hidden_size", 0) >= 5120:
+        out["pos_embed"] = "alibi"
+    return out
+
+
+def _adapt_internlm2(d):
+    return dict(
+        attention_bias=d.get("bias", False),
+        mlp_bias=False,
+    )
+
+
+def _adapt_exaone(d):
+    return dict(
+        num_hidden_layers=d.get("num_layers", d.get("num_hidden_layers")),
+        hidden_act=d.get("activation_function", "silu"),
+        rms_norm_eps=d.get("layer_norm_epsilon", 1e-5),
+    )
+
+
 _HF_KEY_ADAPTERS = {
+    "baichuan": _adapt_baichuan,
+    "internlm2": _adapt_internlm2,
+    "exaone": _adapt_exaone,
     "opt": _adapt_opt,
     "minicpm": _adapt_minicpm,
     "stablelm": _adapt_stablelm,

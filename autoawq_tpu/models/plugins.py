@@ -45,7 +45,12 @@ CLIP_AVOID = ("q_", "k_", "query", "key", "Wqkv")
 class LlamaFamilyPlugin:
     model_types = (
         "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "yi",
-        "aquila", "baichuan", "stablelm", "exaone", "minicpm", "internlm2",
+        "aquila", "stablelm", "exaone", "minicpm",
+        # VLM language models quantize exactly like their text base; the
+        # vision tower is never converted (reference qwen2vl.py:11
+        # modules_to_not_convert=["visual"], here structural: the tower
+        # lives outside the LM pytree)
+        "qwen2_vl", "qwen2_5_vl",
     )
 
     @staticmethod
@@ -103,6 +108,40 @@ class LlamaFamilyPlugin:
             "self_attn.o_proj", "mlp.gate_proj", "mlp.up_proj",
             "mlp.down_proj",
         ]
+
+
+class FusedQkvLlamaPlugin:
+    """baichuan (W_pack, awq/models/baichuan.py:43) and internlm2
+    (attention.wqkv, awq/models/internlm2.py:34-70): llama math with a
+    natively fused qkv projection. io/hf.py loads the fused columns into
+    plain q|k|v order, so the qkv->o trailing-rows fold always lands
+    exactly on the v block — valid even under GQA (the reference applies
+    the fold in wqkv's interleaved order, where the trailing rows are not
+    v; we deviate for correctness). down_proj scales against up_proj
+    (exact through the silu gate), where the reference's internlm2 plugin
+    uses w1=gate (inexact through the nonlinearity)."""
+
+    model_types = ("baichuan", "internlm2")
+    extra_clip_avoid = ("qkv",)
+
+    @staticmethod
+    def scale_groups(cfg: ModelConfig, layer_params: Dict) -> List[ScaleGroup]:
+        return [
+            ScaleGroup("input_layernorm", "norm", ("self_attn.qkv_proj",),
+                       "self_attn.qkv_proj", "attn"),
+            ScaleGroup("self_attn.qkv_proj", "fc", ("self_attn.o_proj",),
+                       "self_attn.o_proj", "self_attn.o_proj"),
+            ScaleGroup("post_attention_layernorm", "norm",
+                       ("mlp.gate_proj", "mlp.up_proj"),
+                       "mlp.gate_proj", "mlp"),
+            ScaleGroup("mlp.up_proj", "fc", ("mlp.down_proj",),
+                       "mlp.down_proj", "mlp.down_proj"),
+        ]
+
+    @staticmethod
+    def quantizable(cfg: ModelConfig, layer_params: Dict) -> List[str]:
+        return ["self_attn.qkv_proj", "self_attn.o_proj", "mlp.gate_proj",
+                "mlp.up_proj", "mlp.down_proj"]
 
 
 class MoEFamilyPlugin:

@@ -299,4 +299,117 @@ def llava_params_from_state_dict(
             np.asarray(pj_sd["linear_2.weight"]).T),
             "bias": np.asarray(pj_sd.get("linear_2.bias"))},
     }
-    return {"language_model": lm, "vision_tower": vp, "projector": pp}
+    out = {"language_model": lm, "vision_tower": vp, "projector": pp}
+    for k in ("model.image_newline", "image_newline"):  # llava_next only
+        if k in sd:
+            out["image_newline"] = np.asarray(sd[k])
+            break
+    return out
+
+
+# --------------------------------------------------------------------------
+# LLaVA-Next (anyres multi-crop) — reference awq/models/llava_next.py:89-160
+# --------------------------------------------------------------------------
+
+def select_best_resolution(original_size, possible_resolutions):
+    """HF ``select_best_resolution`` semantics: maximize effective
+    resolution, tie-break on least padding waste."""
+    oh, ow = original_size
+    best, best_eff, best_waste = None, 0, float("inf")
+    for h, w in possible_resolutions:
+        scale = min(w / ow, h / oh)
+        eff = min(int(ow * scale) * int(oh * scale), ow * oh)
+        waste = h * w - eff
+        if eff > best_eff or (eff == best_eff and waste < best_waste):
+            best, best_eff, best_waste = (h, w), eff, waste
+    return best
+
+
+def _unpad_hw(feat: jax.Array, original_size) -> jax.Array:
+    """feat [H_emb, gh, gw] -> strip the aspect-preserving resize padding
+    (HF ``unpad_image``)."""
+    oh, ow = original_size
+    ch, cw = feat.shape[1:]
+    if ow / oh > cw / ch:
+        new_h = int(round(oh * (cw / ow), 7))
+        pad = (ch - new_h) // 2
+        return feat[:, pad:ch - pad, :]
+    new_w = int(round(ow * (ch / oh), 7))
+    pad = (cw - new_w) // 2
+    return feat[:, :, pad:cw - pad]
+
+
+def llava_next_pack_features(
+    feats: jax.Array,  # [n_crops, n_tok, H] projected features of ONE image
+    image_size,  # (orig_h, orig_w) python ints
+    vcfg: Dict[str, Any],
+    grid_pinpoints,
+    image_newline: Optional[jax.Array],
+) -> jax.Array:
+    """Multi-crop anyres merge (HF ``pack_image_features``): crop 0 is the
+    resized base image; the rest tile the anyres grid, get re-rastered to
+    full resolution, unpadded, and a newline embedding terminates each
+    row. Returns [L, H]."""
+    side = vcfg["image_size"] // vcfg["patch_size"]
+    base, crops = feats[0], feats[1:]
+    if crops.shape[0] == 0:
+        return base
+    gh, gw = select_best_resolution(tuple(image_size), grid_pinpoints)
+    nph, npw = gh // vcfg["image_size"], gw // vcfg["image_size"]
+    h_emb = feats.shape[-1]
+    f = crops.reshape(nph, npw, side, side, h_emb)
+    f = f.transpose(4, 0, 2, 1, 3).reshape(h_emb, nph * side, npw * side)
+    f = _unpad_hw(f, image_size)
+    if image_newline is not None:
+        nl = jnp.broadcast_to(
+            jnp.asarray(image_newline, f.dtype)[:, None, None],
+            (h_emb, f.shape[1], 1))
+        f = jnp.concatenate([f, nl], axis=2)
+    f = f.reshape(h_emb, -1).T
+    return jnp.concatenate([base, f], axis=0)
+
+
+def llava_next_forward(
+    cfg: ModelConfig,
+    vcfg: Dict[str, Any],
+    params: Dict[str, Any],  # llava params (+ "image_newline")
+    input_ids: jax.Array,
+    pixel_values: Optional[jax.Array] = None,  # [n_crops_total, 3, H, W]
+    image_sizes=None,  # [(h, w)] python ints per image
+    crops_per_image: Optional[Tuple[int, ...]] = None,
+    image_token_index: int = 32000,
+    vision_feature_layer: int = -2,
+    vision_feature_select_strategy: str = "default",
+    method: str = "auto",
+    dtype=jnp.float32,
+) -> jax.Array:
+    """LLaVA-Next multimodal forward -> logits [B, S, V]."""
+    lm = params["language_model"]
+    b, s = input_ids.shape
+    positions = jnp.arange(s)[None, :]
+    x = modules.embed(cfg, lm, input_ids, dtype, positions)
+    if pixel_values is not None:
+        feats = clip_vision_features(vcfg, params["vision_tower"],
+                                     pixel_values.astype(dtype),
+                                     vision_feature_layer)
+        if vision_feature_select_strategy == "default":
+            feats = feats[:, 1:]
+        feats = llava_project(params["projector"], feats)
+        if crops_per_image is None:
+            crops_per_image = (feats.shape[0],) if len(image_sizes) == 1 \
+                else (feats.shape[0] // len(image_sizes),) * len(image_sizes)
+        packed, off = [], 0
+        for size, n in zip(image_sizes, crops_per_image):
+            packed.append(llava_next_pack_features(
+                feats[off:off + n], size, vcfg,
+                vcfg.get("image_grid_pinpoints") or [],
+                params.get("image_newline")))
+            off += n
+        allf = jnp.concatenate(packed, axis=0)
+        x = merge_image_features(x, input_ids, allf[None], image_token_index)
+    cos, sin = modules.rope_tables(cfg, positions)
+    mask = modules.causal_mask(s, sliding_window=cfg.sliding_window)
+    for lp in lm["layers"]:
+        x, _ = modules.block(cfg, lp, x, cos, sin, mask, None, None, method,
+                             causal_prefill=False)
+    return modules.logits_fn(cfg, lm, x, method)

@@ -96,16 +96,30 @@ def fuse_model(cfg: ModelConfig, params: Dict[str, Any],
         experts = m.get("experts")
         if (stack_experts and experts
                 and all("qweight" in e.get("gate_up_proj", {})
-                        and "qzeros" in e.get("gate_up_proj", {})
                         and "qweight" in e.get("down_proj", {})
-                        and "qzeros" in e.get("down_proj", {})
-                        for e in experts)):  # symmetric MoE: dense loop path
+                        for e in experts)):
             m["experts_stacked"] = {
-                name: {
-                    leaf: np.stack([np.asarray(e[name][leaf]) for e in experts])
-                    for leaf in ("qweight", "scales", "qzeros")
-                }
+                name: _stack_expert_lins([e[name] for e in experts])
                 for name in ("gate_up_proj", "down_proj")
             }
             del m["experts"]
     return params
+
+
+def _stack_expert_lins(lins: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack per-expert quant LINs into [E, ...] tensors. Symmetric experts
+    (no qzeros) stack zeros-free; a mixed symmetric/asymmetric population
+    synthesizes constant-8 zeros for the symmetric members."""
+    out = {
+        leaf: np.stack([np.asarray(p[leaf]) for p in lins])
+        for leaf in ("qweight", "scales")
+    }
+    if any("qzeros" in p for p in lins):
+        def zeros_of(p):
+            if "qzeros" in p:
+                return np.asarray(p["qzeros"])
+            g, n_pad = np.asarray(p["scales"]).shape
+            return packing.pack_planar(np.full((g, n_pad), 8, np.int32))
+
+        out["qzeros"] = np.stack([zeros_of(p) for p in lins])
+    return out

@@ -106,17 +106,26 @@ def _awq_matmul_vjp(x, qweight, scales, qzeros, out_features, method):
 
 def _awq_matmul_impl(x, qweight, scales, qzeros, out_features, method):
     if method != "jnp":
-        from autoawq_tpu.ops import pallas_gemm
+        from autoawq_tpu.ops import pallas_gemm, sharded_gemm
 
-        if method == "pallas" or (
-            method == "auto"
-            and pallas_gemm.supported(
-                x, qweight, 2 * qweight.shape[0] // scales.shape[0]
-            )
-            and jax.default_backend() == "tpu"
-        ):
-            return pallas_gemm.awq_matmul_pallas(
-                x, qweight, scales, qzeros, out_features=out_features
+        on_tpu = jax.default_backend() == "tpu"
+        fits = pallas_gemm.supported(
+            x, qweight, 2 * qweight.shape[0] // scales.shape[0])
+        if method == "pallas" or (method == "auto" and fits and on_tpu):
+            if method == "auto" and jax.device_count() == 1:
+                # single chip: call the kernel directly — no partitioner
+                # wrapper in the way
+                return pallas_gemm.awq_matmul_pallas(
+                    x, qweight, scales, qzeros, out_features=out_features)
+            # multi-device (or forced "pallas"): partitioner-aware wrapper —
+            # under pjit with Megatron-sharded weights each chip runs the
+            # fused kernel on its local shard (+ psum for row-parallel)
+            # instead of all-gathering int4 weights (ops/sharded_gemm.py).
+            # interpret=True lets the CPU mesh (tests, dryrun) execute the
+            # same path.
+            return sharded_gemm.awq_matmul_sharded(
+                x, qweight, scales, qzeros, out_features=out_features,
+                interpret=not on_tpu,
             )
     return awq_matmul_jnp(
         x, qweight, scales, qzeros, out_features=out_features

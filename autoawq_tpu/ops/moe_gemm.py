@@ -76,8 +76,14 @@ def moe_align(topi: jax.Array, num_experts: int,
     return gather_idx, block_expert
 
 
-def _kernel(be_ref, x_ref, qw_ref, sc_ref, qz_ref, out_ref, acc_ref, *,
-            nk: int, group_size: int, lanes: int):
+def _kernel(be_ref, x_ref, qw_ref, sc_ref, *rest, nk: int, group_size: int,
+            lanes: int):
+    """rest = (qz_ref, out_ref, acc_ref) or, symmetric quantization,
+    (out_ref, acc_ref) — the zeros-free constant-384 fast path, mirroring
+    ops/pallas_gemm.py."""
+    symmetric = len(rest) == 2
+    qz_ref = None if symmetric else rest[0]
+    out_ref, acc_ref = rest[-2], rest[-1]
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -86,7 +92,6 @@ def _kernel(be_ref, x_ref, qw_ref, sc_ref, qz_ref, out_ref, acc_ref, *,
 
     x = x_ref[:]  # [BM, BK]
     q = qw_ref[0]  # [BK/2, L]
-    qz = qz_ref[0, 0]  # [BG/2, L]
     bm, bk = x.shape
     bg = bk // group_size
 
@@ -96,13 +101,16 @@ def _kernel(be_ref, x_ref, qw_ref, sc_ref, qz_ref, out_ref, acc_ref, *,
 
     for p in range(PAIRS):
         wbf = _extract_pair(q, p)
-        zbf = _extract_pair(qz, p).astype(jnp.float32)
         partial = jax.lax.dot_general(
             xg, wbf.reshape(bg, group_size, lanes),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        corrected = partial - zbf[:, None, :] * xsum
+        if symmetric:
+            corrected = partial - 384.0 * xsum
+        else:
+            zbf = _extract_pair(qz_ref[0, 0], p).astype(jnp.float32)
+            corrected = partial - zbf[:, None, :] * xsum
         s = s_all[:, p * lanes : (p + 1) * lanes] * 0.0625
         acc_ref[:, p, :] += jnp.sum(s[:, None, :] * corrected, axis=0)
 
@@ -117,7 +125,7 @@ def grouped_awq_matmul_pallas(
     block_expert: jax.Array,  # [NB] int32
     qweight: jax.Array,  # [E, K/2, N_pad/4]
     scales: jax.Array,  # [E, G, N_pad]
-    qzeros: jax.Array,  # [E, ceil(G/2), N_pad/4]
+    qzeros: Optional[jax.Array] = None,  # [E, ceil(G/2), N_pad/4] | None (symmetric)
     *,
     out_features: int,
     interpret: bool = False,
@@ -139,19 +147,24 @@ def grouped_awq_matmul_pallas(
     bg = bk // group_size
 
     sc4 = scales.astype(jnp.float32).reshape(e, nk, bg, n_pad)
-    qz4 = qzeros.reshape(e, nk, bg // 2, n4)
+
+    in_specs = [
+        pl.BlockSpec((BLOCK_M, bk), lambda i, j, kk, be: (i, kk)),
+        pl.BlockSpec((1, bk // 2, lanes),
+                     lambda i, j, kk, be: (be[i], kk, j)),
+        pl.BlockSpec((1, 1, bg, sb), lambda i, j, kk, be: (be[i], kk, 0, j)),
+    ]
+    operands = [xs, qweight, sc4]
+    if qzeros is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, bg // 2, lanes),
+                         lambda i, j, kk, be: (be[i], kk, 0, j)))
+        operands.append(qzeros.reshape(e, nk, bg // 2, n4))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb, n_pad // sb, nk),
-        in_specs=[
-            pl.BlockSpec((BLOCK_M, bk), lambda i, j, kk, be: (i, kk)),
-            pl.BlockSpec((1, bk // 2, lanes),
-                         lambda i, j, kk, be: (be[i], kk, j)),
-            pl.BlockSpec((1, 1, bg, sb), lambda i, j, kk, be: (be[i], kk, 0, j)),
-            pl.BlockSpec((1, 1, bg // 2, lanes),
-                         lambda i, j, kk, be: (be[i], kk, 0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((BLOCK_M, sb), lambda i, j, kk, be: (i, j)),
         scratch_shapes=[pltpu.VMEM((BLOCK_M, PAIRS, lanes), jnp.float32)],
     )
@@ -163,7 +176,7 @@ def grouped_awq_matmul_pallas(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(block_expert, xs, qweight, sc4, qz4)
+    )(block_expert, *operands)
     return out[:, :out_features]
 
 
@@ -202,13 +215,13 @@ def moe_mlp(
     xs = xz[jnp.minimum(gather_idx // k, t)]  # sentinel -> zero row
 
     g2 = grouped_awq_matmul_pallas(
-        xs, block_expert, gu["qweight"], gu["scales"], gu["qzeros"],
+        xs, block_expert, gu["qweight"], gu["scales"], gu.get("qzeros"),
         out_features=2 * intermediate, interpret=interpret,
     )
     hmid = (act_fn(hidden_act, g2[:, :intermediate])
             * g2[:, intermediate:]).astype(x.dtype)
     y = grouped_awq_matmul_pallas(
-        hmid, block_expert, dn["qweight"], dn["scales"], dn["qzeros"],
+        hmid, block_expert, dn["qweight"], dn["scales"], dn.get("qzeros"),
         out_features=h, interpret=interpret,
     )
     w_flat = jnp.concatenate(

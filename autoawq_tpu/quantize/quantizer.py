@@ -92,6 +92,8 @@ class AwqQuantizer:
         compute_dtype=jnp.float32,
         progress: bool = True,
         resume_dir: Optional[str] = None,
+        n_parallel_calib_samples: Optional[int] = None,
+        offload_taps: bool = False,
     ):
         self.cfg = cfg
         self.qcfg = qcfg
@@ -105,6 +107,15 @@ class AwqQuantizer:
         self.compute_dtype = compute_dtype
         self.progress = progress
         self.resume_dir = resume_dir
+        # memory choreography for big-model calibration on one chip
+        # (reference: n_parallel_calib_samples sample chunking,
+        # awq/quantize/quantizer.py:268-292, and CPU offload of input
+        # features, quantizer.py:631). Model params already stream
+        # layer-by-layer: self.params stays host-resident and only layer i
+        # is uploaded (quantize() below), the third leg of the reference's
+        # choreography.
+        self.n_parallel = n_parallel_calib_samples
+        self.offload_taps = offload_taps
         self.plugin = get_plugin(cfg.model_type)
         self._skip = tuple(qcfg.modules_to_not_convert or ())
         self.out_features_map = role_out_features(cfg)
@@ -132,7 +143,7 @@ class AwqQuantizer:
         positions = jnp.arange(s)[None, :]
         x = modules.embed(cfg, emb, tokens, dtype=self.compute_dtype,
                           positions=positions)
-        cos, sin = modules.rope_tables(cfg, positions)
+        cos, sin = modules.rope_tables(cfg, positions, seq_len=s)
         mask = modules.causal_mask(s, sliding_window=cfg.sliding_window)
         if cfg.pos_embed == "alibi":
             mask = mask + modules.alibi_bias(cfg.num_attention_heads,
@@ -213,10 +224,28 @@ class AwqQuantizer:
 
     # ------------------------------------------------------------------ #
 
-    def _block_tapped(self, lp, x, cos, sin, mask, taps: Dict):
-        """Jitted tapped block forward; returns (next_x, taps-filled)."""
-        key = ("block", x.shape)
+    def _chunk_size(self, b: int) -> Optional[int]:
+        """Largest divisor of the sample count <= n_parallel_calib_samples
+        (None = no chunking). Divisor-rounding keeps chunk shapes static."""
+        c = self.n_parallel
+        if not c or c >= b:
+            return None
+        c = max(1, min(c, b))
+        while b % c:
+            c -= 1
+        return c
 
+    def _block_tapped(self, lp, x, cos, sin, mask, taps: Dict):
+        """Tapped block forward; returns (next_x, taps-filled).
+
+        With ``n_parallel_calib_samples`` the batch runs through the jitted
+        block in sample chunks (reference: _module_forward,
+        awq/quantize/quantizer.py:268-292); with ``offload_taps`` each
+        chunk's captured inputs move to host immediately, so device memory
+        holds one block's weights + one chunk of activations instead of
+        every linear's full input features (reference offload:
+        quantizer.py:631)."""
+        key = ("block", x.shape)
         if key not in self._search_cache:
             def f(lp, x, cos, sin, mask):
                 t: Dict[str, jax.Array] = {}
@@ -225,19 +254,49 @@ class AwqQuantizer:
                 return y, t
 
             self._search_cache[key] = jax.jit(f)
-        y, t = self._search_cache[key](lp, x, cos, sin, mask)
-        taps.update(t)
+
+        b = x.shape[0]
+        c = self._chunk_size(b)
+        if c is None:
+            y, t = self._search_cache[key](lp, x, cos, sin, mask)
+            if self.offload_taps:
+                t = jax.device_get(t)
+            taps.update(t)
+            return y, taps
+
+        ys, chunk_taps = [], []  # jit retraces once for the chunk shape
+        for lo in range(0, b, c):
+            yc, tc = self._search_cache[key](lp, x[lo:lo + c], cos, sin, mask)
+            ys.append(yc)
+            chunk_taps.append(jax.device_get(tc) if self.offload_taps else tc)
+        y = jnp.concatenate(ys, axis=0)
+        cat = np.concatenate if self.offload_taps else jnp.concatenate
+        for name in chunk_taps[0]:
+            taps[name] = cat([tc[name] for tc in chunk_taps], axis=0)
         return y, taps
 
     def _search_best_scale(self, lp, group: ScaleGroup, taps, cos, sin, mask):
         inp = taps.get(group.inp)
         if inp is None:
             raise KeyError(f"tap {group.inp} missing; have {list(taps)}")
+        inp = jnp.asarray(inp)  # host tap (offload_taps) -> device
         key = ("scale", group, inp.shape)
         if key not in self._search_cache:
             inspect = make_inspect_fn(self.cfg, group, self.out_features_map)
             qz, g, bits = self.qcfg.zero_point, self.qcfg.q_group_size, self.qcfg.w_bit
             duo, n_grid = self.duo_scaling, self.n_grid
+            c = self._chunk_size(inp.shape[0]) if inp.ndim >= 3 else None
+
+            def chunked_inspect(lp_, x_, cos, sin, mask):
+                """module2inspect forward in sample chunks (lax.map runs
+                chunks sequentially, bounding attention/MLP intermediates
+                — reference quantizer.py:268-292)."""
+                if c is None:
+                    return inspect(lp_, x_, cos, sin, mask)
+                xc = x_.reshape(x_.shape[0] // c, c, *x_.shape[1:])
+                out = jax.lax.map(
+                    lambda z: inspect(lp_, z, cos, sin, mask), xc)
+                return out.reshape(x_.shape[0], *out.shape[2:])
 
             def search(lp, inp, cos, sin, mask):
                 layers = [get_by_path(lp, p) for p in group.layers]
@@ -251,7 +310,8 @@ class AwqQuantizer:
                 wg = wg / (wg.max(axis=1, keepdims=True) + 1e-6)
                 w_mean = wg.reshape(k, -1).mean(axis=1)
                 x_mean = jnp.abs(inp.astype(jnp.float32)).reshape(-1, k).mean(0)
-                fp_out = inspect(lp, inp, cos, sin, mask).astype(jnp.float32)
+                fp_out = chunked_inspect(lp, inp, cos, sin, mask).astype(
+                    jnp.float32)
 
                 def compute_scales(ratio):
                     if duo:
@@ -276,7 +336,8 @@ class AwqQuantizer:
                         fc = dict(fc)
                         fc["kernel"] = w2.astype(inp.dtype)
                         set_by_path(lp2, path, fc)
-                    out = inspect(lp2, inp, cos, sin, mask).astype(jnp.float32)
+                    out = chunked_inspect(lp2, inp, cos, sin, mask).astype(
+                        jnp.float32)
                     return jnp.mean((fp_out - out) ** 2)
 
                 ratios = jnp.arange(n_grid, dtype=jnp.float32) / n_grid
@@ -289,6 +350,7 @@ class AwqQuantizer:
         return scales
 
     def _search_best_clip(self, w: jax.Array, inp: jax.Array) -> jax.Array:
+        inp = jnp.asarray(inp)  # host tap (offload_taps) -> device
         k, n = w.shape
         key = ("clip", w.shape, inp.shape)
         if key not in self._search_cache:

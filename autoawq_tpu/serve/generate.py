@@ -2,7 +2,7 @@
 
 TPU-native replacement for the reference's fused decode runtime
 (awq/modules/fused/model.py + fused/cache.py): the ``WindowedCache`` becomes
-a donated pytree of per-layer [B, S, Hkv, D] buffers updated functionally
+a donated pytree of per-layer [B, Hkv, T, D] buffers updated functionally
 with ``dynamic_update_slice``; the per-token HF generation loop becomes
 either (a) a python loop over one jitted decode step (streaming-friendly) or
 (b) a single ``lax.scan``-compiled generation (zero per-token dispatch
@@ -23,22 +23,26 @@ from autoawq_tpu.nn import modules
 
 def init_kv_cache(cfg: ModelConfig, batch: int, max_seq_len: int,
                   dtype=jnp.bfloat16) -> List[Dict[str, jax.Array]]:
+    """Per-layer K/V buffers in the canonical TPU attention layout
+    [B, heads, T, head_dim] — (T, head_dim) trailing dims tile directly
+    into the fused decode-attention kernel's VMEM blocks
+    (ops/decode_attn.py) and shard on the head dim under TP."""
     if cfg.is_mla:  # full-head K (nope+rope) and V caches per MLA head
         nh = cfg.num_attention_heads
         dk = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
         dv = cfg.v_head_dim
         return [
             {
-                "k": jnp.zeros((batch, max_seq_len, nh, dk), dtype),
-                "v": jnp.zeros((batch, max_seq_len, nh, dv), dtype),
+                "k": jnp.zeros((batch, nh, max_seq_len, dk), dtype),
+                "v": jnp.zeros((batch, nh, max_seq_len, dv), dtype),
             }
             for _ in range(cfg.num_hidden_layers)
         ]
     hd, nkv = cfg.head_dim_, cfg.num_key_value_heads
     return [
         {
-            "k": jnp.zeros((batch, max_seq_len, nkv, hd), dtype),
-            "v": jnp.zeros((batch, max_seq_len, nkv, hd), dtype),
+            "k": jnp.zeros((batch, nkv, max_seq_len, hd), dtype),
+            "v": jnp.zeros((batch, nkv, max_seq_len, hd), dtype),
         }
         for _ in range(cfg.num_hidden_layers)
     ]
@@ -46,7 +50,12 @@ def init_kv_cache(cfg: ModelConfig, batch: int, max_seq_len: int,
 
 def _run_blocks(cfg, params, x, positions, mask, caches, pos, method,
                 causal_prefill=False):
-    cos, sin = modules.rope_tables(cfg, positions)
+    # rope_scaling context length = the KV-cache capacity, so prefill and
+    # every decode step of one generation share identical tables (HF instead
+    # recomputes dynamic-NTK/longrope tables mid-generation, mutating K
+    # embeddings inconsistently across steps).
+    cos, sin = modules.rope_tables(cfg, positions,
+                                   seq_len=caches[0]["k"].shape[2])
     new_caches = []
     for lp, cache in zip(params["layers"], caches):
         kv = {"k": cache["k"], "v": cache["v"], "pos": pos}
@@ -67,7 +76,7 @@ def prefill(
 ) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
     """Process the prompt; returns (last-position logits [B, V], caches)."""
     b, s = tokens.shape
-    max_t = caches[0]["k"].shape[1]
+    max_t = caches[0]["k"].shape[2]
     positions = jnp.arange(s)[None, :]
     x = modules.embed(cfg, params, tokens, dtype, positions)
     causal_prefill = cfg.sliding_window is None and cfg.pos_embed != "alibi"
@@ -99,7 +108,7 @@ def decode_step(
     dtype=jnp.bfloat16,
 ) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
     """One decode step; donates and returns the KV caches."""
-    max_t = caches[0]["k"].shape[1]
+    max_t = caches[0]["k"].shape[2]
     positions = pos[None, None] if pos.ndim == 0 else pos
     x = modules.embed(cfg, params, token, dtype, positions)
     ki = jnp.arange(max_t)[None, :]
@@ -125,8 +134,8 @@ def roll_kv(caches: List[Dict[str, jax.Array]], n: int) -> List[Dict[str, jax.Ar
     out = []
     for c in caches:
         out.append({
-            "k": jnp.roll(c["k"], -n, axis=1),
-            "v": jnp.roll(c["v"], -n, axis=1),
+            "k": jnp.roll(c["k"], -n, axis=2),
+            "v": jnp.roll(c["v"], -n, axis=2),
         })
     return out
 

@@ -27,7 +27,8 @@ def _np_dtype(dt):
 
 
 def random_quantized_params(cfg: ModelConfig, seed: int = 0,
-                            group_size: int = 128, fp_dtype=None):
+                            group_size: int = 128, fp_dtype=None,
+                            zero_point: bool = True):
     from autoawq_tpu.core.packing import padded_out_features
 
     fp_dtype = _np_dtype(fp_dtype)
@@ -36,15 +37,17 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
 
     def qlin(k, n):
         n_pad = padded_out_features(n)
-        return {
+        p = {
             "qweight": rng.integers(-(2**31), 2**31, (k // 2, n_pad // 4),
                                     dtype=np.int64).astype(np.int32),
-            "qzeros": rng.integers(-(2**31), 2**31,
-                                   (-(-(k // g) // 2), n_pad // 4),
-                                   dtype=np.int64).astype(np.int32),
             "scales": ((rng.random((k // g, n_pad), dtype=np.float32) + 0.5)
                        * 0.01),
         }
+        if zero_point:  # symmetric models omit qzeros (constant 8)
+            p["qzeros"] = rng.integers(-(2**31), 2**31,
+                                       (-(-(k // g) // 2), n_pad // 4),
+                                       dtype=np.int64).astype(np.int32)
+        return p
 
     h, hd = cfg.hidden_size, cfg.head_dim_
     nh, nkv, inter = (cfg.num_attention_heads, cfg.num_key_value_heads,

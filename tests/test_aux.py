@@ -78,9 +78,9 @@ def test_windowed_cache_roll(rng):
     assert (out >= 0).all() and (out < 64).all()
 
     caches = gen.init_kv_cache(cfg, 1, 8, jnp.float32)
-    caches[0]["k"] = caches[0]["k"].at[0, :, 0, 0].set(jnp.arange(8.0))
+    caches[0]["k"] = caches[0]["k"].at[0, 0, :, 0].set(jnp.arange(8.0))
     rolled = gen.roll_kv(caches, 3)
-    np.testing.assert_allclose(np.asarray(rolled[0]["k"][0, :5, 0, 0]),
+    np.testing.assert_allclose(np.asarray(rolled[0]["k"][0, 0, :5, 0]),
                                [3, 4, 5, 6, 7])
 
 

@@ -107,3 +107,69 @@ def test_llava_save_load_roundtrip(rng, tmp_path):
     a = np.asarray(model(ids, pixels, method="jnp"))
     b = np.asarray(m2(ids, pixels, method="jnp"))
     np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+
+
+def test_llava_next_multimodal_parity(rng):
+    """LLaVA-Next anyres multi-crop merge vs HF
+    (reference: awq/models/llava_next.py:89-160)."""
+    import torch
+    from transformers import (CLIPVisionConfig, LlamaConfig, LlavaNextConfig,
+                              LlavaNextForConditionalGeneration)
+
+    from autoawq_tpu.models.vision import (llava_next_forward,
+                                           llava_params_from_state_dict)
+
+    vision = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                              num_hidden_layers=2, num_attention_heads=2,
+                              image_size=16, patch_size=4)
+    text = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2, max_position_embeddings=256)
+    cfg_hf = LlavaNextConfig(
+        vision_config=vision, text_config=text, image_token_index=127,
+        image_grid_pinpoints=[[16, 16], [16, 32], [32, 16], [32, 32]],
+        vision_feature_select_strategy="default")
+    torch.manual_seed(0)
+    model = LlavaNextForConditionalGeneration(cfg_hf).eval()
+
+    # one image, orig size 24x20 -> best grid 32x32 -> 2x2 crops + base = 5
+    image_size = (24, 20)
+    n_crops = 5
+    pixels = rng.standard_normal((1, n_crops, 3, 16, 16)).astype(np.float32)
+    # token count: base 16 + unpadded grid rows x (cols+newline)
+    with torch.no_grad():
+        feats, lens = model.model.image_sizes_to_num_patches(
+            torch.tensor([image_size])) if hasattr(
+            model.model, "image_sizes_to_num_patches") else (None, None)
+    # run HF once to learn the placeholder count from its error or compute:
+    from transformers.models.llava_next.modeling_llava_next import (
+        get_anyres_image_grid_shape, unpad_image)
+
+    nph, npw = get_anyres_image_grid_shape(
+        image_size, cfg_hf.image_grid_pinpoints, 16)
+    side = 4  # 16/4
+    probe = torch.zeros(32, nph * side, npw * side)
+    un = unpad_image(probe, image_size)
+    n_img_tok = 16 + un.shape[1] * (un.shape[2] + 1)
+
+    ids = rng.integers(0, 126, (1, n_img_tok + 8))
+    ids[0, 2:2 + n_img_tok] = 127
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids),
+            pixel_values=torch.tensor(pixels),
+            image_sizes=torch.tensor([image_size]),
+        ).logits.float().numpy()
+
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    text_cfg = ModelConfig.from_hf_dict(text.to_dict())
+    params = llava_params_from_state_dict(text_cfg, sd)
+    vcfg = dict(hidden_size=32, num_attention_heads=2, image_size=16,
+                patch_size=4, hidden_act="quick_gelu",
+                image_grid_pinpoints=cfg_hf.image_grid_pinpoints)
+    got = np.asarray(llava_next_forward(
+        text_cfg, vcfg, params, jnp.asarray(ids),
+        jnp.asarray(pixels[0]), [image_size],
+        image_token_index=127, method="jnp"))
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(got / scale, ref / scale, atol=5e-3, rtol=5e-3)

@@ -61,6 +61,61 @@ def test_tp_sharded_forward_matches_single(rng, requires_multidevice):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_tp_sharded_forward_matches_single_kernel_path(rng, requires_multidevice):
+    """Same invariance through the PARTITIONED Pallas kernel
+    (ops/sharded_gemm.py, interpret mode on the CPU mesh): column-parallel
+    runs shard-local, row-parallel psums — no int4 all-gather."""
+    params = quantized_params()
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 8)))
+    ref = modules.forward(CFG, params, tokens, method="jnp")
+
+    mesh = build_mesh(tensor=4, data=2)
+    with mesh:
+        sharded = shard_params(params, mesh)
+        out = jax.jit(
+            lambda p, t: modules.forward(CFG, p, t, method="pallas")
+        )(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_gemm_col_row_matmul(rng, requires_multidevice):
+    """Direct col-/row-/replicated-parallel awq_matmul_sharded vs the jnp
+    oracle, including output shardings (col stays sharded, row psums)."""
+    from autoawq_tpu.ops.gemm import awq_matmul_jnp
+    from autoawq_tpu.ops.sharded_gemm import awq_matmul_sharded
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = build_mesh(tensor=4, data=2)
+
+    def run(k, n, spec):
+        w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+        p = quantize_linear_params({"kernel": jnp.asarray(w)}, AwqConfig())
+        x = jnp.asarray(rng.standard_normal((8, k)).astype(np.float32))
+        ref = awq_matmul_jnp(x, p["qweight"], p["scales"], p["qzeros"],
+                             out_features=n)
+        with mesh:
+            args = [
+                jax.device_put(x, NamedSharding(mesh, P("data", None))),
+                jax.device_put(p["qweight"], NamedSharding(mesh, spec)),
+                jax.device_put(p["scales"], NamedSharding(mesh, spec)),
+                jax.device_put(p["qzeros"], NamedSharding(mesh, spec)),
+            ]
+            out = jax.jit(
+                lambda *a: awq_matmul_sharded(
+                    *a, out_features=n, interpret=True)
+            )(*args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        return out.sharding.spec
+
+    col = run(256, 4096, P(None, "tensor"))
+    assert col == P("data", "tensor"), col
+    row = run(4096, 256, P("tensor", None))
+    assert row[1:] in ((), (None,)), row
+    run(256, 256, P())  # replicated weights on a mesh
+
+
 def test_lora_training_decreases_loss(rng):
     params = quantized_params(seed=1)
     params = lora_mod.add_lora(CFG, params, rank=4)
@@ -94,3 +149,37 @@ def test_lora_grad_flows_through_quantized_base(rng):
     # signal that the custom VJP propagated through the int4 matmul.
     gb = np.asarray(grads["layers"][0]["self_attn"]["q_proj"]["lora_b"])
     assert np.isfinite(gb).all() and np.abs(gb).max() > 0
+
+
+def test_expert_parallel_stacked_moe(rng, requires_multidevice):
+    """Expert-parallel grouped MoE (ops/sharded_moe.py): stacked experts
+    sharded on the ``expert`` axis, masked-local compute + psum == the
+    dense per-expert oracle."""
+    import copy
+
+    from autoawq_tpu.nn.fuse import fuse_model
+    from autoawq_tpu.utils.synth import random_quantized_params
+
+    moe_cfg = ModelConfig(
+        model_type="mixtral", vocab_size=64, hidden_size=256,
+        intermediate_size=256, num_hidden_layers=1, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=64, num_experts=4,
+        num_experts_per_tok=2, max_position_embeddings=32)
+    params = random_quantized_params(moe_cfg, seed=7, group_size=64)
+    tokens = jnp.asarray(rng.integers(0, 64, (2, 8)))
+    ref = modules.forward(moe_cfg, params, tokens, method="jnp",
+                          dtype=np.float32)
+
+    stacked = fuse_model(moe_cfg, copy.deepcopy(params))
+    mesh = build_mesh(tensor=2, expert=2, data=2)
+    with mesh:
+        sharded = shard_params(stacked, mesh)
+        st = sharded["layers"][0]["mlp"]["experts_stacked"]
+        spec = st["gate_up_proj"]["qweight"].sharding.spec
+        assert spec == jax.sharding.PartitionSpec("expert"), spec
+        out = jax.jit(
+            lambda p, t: modules.forward(moe_cfg, p, t, method="jnp",
+                                         dtype=np.float32)
+        )(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)

@@ -75,6 +75,30 @@ def test_quantize_end_to_end(rng):
     assert np.isfinite(err) and err < 0.1, err
 
 
+def test_chunked_calibration_matches_unchunked(rng):
+    """n_parallel_calib_samples + offload_taps must reproduce the
+    unchunked calibration bit-for-bit: same folded scales, same clips,
+    same packed weights (the reference only asserts chunked STATS match,
+    tests/test_quantization.py:4-33 — we gate the whole pipeline)."""
+    calib = rng.integers(0, TINY.vocab_size, (6, 32))
+
+    q_full = AwqQuantizer(TINY, QCFG, make_outlier_params(TINY), calib,
+                          progress=False)
+    p_full = q_full.quantize()
+    q_chunk = AwqQuantizer(TINY, QCFG, make_outlier_params(TINY), calib,
+                           progress=False, n_parallel_calib_samples=2,
+                           offload_taps=True)
+    p_chunk = q_chunk.quantize()
+
+    for (g1, s1), (g2, s2) in zip(q_full.all_scales[0], q_chunk.all_scales[0]):
+        assert g1 == g2
+        np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+    for lp1, lp2 in zip(p_full["layers"], p_chunk["layers"]):
+        for (path, a), (_, b) in zip(iter_linears(lp1), iter_linears(lp2)):
+            np.testing.assert_array_equal(np.asarray(a["qweight"]),
+                                          np.asarray(b["qweight"]), err_msg=path)
+
+
 def test_awq_beats_rtn_with_outliers(rng):
     params = make_outlier_params(TINY, seed=1)
     calib = rng.integers(0, TINY.vocab_size, (4, 32))

@@ -1,0 +1,268 @@
+"""Qwen2-VL parity vs HF transformers: vision tower, M-RoPE position ids,
+and full multimodal logits (reference plugin: awq/models/qwen2vl.py)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+from autoawq_tpu.models import qwen_vl
+from autoawq_tpu.models.config import ModelConfig
+
+IMG_TOK = 150
+VSTART = 149
+
+
+def _tiny(nkv=2):
+    from transformers import Qwen2VLConfig, Qwen2VLForConditionalGeneration
+
+    cfg = Qwen2VLConfig(
+        vocab_size=192, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=nkv,
+        max_position_embeddings=128, image_token_id=IMG_TOK,
+        vision_start_token_id=VSTART, video_token_id=151,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+        vision_config=dict(depth=2, embed_dim=32, hidden_size=64, num_heads=2,
+                           in_chans=3, patch_size=4, temporal_patch_size=2,
+                           spatial_merge_size=2, mlp_ratio=2),
+    )
+    torch.manual_seed(0)
+    return cfg, Qwen2VLForConditionalGeneration(cfg).eval()
+
+
+def _vcfg(hf_cfg):
+    v = hf_cfg.vision_config
+    return dict(depth=v.depth, embed_dim=v.embed_dim,
+                hidden_size=v.hidden_size, num_heads=v.num_heads,
+                patch_size=v.patch_size,
+                temporal_patch_size=v.temporal_patch_size,
+                spatial_merge_size=v.spatial_merge_size,
+                in_channels=v.in_channels, hidden_act=v.hidden_act)
+
+
+def _ids_with_image(rng, grid, s=32):
+    """Token stream with one image placeholder run (HF layout:
+    <vision_start> <image>*n)."""
+    t, h, w = grid
+    n = t * (h // 2) * (w // 2)
+    ids = rng.integers(0, 128, (1, s))
+    ids[0, 3] = VSTART
+    ids[0, 4:4 + n] = IMG_TOK
+    return ids
+
+
+def test_vision_tower_parity(rng):
+    hf_cfg, model = _tiny()
+    grid = (1, 8, 8)
+    patches = rng.standard_normal(
+        (grid[0] * grid[1] * grid[2], 3 * 2 * 4 * 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = model.model.visual(
+            torch.tensor(patches), torch.tensor([list(grid)])
+        ).float().numpy()
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict())
+    params = qwen_vl.qwen2vl_params_from_state_dict(cfg, _vcfg(hf_cfg), sd)
+    got = np.asarray(qwen_vl.qwen2vl_vision_features(
+        _vcfg(hf_cfg), params["visual"], patches, [grid]))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_mrope_position_ids_match_hf(rng):
+    hf_cfg, model = _tiny()
+    grid = (1, 8, 8)
+    ids = _ids_with_image(rng, grid)
+    ref_pos, ref_delta = model.model.get_rope_index(
+        torch.tensor(ids), image_grid_thw=torch.tensor([list(grid)]))
+    got = qwen_vl.mrope_position_ids(
+        ids, [grid], image_token_id=IMG_TOK, spatial_merge_size=2)
+    np.testing.assert_array_equal(got, ref_pos.numpy())
+
+
+def test_qwen2vl_multimodal_logits_parity(rng):
+    hf_cfg, model = _tiny()
+    grid = (1, 8, 8)
+    ids = _ids_with_image(rng, grid)
+    patches = rng.standard_normal(
+        (grid[0] * grid[1] * grid[2], 3 * 2 * 4 * 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids),
+            pixel_values=torch.tensor(patches),
+            image_grid_thw=torch.tensor([list(grid)]),
+        ).logits.float().numpy()
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict())
+    params = qwen_vl.qwen2vl_params_from_state_dict(cfg, _vcfg(hf_cfg), sd)
+    got = np.asarray(qwen_vl.qwen2vl_forward(
+        cfg, _vcfg(hf_cfg), params, ids, patches, [grid],
+        image_token_id=IMG_TOK, method="jnp"))
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(got / scale, ref / scale, atol=3e-3, rtol=3e-3)
+
+
+def test_qwen2vl_text_only_matches_hf(rng):
+    """Text-only M-RoPE must degenerate to 1-D rope (all streams equal)."""
+    hf_cfg, model = _tiny()
+    ids = rng.integers(0, 128, (2, 16))
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids)).logits.float().numpy()
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict())
+    params = qwen_vl.qwen2vl_params_from_state_dict(cfg, _vcfg(hf_cfg), sd)
+    got = np.asarray(qwen_vl.qwen2vl_forward(
+        cfg, _vcfg(hf_cfg), params, ids, None, (),
+        image_token_id=IMG_TOK, method="jnp"))
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-3, rtol=2e-3)
+
+
+def _tiny25():
+    from transformers import (Qwen2_5_VLConfig,
+                              Qwen2_5_VLForConditionalGeneration)
+
+    cfg = Qwen2_5_VLConfig(
+        vocab_size=192, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, image_token_id=IMG_TOK,
+        vision_start_token_id=VSTART, video_token_id=151,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+        vision_config=dict(depth=3, hidden_size=32, out_hidden_size=64,
+                           num_heads=2, in_chans=3, patch_size=4,
+                           temporal_patch_size=2, spatial_merge_size=2,
+                           intermediate_size=64, window_size=16,
+                           fullatt_block_indexes=[1], hidden_act="silu"),
+    )
+    torch.manual_seed(0)
+    return cfg, Qwen2_5_VLForConditionalGeneration(cfg).eval()
+
+
+def _vcfg25(hf_cfg):
+    v = hf_cfg.vision_config
+    return dict(depth=v.depth, hidden_size=v.hidden_size,
+                out_hidden_size=v.out_hidden_size, num_heads=v.num_heads,
+                patch_size=v.patch_size,
+                temporal_patch_size=v.temporal_patch_size,
+                spatial_merge_size=v.spatial_merge_size,
+                in_channels=v.in_channels, hidden_act=v.hidden_act,
+                window_size=v.window_size,
+                fullatt_block_indexes=list(v.fullatt_block_indexes))
+
+
+def test_qwen25vl_vision_tower_parity(rng):
+    """Window attention (+ one full-attention block), RMSNorm, SwiGLU."""
+    hf_cfg, model = _tiny25()
+    grid = (1, 12, 8)  # 12x8 patches -> 6x4 merge units, window 2x2 units
+    patches = rng.standard_normal(
+        (grid[0] * grid[1] * grid[2], 3 * 2 * 4 * 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = model.model.visual(
+            torch.tensor(patches), torch.tensor([list(grid)])
+        ).float().numpy()
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict())
+    params = qwen_vl.qwen25vl_params_from_state_dict(cfg, _vcfg25(hf_cfg), sd)
+    got = np.asarray(qwen_vl.qwen25vl_vision_features(
+        _vcfg25(hf_cfg), params["visual"], patches, [grid]))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_qwen25vl_multimodal_logits_parity(rng):
+    hf_cfg, model = _tiny25()
+    grid = (1, 8, 8)
+    ids = _ids_with_image(rng, grid)
+    patches = rng.standard_normal(
+        (grid[0] * grid[1] * grid[2], 3 * 2 * 4 * 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids),
+            pixel_values=torch.tensor(patches),
+            image_grid_thw=torch.tensor([list(grid)]),
+        ).logits.float().numpy()
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    cfg = ModelConfig.from_hf_dict(hf_cfg.to_dict())
+    params = qwen_vl.qwen25vl_params_from_state_dict(cfg, _vcfg25(hf_cfg), sd)
+    got = np.asarray(qwen_vl.qwen25vl_forward(
+        cfg, _vcfg25(hf_cfg), params, ids, patches, [grid],
+        image_token_id=IMG_TOK, method="jnp"))
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(got / scale, ref / scale, atol=5e-3, rtol=5e-3)
+
+
+def test_qwen2vl_quantize_lm_e2e(rng, tmp_path):
+    """Quantize-LM-only e2e: AwqQwen2VLModel.quantize -> save -> reload ->
+    multimodal forward still close to fp (vision tower untouched)."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from autoawq_tpu.api import AutoAWQForCausalLM, AwqQwen2VLModel
+
+    hf_cfg, model = _tiny()
+    src = tmp_path / "fp"
+    src.mkdir()
+    raw = hf_cfg.to_dict()
+    with open(src / "config.json", "w") as f:
+        json.dump(raw, f)
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    save_file(sd, str(src / "model.safetensors"))
+
+    m = AutoAWQForCausalLM.from_pretrained(str(src))
+    assert isinstance(m, AwqQwen2VLModel)
+    grid = (1, 8, 8)
+    ids = _ids_with_image(rng, grid)
+    patches = rng.standard_normal((64, 3 * 2 * 4 * 4)).astype(np.float32)
+    fp_logits = np.asarray(m(ids, patches, [grid], method="jnp"))
+
+    calib = [list(r) for r in rng.integers(0, 128, (4, 24)).tolist()]
+    m.quantize(quant_config={"q_group_size": 32}, calib_data=calib,
+               max_calib_seq_len=24, progress=False)
+    out = tmp_path / "q"
+    m.save_quantized(str(out))
+    m2 = AutoAWQForCausalLM.from_quantized(str(out))
+    q_logits = np.asarray(m2(ids, patches, [grid], method="jnp"))
+    # same argmax on most positions = quantization sane, vision intact
+    agree = (fp_logits.argmax(-1) == q_logits.argmax(-1)).mean()
+    assert agree > 0.75, agree
+
+
+def test_extra_tensor_roundtrip(rng, tmp_path):
+    """phi3_v-style unmodeled tensors (vision_embed_tokens.*) survive
+    from_pretrained -> quantize -> save_quantized (io/serialize.py
+    _load_params_with_extras)."""
+    import json
+
+    from safetensors.numpy import load_file, save_file
+
+    from autoawq_tpu.api import AwqCausalLM
+    from autoawq_tpu.io.hf import init_random_params, role_out_features, \
+        state_dict_from_params
+
+    cfg = ModelConfig(model_type="llama", vocab_size=64, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=1,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      max_position_embeddings=32)
+    params = init_random_params(cfg, seed=0)
+    sd = state_dict_from_params(cfg, params, role_out_features(cfg),
+                                dtype=np.float32)
+    extra = rng.standard_normal((8, 16)).astype(np.float32)
+    sd["model.vision_embed_tokens.img_projection.weight"] = extra
+    src = tmp_path / "fp"
+    src.mkdir()
+    with open(src / "config.json", "w") as f:
+        json.dump(cfg.to_hf_dict(), f)
+    save_file(sd, str(src / "model.safetensors"))
+
+    m = AwqCausalLM.from_pretrained(str(src))
+    assert "_extra" in m.params
+    calib = [list(r) for r in rng.integers(0, 64, (2, 16)).tolist()]
+    m.quantize(quant_config={"q_group_size": 32}, calib_data=calib,
+               max_calib_seq_len=16, progress=False)
+    out = tmp_path / "q"
+    m.save_quantized(str(out))
+    back = load_file(str(out / "model.safetensors"))
+    key = "model.vision_embed_tokens.img_projection.weight"
+    assert key in back
+    np.testing.assert_allclose(np.asarray(back[key], np.float32), extra,
+                               atol=1e-3)
