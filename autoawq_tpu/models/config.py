@@ -131,6 +131,12 @@ class ModelConfig:
                 kwargs["rope_scaling"] = _freeze_rope(kwargs["rope_scaling"])
             return cls(**kwargs)
         mt = d.get("model_type", "llama")
+        if isinstance(d.get("thinker_config"), dict):
+            # qwen2_5_omni nests thinker_config.text_config; the talker /
+            # token2wav submodels are never quantized (reference
+            # qwen2_5_omni.py:24-33 moves only thinker + audio tower)
+            d = {**d, **d["thinker_config"]}
+            d["model_type"] = mt
         if isinstance(d.get("text_config"), dict):
             # composite configs (qwen2_vl/qwen2_5_vl/...) nest the LM fields
             # under text_config; hoist them (nested keys win — the top level
@@ -280,6 +286,10 @@ ARCHITECTURES = {
     # phi3_v: phi3 LM + fp vision_embed_tokens (kept via params["_extra"];
     # reference: awq/models/phi3_v.py:15 modules_to_not_convert)
     "phi3_v": "Phi3VForCausalLM",
+    # qwen2_5_omni: thinker LM quantized, audio/visual towers + talker
+    # preserved via params["_extra"] (reference qwen2_5_omni.py:11-36)
+    "qwen2_5_omni": "Qwen2_5OmniForConditionalGeneration",
+    "qwen2_5_omni_thinker": "Qwen2_5OmniThinkerForConditionalGeneration",
 }
 
 

@@ -49,8 +49,9 @@ class LlamaFamilyPlugin:
         # VLM language models quantize exactly like their text base; the
         # vision tower is never converted (reference qwen2vl.py:11
         # modules_to_not_convert=["visual"], here structural: the tower
-        # lives outside the LM pytree)
+        # lives outside the LM pytree / in params["_extra"])
         "qwen2_vl", "qwen2_5_vl",
+        "qwen2_5_omni", "qwen2_5_omni_thinker", "qwen2_5_omni_text",
     )
 
     @staticmethod

@@ -1,0 +1,177 @@
+"""BASELINE.md-shaped benchmark table on the real chip -> BENCH_TABLE.json.
+
+Rows mirror the reference's published table (reference README.md:196-238,
+RTX 4090): TinyLlama-1.1B + Mistral-7B + Llama-2-13B shapes, prefill and
+decode, bs1/bs8, ctx 64/2048. Synthetic random int4 weights (throughput is
+weight-streaming-bound; values are irrelevant). Also probes the chip's
+attainable bf16 matmul rate and HBM stream rate so each row carries a
+roofline utilization claim.
+
+Run: env PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_table.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINES = {  # reference README.md tok/s on RTX 4090 (GEMM kernel)
+    ("tinyllama", 1, 64, "decode"): 548.99,   # GEMV row, README.md:220
+    ("mistral-7b", 1, 64, "decode"): 156.32,
+    ("mistral-7b", 1, 64, "prefill"): 3184.74,
+    ("mistral-7b", 1, 2048, "decode"): 114.41,
+    ("mistral-7b", 1, 2048, "prefill"): 3897.02,
+    ("mistral-7b", 8, 64, "decode"): 1185.25,
+    ("llama2-13b", 1, 64, "decode"): 96.7,
+}
+
+MODELS = {
+    "tinyllama": dict(vocab_size=32000, hidden_size=2048,
+                      intermediate_size=5632, num_hidden_layers=22,
+                      num_attention_heads=32, num_key_value_heads=4,
+                      head_dim=64),
+    "mistral-7b": dict(vocab_size=32000, hidden_size=4096,
+                       intermediate_size=14336, num_hidden_layers=32,
+                       num_attention_heads=32, num_key_value_heads=8,
+                       head_dim=128),
+    "llama2-13b": dict(vocab_size=32000, hidden_size=5120,
+                       intermediate_size=13824, num_hidden_layers=40,
+                       num_attention_heads=40, num_key_value_heads=40,
+                       head_dim=128),
+}
+
+RUNS = [  # (model, batch, ctx, gen)
+    ("tinyllama", 1, 64, 512),
+    ("mistral-7b", 1, 64, 256),
+    ("mistral-7b", 1, 2048, 256),
+    ("mistral-7b", 8, 64, 256),
+    ("llama2-13b", 1, 64, 128),
+]
+
+
+def probe_roofline():
+    """Measured peak bf16 matmul TFLOP/s and HBM stream GB/s."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 8192
+    a = jnp.ones((n, n), jnp.bfloat16)
+    f = jax.jit(lambda a: a @ a)
+    np.asarray(f(a))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        out = f(a)
+    out.block_until_ready()
+    tflops = 8 * 2 * n**3 / (time.perf_counter() - t0) / 1e12
+
+    big = jnp.ones((1 << 28,), jnp.bfloat16)  # 512 MB
+    g = jax.jit(lambda x: x.sum())
+    np.asarray(g(big))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        s = g(big)
+    s.block_until_ready()
+    gbps = 8 * big.nbytes / (time.perf_counter() - t0) / 1e9
+    return tflops, gbps
+
+
+def weight_stream_bytes(cfg) -> int:
+    """Bytes read from HBM per decode step: packed int4 + scales/zeros for
+    every quantized linear, plus the bf16 lm_head / embeddings matvec."""
+    h, inter, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim_)
+    per_layer_params = (h * (nh + 2 * nkv) * hd + nh * hd * h
+                        + 3 * h * inter)
+    q = per_layer_params // 2  # int4
+    scales = per_layer_params // 128 * 2  # fp(16->32 on load, stored f32)
+    lm_head = h * cfg.vocab_size * 2  # bf16
+    return L * (q + scales) + lm_head
+
+
+def flops_per_token(cfg) -> int:
+    h, inter, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim_)
+    per_layer = 2 * (h * (nh + 2 * nkv) * hd + nh * hd * h + 3 * h * inter)
+    return L * per_layer + 2 * h * cfg.vocab_size
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from autoawq_tpu.models.config import ModelConfig
+    from autoawq_tpu.nn.fuse import fuse_model
+    from autoawq_tpu.serve import generate as gen
+    from autoawq_tpu.utils.synth import random_quantized_params
+
+    tflops, gbps = probe_roofline()
+    print(f"measured roofline: {tflops:.1f} bf16 TFLOP/s, "
+          f"{gbps:.0f} GB/s HBM stream")
+
+    rng = np.random.default_rng(0)
+    rows = []
+    last_model = None
+    for name, b, ctx, n_gen in RUNS:
+        cfg = ModelConfig(model_type="llama", max_position_embeddings=8192,
+                          **MODELS[name])
+        if name != last_model:
+            params = jax.device_put(fuse_model(
+                cfg, random_quantized_params(cfg, seed=0,
+                                             fp_dtype=jnp.bfloat16)))
+            last_model = name
+        prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, ctx)))
+        total = ctx + n_gen
+
+        # prefill timing (3 reps after warmup)
+        caches = gen.init_kv_cache(cfg, b, total, jnp.bfloat16)
+        logits, _ = gen.prefill(cfg, params, prompt, caches, "auto",
+                                jnp.bfloat16)
+        np.asarray(logits)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            caches = gen.init_kv_cache(cfg, b, total, jnp.bfloat16)
+            logits, _ = gen.prefill(cfg, params, prompt, caches, "auto",
+                                    jnp.bfloat16)
+            np.asarray(logits)
+        dt_prefill = (time.perf_counter() - t0) / 3
+
+        # decode timing: full generation minus prefill
+        out = gen.generate_compiled(cfg, params, prompt, n_gen,
+                                    method="auto", dtype=jnp.bfloat16)
+        np.asarray(out)
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = gen.generate_compiled(cfg, params, prompt, n_gen,
+                                        method="auto", dtype=jnp.bfloat16)
+            np.asarray(out)
+            dt = time.perf_counter() - t0 - dt_prefill
+            best = max(best, b * n_gen / dt)
+        pre_tps = b * ctx / dt_prefill
+
+        wbytes = weight_stream_bytes(cfg)
+        ftok = flops_per_token(cfg)
+        dec_bw = best / b * wbytes / 1e9  # GB/s streamed at this rate
+        pre_mfu = pre_tps * ftok / (tflops * 1e12)
+        for kind, tps in (("prefill", pre_tps), ("decode", best)):
+            base = BASELINES.get((name, b, ctx, kind))
+            rows.append(dict(
+                model=name, batch=b, ctx=ctx, gen=n_gen, kind=kind,
+                tok_s=round(tps, 1),
+                vs_rtx4090=round(tps / base, 3) if base else None,
+                roofline=(f"{dec_bw:.0f}/{gbps:.0f} GB/s weight stream"
+                          if kind == "decode" else
+                          f"{100 * pre_mfu:.0f}% of measured peak FLOPs"),
+            ))
+            print(rows[-1])
+    with open("BENCH_TABLE.json", "w") as f:
+        json.dump({"roofline": {"bf16_tflops": round(tflops, 1),
+                                "hbm_gbps": round(gbps, 0)},
+                   "rows": rows}, f, indent=1)
+    print("wrote BENCH_TABLE.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -121,3 +121,31 @@ def test_minicpm_scaling_knobs():
     assert c.embed_scale == 12.0
     np.testing.assert_allclose(c.residual_scale, 1.4 / 2.0)
     assert c.logit_divisor == 2.0
+
+
+def test_fetch_video_frame_list_and_array(rng):
+    """Video preprocessing (reference qwen_vl_utils.py:306): frame-list and
+    pre-decoded array inputs, fps sampling + FRAME_FACTOR rounding +
+    per-frame pixel budget."""
+    from autoawq_tpu.utils import vision_io as vio
+
+    frames = [rng.integers(0, 255, (56, 84, 3)).astype(np.uint8)
+              for _ in range(7)]
+    out = vio.fetch_video({"video": frames})
+    assert out.ndim == 4 and out.shape[0] == 6  # 7 -> floor to FRAME_FACTOR
+    assert out.shape[1] == 3
+    assert out.shape[2] % 28 == 0 and out.shape[3] % 28 == 0
+
+    arr = rng.integers(0, 255, (32, 56, 56, 3)).astype(np.uint8)
+    out2 = vio.fetch_video({"video": arr, "video_fps": 8.0, "fps": 2.0})
+    assert out2.shape[0] == 8  # 32 frames @8fps -> 4s @2fps = 8
+    with pytest.raises(NotImplementedError):
+        vio.fetch_video({"video": "clip.mp4"})
+
+    imgs, vids = vio.process_vision_info([
+        {"role": "user", "content": [
+            {"type": "image", "image": frames[0]},
+            {"type": "video", "video": arr, "video_fps": 8.0},
+        ]},
+    ])
+    assert len(imgs) == 1 and len(vids) == 1

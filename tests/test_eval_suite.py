@@ -86,3 +86,42 @@ def test_word_error_rate():
     assert word_error_rate(["a b c"], ["a b c"]) == 0.0
     assert word_error_rate(["a b c"], ["a x c"]) == pytest.approx(1 / 3)
     assert word_error_rate(["a b"], ["a b c"]) == pytest.approx(0.5)
+
+
+def test_lm_eval_adapter_loglikelihood(rng):
+    """Adapter math without lm-eval installed: drive _loglikelihood_tokens
+    + generate_until against a mock tokenizer (the LM base class is only
+    needed for harness registration)."""
+    from types import SimpleNamespace
+
+    from autoawq_tpu.eval import lm_eval_adapter as la
+    from autoawq_tpu.io.hf import init_random_params
+    from autoawq_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig(model_type="llama", vocab_size=64, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=1,
+                      num_attention_heads=2, num_key_value_heads=2,
+                      head_dim=32, max_position_embeddings=64)
+    params = init_random_params(cfg, seed=0, scale=0.1)
+    model = SimpleNamespace(cfg=cfg, params=params)
+
+    lm = la.AwqTpuLM.__new__(la.AwqTpuLM)  # skip LM.__init__ (gated)
+    lm.model, lm.max_length, lm.method = model, 64, "jnp"
+
+    ll, greedy = lm._loglikelihood_tokens([1, 2, 3], [4, 5])
+    # oracle: sum of log-softmax at the continuation positions
+    import jax
+    import jax.numpy as jnp
+
+    from autoawq_tpu.nn import modules
+
+    logits = modules.forward(cfg, params, jnp.asarray([[1, 2, 3, 4, 5]]),
+                             method="jnp")
+    logp = np.asarray(jax.nn.log_softmax(logits[0].astype(jnp.float32), -1))
+    want = logp[2, 4] + logp[3, 5]
+    np.testing.assert_allclose(ll, want, rtol=1e-5)
+    assert isinstance(greedy, bool)
+
+    if not la.HAVE_LM_EVAL:
+        with pytest.raises(ImportError):
+            la.AwqTpuLM(model, None)

@@ -183,3 +183,18 @@ def test_expert_parallel_stacked_moe(rng, requires_multidevice):
         )(sharded, tokens)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_hybrid_mesh_shapes(requires_multidevice):
+    """hybrid_mesh produces the (data, expert, tensor) axes with DCN-major
+    data ordering; single-process case covers the ici-only branch."""
+    from autoawq_tpu.parallel.distributed import hybrid_mesh
+
+    mesh = hybrid_mesh(tensor=2, expert=2)
+    assert mesh.axis_names == ("data", "expert", "tensor")
+    assert mesh.shape["tensor"] == 2 and mesh.shape["expert"] == 2
+    assert mesh.shape["data"] == jax.device_count() // 4
+
+    # explicit dcn factor splits the data axis without changing its size
+    mesh2 = hybrid_mesh(tensor=2, expert=1, dcn_data=2)
+    assert mesh2.shape["data"] == jax.device_count() // 2

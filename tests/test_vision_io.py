@@ -35,5 +35,6 @@ def test_process_vision_info(rng):
     msgs = [{"role": "user",
              "content": [{"type": "text", "text": "hi"},
                          {"type": "image", "image": img}]}]
-    out = process_vision_info(msgs, size=(28, 28))
-    assert len(out) == 1 and out[0].shape == (3, 28, 28)
+    imgs, vids = process_vision_info(msgs, size=(28, 28))
+    assert len(imgs) == 1 and imgs[0].shape == (3, 28, 28)
+    assert vids == []
