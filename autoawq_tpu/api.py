@@ -71,6 +71,7 @@ class AwqCausalLM:
         n_parallel_calib_samples: Optional[int] = None,
         offload_taps: bool = False,
         resume_dir: Optional[str] = None,
+        mesh=None,
     ) -> None:
         """Run AWQ calibration and (unless export_compatible) pack int4.
 
@@ -80,6 +81,12 @@ class AwqCausalLM:
         captured input features host-resident between searches. Weights
         already stream per-layer. ``resume_dir`` checkpoints each finished
         layer for crash-resume.
+
+        ``mesh`` (a ``jax.sharding.Mesh`` with a ``data`` axis) runs
+        calibration data-parallel: the calib batch shards over the axis and
+        GSPMD psums the batch statistics — the TPU-native replacement for
+        the reference's round-robin layer placement (SURVEY §2.6,
+        awq/quantize/quantizer.py:130-138).
         """
         if isinstance(quant_config, dict) or quant_config is None:
             quant_config = AwqConfig.from_dict(quant_config)
@@ -92,7 +99,7 @@ class AwqCausalLM:
             self.cfg, quant_config, self.params, calib,
             duo_scaling=duo_scaling, apply_clip=apply_clip, progress=progress,
             n_parallel_calib_samples=n_parallel_calib_samples,
-            offload_taps=offload_taps, resume_dir=resume_dir,
+            offload_taps=offload_taps, resume_dir=resume_dir, mesh=mesh,
         )
         self.params = self._quantizer.quantize(export_compatible=export_compatible)
 

@@ -355,18 +355,29 @@ def attention(
 
     scale = cfg.attn_scale if cfg.attn_scale is not None else hd**-0.5
     if kv_cache is not None:
-        # cache layout is [B, heads, T, head_dim] (serve/generate.py)
+        # cache layout is [B, heads, T, head_dim] (serve/generate.py);
+        # pos may be a scalar (whole-batch decode) or a [B] vector of
+        # per-slot write offsets (continuous batching, serve/batching.py)
         pos = kv_cache["pos"]
-        kc = jax.lax.dynamic_update_slice(
-            kv_cache["k"], k.swapaxes(1, 2).astype(kv_cache["k"].dtype),
-            (0, 0, pos, 0))
-        vc = jax.lax.dynamic_update_slice(
-            kv_cache["v"], v.swapaxes(1, 2).astype(kv_cache["v"].dtype),
-            (0, 0, pos, 0))
+        if getattr(pos, "ndim", 0) == 1:
+            def _upd(c, u, p):
+                return jax.lax.dynamic_update_slice(
+                    c, u.astype(c.dtype), (0, p, 0))
+
+            kc = jax.vmap(_upd)(kv_cache["k"], k.swapaxes(1, 2), pos)
+            vc = jax.vmap(_upd)(kv_cache["v"], v.swapaxes(1, 2), pos)
+        else:
+            kc = jax.lax.dynamic_update_slice(
+                kv_cache["k"], k.swapaxes(1, 2).astype(kv_cache["k"].dtype),
+                (0, 0, pos, 0))
+            vc = jax.lax.dynamic_update_slice(
+                kv_cache["v"], v.swapaxes(1, 2).astype(kv_cache["v"].dtype),
+                (0, 0, pos, 0))
         kv_cache = {"k": kc, "v": vc, "pos": pos + s}
         if not causal_prefill:
-            if s == 1 and _decode_kernel_ok(cfg, method, nh, nkv, hd,
-                                            kc.shape[2]):
+            if (s == 1 and getattr(pos, "ndim", 0) == 0
+                    and _decode_kernel_ok(cfg, method, nh, nkv, hd,
+                                          kc.shape[2])):
                 # fused decode attention against the cache — the analogue
                 # of flash_attn_with_kvcache (awq/modules/fused/attn.py:
                 # 269-293); GQA-native, one kernel instead of the XLA
@@ -526,6 +537,31 @@ def mla_attention(
     return y, kv_cache
 
 
+def _fused_mlp_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
+                  method: str, inter: int) -> bool:
+    """Fused decode-MLP megakernel eligibility (ops/fused_mlp.py): one
+    pallas_call for gate_up -> act·mul -> down removes a kernel-boundary
+    pipeline drain per layer. AWQ_TPU_FUSED_MLP: "1" (default) = on-TPU
+    single-chip decode; "force" = also off-TPU in interpret mode (tests);
+    "0" = off. Multi-device runs keep the per-linear sharded kernels."""
+    if method == "jnp":
+        return False
+    flag = _os.environ.get("AWQ_TPU_FUSED_MLP", "1")
+    if flag == "0":
+        return False
+    if flag != "force" and not (jax.default_backend() == "tpu"
+                                and jax.device_count() == 1):
+        return False
+    gu, dn = p["gate_up_proj"], p.get("down_proj")
+    if dn is None or not (is_quantized(gu) and is_quantized(dn)):
+        return False
+    if "act_scale" in p or gu.get("bias") is not None:
+        return False
+    from autoawq_tpu.ops import fused_mlp
+
+    return fused_mlp.supported(x, gu, dn, inter, cfg.hidden_act)
+
+
 def act_fn(name: str, x: jax.Array) -> jax.Array:
     if name == "silu":
         return jax.nn.silu(x)
@@ -550,6 +586,21 @@ def mlp(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
         return linear(p["fc2"], h, cfg.hidden_size, method)
     if "gate_up_proj" in p:  # fused projection (nn/fuse.py or phi3-style)
         _tap(taps, tap_prefix + "gate_up_proj", x)
+        if taps is None and _fused_mlp_ok(cfg, p, x, method, inter):
+            from autoawq_tpu.ops import fused_mlp
+
+            gu_p, dn_p = p["gate_up_proj"], p["down_proj"]
+            y = fused_mlp.fused_mlp_pallas(
+                x, gu_p["qweight"], gu_p["scales"],
+                dn_p["qweight"], dn_p["scales"],
+                gu_p.get("qzeros"), dn_p.get("qzeros"),
+                inter=inter, out_features=cfg.hidden_size,
+                act=cfg.hidden_act,
+                interpret=jax.default_backend() != "tpu",
+            )
+            if dn_p.get("bias") is not None:
+                y = y + dn_p["bias"].astype(y.dtype)
+            return y
         gu = linear(p["gate_up_proj"], x, 2 * inter, method)
         g, u = jnp.split(gu, 2, axis=-1)
     else:

@@ -219,6 +219,12 @@ def awq_matmul_pallas(
         scratch_shapes=[pltpu.VMEM((bm, PAIRS, lanes), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # XLA's memory-space-assignment may park the whole kernel output
+            # in VMEM (it feeds the next fusion); with a large-M prefill that
+            # output alone exceeds the default 16 MB scoped limit and
+            # compilation aborts. v5e has 128 MB of physical VMEM — raise the
+            # scoped cap so block pipelining + an MSA-resident output fit.
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n_pad * k,

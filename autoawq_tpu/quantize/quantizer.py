@@ -94,6 +94,7 @@ class AwqQuantizer:
         resume_dir: Optional[str] = None,
         n_parallel_calib_samples: Optional[int] = None,
         offload_taps: bool = False,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
         self.cfg = cfg
         self.qcfg = qcfg
@@ -116,6 +117,22 @@ class AwqQuantizer:
         # choreography.
         self.n_parallel = n_parallel_calib_samples
         self.offload_taps = offload_taps
+        # data-parallel calibration (SURVEY §2.6: the TPU-native replacement
+        # for the reference's round-robin layer placement,
+        # awq/quantize/quantizer.py:130-138): shard the calib batch over the
+        # mesh's ``data`` axis; GSPMD turns the batch reductions inside the
+        # jitted block forwards and scale/clip grid searches (x_mean, MSE)
+        # into psums over ICI — no other code changes.
+        self.mesh = mesh
+        self._ddp = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        if self._ddp > 1 and len(self.calib_tokens) % self._ddp:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "calib sample count %d not divisible by data axis %d; "
+                "calibration runs replicated",
+                len(self.calib_tokens), self._ddp)
+            self.mesh, self._ddp = None, 1
         self.plugin = get_plugin(cfg.model_type)
         self._skip = tuple(qcfg.modules_to_not_convert or ())
         self.out_features_map = role_out_features(cfg)
@@ -133,12 +150,12 @@ class AwqQuantizer:
         (reference base.py:156-161); call :meth:`pack` afterwards.
         """
         cfg = self.cfg
-        tokens = jnp.asarray(self.calib_tokens)
-        emb = {
+        tokens = self._shard_batch(jnp.asarray(self.calib_tokens))
+        emb = self._replicate({
             k: _to_jnp(self.params[k])
             for k in ("embed_tokens", "embed_positions", "embed_ln")
             if k in self.params
-        }
+        })
         s = tokens.shape[1]
         positions = jnp.arange(s)[None, :]
         x = modules.embed(cfg, emb, tokens, dtype=self.compute_dtype,
@@ -148,6 +165,7 @@ class AwqQuantizer:
         if cfg.pos_embed == "alibi":
             mask = mask + modules.alibi_bias(cfg.num_attention_heads,
                                              jnp.arange(s), jnp.arange(s))
+        cos, sin, mask = self._replicate((cos, sin, mask))
 
         new_layers = []
         iterator = range(cfg.num_hidden_layers)
@@ -165,9 +183,10 @@ class AwqQuantizer:
             ck = self._resume_path(i)
             if ck is not None and os.path.exists(ck):
                 lp, x = _load_layer_ckpt(ck)
+                x = self._shard_batch(x)
                 new_layers.append(lp)
                 continue
-            lp = _to_jnp(self.params["layers"][i])
+            lp = self._replicate(_to_jnp(self.params["layers"][i]))
             # [1] capture per-linear inputs + propagate fp activations
             taps: Dict[str, jax.Array] = {}
             next_x, _ = self._block_tapped(lp, x, cos, sin, mask, taps)
@@ -224,15 +243,38 @@ class AwqQuantizer:
 
     # ------------------------------------------------------------------ #
 
+    def _shard_batch(self, x):
+        """Place a batch-leading array on the mesh, sharded over ``data``."""
+        if self.mesh is None or self._ddp == 1:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P("data", *(None,) * (np.ndim(x) - 1))
+        return jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, spec))
+
+    def _replicate(self, tree):
+        """Replicate weights/tables on the mesh (no-op without one)."""
+        if self.mesh is None or self._ddp == 1:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a), rep), tree)
+
     def _chunk_size(self, b: int) -> Optional[int]:
         """Largest divisor of the sample count <= n_parallel_calib_samples
-        (None = no chunking). Divisor-rounding keeps chunk shapes static."""
+        (None = no chunking). Divisor-rounding keeps chunk shapes static;
+        under data-parallel calibration chunks must also split evenly over
+        the ``data`` axis."""
         c = self.n_parallel
         if not c or c >= b:
             return None
         c = max(1, min(c, b))
-        while b % c:
+        while b % c or c % self._ddp:
             c -= 1
+            if c < self._ddp:
+                return None
         return c
 
     def _block_tapped(self, lp, x, cos, sin, mask, taps: Dict):
@@ -279,7 +321,7 @@ class AwqQuantizer:
         inp = taps.get(group.inp)
         if inp is None:
             raise KeyError(f"tap {group.inp} missing; have {list(taps)}")
-        inp = jnp.asarray(inp)  # host tap (offload_taps) -> device
+        inp = self._shard_batch(inp)  # host tap (offload_taps) -> device
         key = ("scale", group, inp.shape)
         if key not in self._search_cache:
             inspect = make_inspect_fn(self.cfg, group, self.out_features_map)
@@ -350,7 +392,7 @@ class AwqQuantizer:
         return scales
 
     def _search_best_clip(self, w: jax.Array, inp: jax.Array) -> jax.Array:
-        inp = jnp.asarray(inp)  # host tap (offload_taps) -> device
+        inp = self._shard_batch(inp)  # host tap (offload_taps) -> device
         k, n = w.shape
         key = ("clip", w.shape, inp.shape)
         if key not in self._search_cache:

@@ -1,0 +1,188 @@
+"""Continuous batching: slot-based serving with per-request admission.
+
+The reference serves fixed static batches — a request joins at generation
+start and every sequence in the batch runs to the longest one's end
+(awq/modules/fused/cache.py preallocates [AWQ_BATCH_SIZE, ...]; batch-size
+changes reallocate, awq/modules/fused/attn.py:208-218). This engine is the
+TPU-native upgrade the reference lacks: a fixed pool of ``max_batch`` KV
+slots, requests admitted into free slots as they arrive and retired at
+their own EOS, with ONE compiled decode step for the whole pool every
+iteration (static shapes throughout — XLA never recompiles as traffic
+changes).
+
+Design:
+* KV caches are the standard [B, H, T, D] donated pytree; each slot owns
+  row ``b`` with its own write offset. A [B] position vector drives per-slot
+  ``dynamic_update_slice`` (nn/modules.py vector-pos path) and a per-slot
+  causal mask built from ``pos`` — inactive slots are fully masked and
+  their outputs discarded host-side.
+* Admission runs the normal single-request ``prefill`` into a scratch
+  [1, H, T, D] cache, then copies that row into the slot (one
+  dynamic_update_slice per layer) — so prefill cost is per-request, decode
+  cost is per-pool-step, and neither depends on which slots are busy.
+* The host-side scheduler is deliberately dumb-simple FIFO: admit into any
+  free slot, retire on EOS / budget. Sophistication (priorities, paging,
+  chunked prefill) layers on top without touching the compiled step.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import deque
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autoawq_tpu.models.config import ModelConfig
+from autoawq_tpu.nn import modules
+from autoawq_tpu.serve import generate as gen
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "method", "dtype"),
+                   donate_argnums=(3,))
+def batched_decode_step(
+    cfg: ModelConfig,
+    params: Dict[str, Any],
+    tokens: jax.Array,  # [B, 1] last token per slot
+    caches: List[Dict[str, jax.Array]],
+    pos: jax.Array,  # [B] int32 per-slot lengths
+    method: str = "auto",
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
+    """One decode token for every slot; returns ([B, V] logits, caches)."""
+    max_t = caches[0]["k"].shape[2]
+    positions = pos[:, None]  # [B, 1]
+    x = modules.embed(cfg, params, tokens, dtype, positions)
+    ki = jnp.arange(max_t)[None, :]
+    ok = ki <= pos[:, None]  # [B, T]
+    if cfg.sliding_window:
+        ok &= ki > (pos[:, None] - cfg.sliding_window)
+    mask = jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
+    if cfg.pos_embed == "alibi":
+        mask = mask + modules.alibi_bias(
+            cfg.num_attention_heads, positions[:, 0], ki[0])
+    cos, sin = modules.rope_tables(cfg, positions, seq_len=max_t)
+    new_caches = []
+    for lp, cache in zip(params["layers"], caches):
+        kv = {"k": cache["k"], "v": cache["v"], "pos": pos}
+        x, kv = modules.block(cfg, lp, x, cos, sin, mask, kv_cache=kv,
+                              method=method)
+        new_caches.append({"k": kv["k"], "v": kv["v"]})
+    logits = modules.logits_fn(cfg, params, x, method)
+    return logits[:, 0, :], new_caches
+
+
+@functools.partial(jax.jit, static_argnames=("slot",), donate_argnums=(0,))
+def _install_slot(caches, row_caches, slot: int):
+    """Copy a single-request prefill cache row into pool slot ``slot``."""
+    out = []
+    for pool, row in zip(caches, row_caches):
+        out.append({
+            "k": jax.lax.dynamic_update_slice(
+                pool["k"], row["k"].astype(pool["k"].dtype), (slot, 0, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(
+                pool["v"], row["v"].astype(pool["v"].dtype), (slot, 0, 0, 0)),
+        })
+    return out
+
+
+class Request:
+    def __init__(self, req_id: Any, prompt: np.ndarray,
+                 max_new_tokens: int = 128):
+        self.id = req_id
+        self.prompt = np.asarray(prompt).reshape(-1)
+        self.max_new_tokens = max_new_tokens
+        self.output: List[int] = []
+        self.done = False
+
+
+class BatchingEngine:
+    """FIFO continuous-batching scheduler over a fixed slot pool."""
+
+    def __init__(self, cfg: ModelConfig, params: Dict[str, Any],
+                 max_batch: int = 8, max_seq_len: int = 2048,
+                 eos_token_id: Optional[int] = None, method: str = "auto",
+                 dtype=jnp.bfloat16):
+        if cfg.is_mla:
+            raise NotImplementedError(
+                "MLA caches need the latent layout; use serve.generate")
+        self.cfg, self.params = cfg, params
+        self.max_batch, self.max_seq = max_batch, max_seq_len
+        self.eos = eos_token_id
+        self.method, self.dtype = method, dtype
+        self.caches = gen.init_kv_cache(cfg, max_batch, max_seq_len, dtype)
+        self.pos = np.zeros((max_batch,), np.int32)
+        self.last_token = np.zeros((max_batch,), np.int32)
+        self.slots: List[Optional[Request]] = [None] * max_batch
+        self.queue: deque[Request] = deque()
+        self.finished: List[Request] = []
+
+    # -------------------------------------------------------- scheduling
+    def add_request(self, req_id: Any, prompt, max_new_tokens: int = 128):
+        if len(np.asarray(prompt).reshape(-1)) >= self.max_seq:
+            raise ValueError("prompt longer than max_seq_len")
+        self.queue.append(Request(req_id, prompt, max_new_tokens))
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(s is not None for s in self.slots)
+
+    def _admit(self):
+        for slot in range(self.max_batch):
+            if self.slots[slot] is not None or not self.queue:
+                continue
+            req = self.queue.popleft()
+            row = gen.init_kv_cache(self.cfg, 1, self.max_seq, self.dtype)
+            logits, row = gen.prefill(
+                self.cfg, self.params, jnp.asarray(req.prompt[None]), row,
+                self.method, self.dtype)
+            self.caches = _install_slot(self.caches, row, slot)
+            tok = int(jnp.argmax(logits[0]))
+            req.output.append(tok)
+            self.slots[slot] = req
+            self.pos[slot] = len(req.prompt)
+            self.last_token[slot] = tok
+            self._retire_if_done(slot)
+
+    def _retire_if_done(self, slot: int):
+        req = self.slots[slot]
+        if req is None:
+            return
+        if (req.output and req.output[-1] == self.eos) \
+                or len(req.output) >= req.max_new_tokens \
+                or self.pos[slot] + 1 >= self.max_seq:
+            req.done = True
+            self.finished.append(req)
+            self.slots[slot] = None
+            self.pos[slot] = 0
+
+    # ------------------------------------------------------------- steps
+    def step(self) -> List[Tuple[Any, int]]:
+        """Admit waiting requests, then decode one token for every active
+        slot. Returns the (request_id, token) pairs emitted this step."""
+        self._admit()
+        active = [i for i, s in enumerate(self.slots) if s is not None]
+        if not active:
+            return []
+        logits, self.caches = batched_decode_step(
+            self.cfg, self.params, jnp.asarray(self.last_token[:, None]),
+            self.caches, jnp.asarray(self.pos), self.method, self.dtype)
+        toks = np.asarray(jnp.argmax(logits, axis=-1))
+        emitted = []
+        for slot in active:
+            tok = int(toks[slot])
+            req = self.slots[slot]
+            req.output.append(tok)
+            emitted.append((req.id, tok))
+            self.pos[slot] += 1
+            self.last_token[slot] = tok
+            self._retire_if_done(slot)
+        return emitted
+
+    def run(self) -> Dict[Any, List[int]]:
+        """Drain all queued/active requests; returns id -> generated tokens."""
+        while self.has_work:
+            self.step()
+        return {r.id: r.output for r in self.finished}

@@ -28,7 +28,11 @@ def _np_dtype(dt):
 
 def random_quantized_params(cfg: ModelConfig, seed: int = 0,
                             group_size: int = 128, fp_dtype=None,
-                            zero_point: bool = True):
+                            zero_point: bool = True, fused: bool = False):
+    """``fused=True`` emits qkv_proj / gate_up_proj directly (the shapes
+    nn/fuse.fuse_model would produce) — for benchmark synthetics this skips
+    the host-side unpack/concat/repack entirely, which dominates setup time
+    at 13B scale (values are random either way)."""
     from autoawq_tpu.core.packing import padded_out_features
 
     fp_dtype = _np_dtype(fp_dtype)
@@ -68,12 +72,15 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
         lp = {
             "input_layernorm": {"weight": np.ones((h,), fp_dtype)},
             "post_attention_layernorm": {"weight": np.ones((h,), fp_dtype)},
-            "self_attn": {
-                "q_proj": qlin(h, nh * hd),
-                "k_proj": qlin(h, nkv * hd),
-                "v_proj": qlin(h, nkv * hd),
-                "o_proj": qlin(nh * hd, h),
-            },
+            "self_attn": (
+                {"qkv_proj": qlin(h, (nh + 2 * nkv) * hd),
+                 "o_proj": qlin(nh * hd, h)}
+                if fused else
+                {"q_proj": qlin(h, nh * hd),
+                 "k_proj": qlin(h, nkv * hd),
+                 "v_proj": qlin(h, nkv * hd),
+                 "o_proj": qlin(nh * hd, h)}
+            ),
         }
         if cfg.qk_norm:
             lp["self_attn"]["q_norm"] = {"weight": np.ones((hd,), fp_dtype)}
@@ -89,6 +96,11 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
                      "down_proj": qlin(ie, h)}
                     for _ in range(cfg.num_experts)
                 ],
+            }
+        elif fused:
+            lp["mlp"] = {
+                "gate_up_proj": qlin(h, 2 * inter),
+                "down_proj": qlin(inter, h),
             }
         else:
             lp["mlp"] = {

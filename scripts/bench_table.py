@@ -10,6 +10,7 @@ roofline utilization claim.
 Run: env PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_table.py
 """
 
+import functools
 import json
 import time
 
@@ -50,28 +51,42 @@ RUNS = [  # (model, batch, ctx, gen)
 
 
 def probe_roofline():
-    """Measured peak bf16 matmul TFLOP/s and HBM stream GB/s."""
+    """Measured peak bf16 matmul TFLOP/s and HBM stream GB/s.
+
+    Both probes chain their repetitions INSIDE one jit via a value-dependent
+    fori_loop — per-dispatch tunnel RPC (~30 ms) would otherwise dominate
+    and under-report by ~5x (observed: 108 TFLOP/s / 149 GB/s with one
+    dispatch per rep vs the real rates below)."""
     import jax
     import jax.numpy as jnp
 
-    n = 8192
-    a = jnp.ones((n, n), jnp.bfloat16)
-    f = jax.jit(lambda a: a @ a)
-    np.asarray(f(a))
-    t0 = time.perf_counter()
-    for _ in range(8):
-        out = f(a)
-    out.block_until_ready()
-    tflops = 8 * 2 * n**3 / (time.perf_counter() - t0) / 1e12
+    n, reps = 4096, 32
+    b = jnp.full((n, n), 0.01, jnp.bfloat16)
 
-    big = jnp.ones((1 << 28,), jnp.bfloat16)  # 512 MB
-    g = jax.jit(lambda x: x.sum())
-    np.asarray(g(big))
+    @jax.jit
+    def mm(a):
+        # a@b feeds the next iteration: nothing can be CSE'd or overlapped
+        return jax.lax.fori_loop(
+            0, reps, lambda i, a: (a @ b).astype(jnp.bfloat16), a)
+
+    a0 = jnp.full((n, n), 0.01, jnp.bfloat16)
+    mm(a0).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(8):
-        s = g(big)
-    s.block_until_ready()
-    gbps = 8 * big.nbytes / (time.perf_counter() - t0) / 1e9
+    mm(a0).block_until_ready()
+    tflops = reps * 2 * n**3 / (time.perf_counter() - t0) / 1e12
+
+    big = jnp.ones((1 << 27,), jnp.bfloat16)  # 256 MB
+
+    @jax.jit
+    def stream(x):
+        # acc-dependence forces a fresh full read of x each iteration
+        return jax.lax.fori_loop(
+            0, reps, lambda i, acc: (x + acc).sum().astype(jnp.float32), 0.0)
+
+    stream(big).block_until_ready()
+    t0 = time.perf_counter()
+    stream(big).block_until_ready()
+    gbps = reps * big.nbytes / (time.perf_counter() - t0) / 1e9
     return tflops, gbps
 
 
@@ -102,7 +117,6 @@ def main():
     import jax.numpy as jnp
 
     from autoawq_tpu.models.config import ModelConfig
-    from autoawq_tpu.nn.fuse import fuse_model
     from autoawq_tpu.serve import generate as gen
     from autoawq_tpu.utils.synth import random_quantized_params
 
@@ -117,39 +131,47 @@ def main():
         cfg = ModelConfig(model_type="llama", max_position_embeddings=8192,
                           **MODELS[name])
         if name != last_model:
-            params = jax.device_put(fuse_model(
-                cfg, random_quantized_params(cfg, seed=0,
-                                             fp_dtype=jnp.bfloat16)))
+            params = jax.device_put(random_quantized_params(
+                cfg, seed=0, fp_dtype=jnp.bfloat16, fused=True))
             last_model = name
         prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, ctx)))
         total = ctx + n_gen
 
-        # prefill timing (3 reps after warmup)
-        caches = gen.init_kv_cache(cfg, b, total, jnp.bfloat16)
-        logits, _ = gen.prefill(cfg, params, prompt, caches, "auto",
-                                jnp.bfloat16)
-        np.asarray(logits)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            caches = gen.init_kv_cache(cfg, b, total, jnp.bfloat16)
-            logits, _ = gen.prefill(cfg, params, prompt, caches, "auto",
-                                    jnp.bfloat16)
-            np.asarray(logits)
-        dt_prefill = (time.perf_counter() - t0) / 3
+        # prefill timing: 8 loop-variant reps chained inside ONE jit —
+        # per-dispatch tunnel RPC (~30 ms) would otherwise swamp a
+        # single prefill and under-report tok/s by up to ~10x
+        reps = 8
 
-        # decode timing: full generation minus prefill
-        out = gen.generate_compiled(cfg, params, prompt, n_gen,
-                                    method="auto", dtype=jnp.bfloat16)
-        np.asarray(out)
-        best = 0.0
-        for _ in range(2):
+        @functools.partial(jax.jit, static_argnames=())
+        def prefill_reps(params, prompt):
+            def body(i, acc):
+                p = jnp.roll(prompt, i, axis=1)  # loop-variant: no hoisting
+                caches = gen.init_kv_cache(cfg, b, total, jnp.bfloat16)
+                logits, _ = gen.prefill(cfg, params, p, caches, "auto",
+                                        jnp.bfloat16)
+                return acc + logits.mean().astype(jnp.float32)
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        np.asarray(prefill_reps(params, prompt))
+        t0 = time.perf_counter()
+        np.asarray(prefill_reps(params, prompt))
+        pre_tps = reps * b * ctx / (time.perf_counter() - t0)
+
+        # decode timing by difference quotient of two generation lengths:
+        # prefill time and the constant dispatch RPC cancel in the subtraction
+        n_small = 32
+
+        def timed_gen(n):
             t0 = time.perf_counter()
-            out = gen.generate_compiled(cfg, params, prompt, n_gen,
-                                        method="auto", dtype=jnp.bfloat16)
-            np.asarray(out)
-            dt = time.perf_counter() - t0 - dt_prefill
-            best = max(best, b * n_gen / dt)
-        pre_tps = b * ctx / dt_prefill
+            np.asarray(gen.generate_compiled(cfg, params, prompt, n,
+                                             method="auto",
+                                             dtype=jnp.bfloat16))
+            return time.perf_counter() - t0
+
+        timed_gen(n_small), timed_gen(n_gen)  # compile both shapes
+        t_small = min(timed_gen(n_small) for _ in range(2))
+        t_big = min(timed_gen(n_gen) for _ in range(2))
+        best = b * (n_gen - n_small) / (t_big - t_small)
 
         wbytes = weight_stream_bytes(cfg)
         ftok = flops_per_token(cfg)

@@ -1,0 +1,110 @@
+"""Deterministic quantization-quality report -> QUALITY.json (no network).
+
+The reference's north-star quality gate is WikiText-2 perplexity delta vs
+fp16 (awq/evaluation/eval_utils.py:22-58; AWQ paper target <= 0.2-0.3 ppl at
+4-bit g128). This environment has no network, so no real checkpoint or
+corpus — instead this script measures the same Δppl/KL quantities on a
+self-consistent synthetic: a mid-size llama-shaped model with activation
+outlier channels (the regime AWQ's scaling exists for), evaluated on token
+streams SAMPLED FROM THE FP MODEL ITSELF. The fp model is, by construction,
+the true distribution of its own temperature-1 samples, so its perplexity is
+its own entropy rate and any quantization Δppl is pure quantization
+distortion — the measurement is deterministic (fixed seeds), needs no data,
+and ranks AWQ vs naive round-to-nearest exactly like the reference's gate.
+
+Run (CPU is fine):
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu PYTHONPATH=/root/repo \
+      python scripts/quality.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+SEQ = 256  # ppl chunk length
+N_EVAL_TOKENS = 8192
+N_CALIB = 16  # calib sequences sampled from the model
+
+
+def main():
+    import jax.numpy as jnp
+
+    from autoawq_tpu.config import AwqConfig
+    from autoawq_tpu.eval.perplexity import kl_divergence_report, perplexity
+    from autoawq_tpu.io.hf import init_random_params
+    from autoawq_tpu.models.config import ModelConfig
+    from autoawq_tpu.quantize.quantizer import (AwqQuantizer, _clone,
+                                                quantize_linear_params)
+    from autoawq_tpu.serve import generate as gen
+    from autoawq_tpu.utils.tree import iter_linears, set_by_path
+
+    cfg = ModelConfig(
+        model_type="llama", vocab_size=2048, hidden_size=512,
+        intermediate_size=1408, num_hidden_layers=4, num_attention_heads=8,
+        num_key_value_heads=4, head_dim=64, max_position_embeddings=SEQ + 1,
+    )
+    params = init_random_params(cfg, seed=7, scale=0.08)
+    # activation outliers: a few hot embedding channels feed every layer
+    # (regime chosen by sweep: x20 on 16 channels maximizes the AWQ-vs-RTN
+    # separation while keeping the untrained net's ppl finite)
+    params["embed_tokens"]["weight"][:, :16] *= 20.0
+
+    t0 = time.time()
+    bos = jnp.zeros((N_EVAL_TOKENS // SEQ + N_CALIB, 1), jnp.int32)
+    sampled = np.asarray(gen.generate_compiled(
+        cfg, params, bos, SEQ, temperature=1.0, seed=11, method="jnp",
+        dtype=jnp.float32))[:, 1:]
+    calib = sampled[: N_CALIB]
+    eval_stream = sampled[N_CALIB:].reshape(-1)
+    print(f"sampled {sampled.shape} tokens from fp model "
+          f"({time.time() - t0:.0f}s)")
+
+    qcfg = AwqConfig()  # 4-bit, g128, zero-point — the reference default
+
+    def rtn(params):
+        out = _clone(params)
+        for lp in out["layers"]:
+            for path, p in list(iter_linears(lp)):
+                set_by_path(lp, path, quantize_linear_params(
+                    {k: jnp.asarray(v) for k, v in p.items()}, qcfg))
+        return out
+
+    variants = {"fp32": params, "rtn_w4g128": rtn(params)}
+    t0 = time.time()
+    variants["awq_w4g128"] = AwqQuantizer(
+        cfg, qcfg, params, calib, progress=False).quantize()
+    print(f"AWQ calibration: {time.time() - t0:.0f}s")
+
+    report = {"config": {"seq_len": SEQ, "eval_tokens": int(len(eval_stream)),
+                         "w_bit": 4, "q_group_size": 128,
+                         "note": "eval stream sampled from the fp model; "
+                                 "fp ppl = model entropy rate"}}
+    ppl_fp = None
+    kl_tokens = sampled[N_CALIB:N_CALIB + 4, :128]
+    for name, p in variants.items():
+        ppl = perplexity(cfg, p, eval_stream, seq_len=SEQ, method="jnp")
+        row = {"ppl": round(ppl, 4)}
+        if name == "fp32":
+            ppl_fp = ppl
+        else:
+            row["delta_ppl"] = round(ppl - ppl_fp, 4)
+            kl = kl_divergence_report(cfg, params, cfg, p, kl_tokens,
+                                      method="jnp")
+            row.update({k: round(float(v), 5) for k, v in kl.items()})
+        report[name] = row
+        print(name, row)
+
+    d_awq = report["awq_w4g128"]["delta_ppl"]
+    d_rtn = report["rtn_w4g128"]["delta_ppl"]
+    report["awq_vs_rtn_dppl_ratio"] = round(d_awq / d_rtn, 4) if d_rtn else None
+    assert d_awq < d_rtn, (d_awq, d_rtn)
+    print(f"AWQ Δppl {d_awq} < RTN Δppl {d_rtn} "
+          f"(ratio {report['awq_vs_rtn_dppl_ratio']})")
+    with open("QUALITY.json", "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote QUALITY.json")
+
+
+if __name__ == "__main__":
+    main()

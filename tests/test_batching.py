@@ -1,0 +1,72 @@
+"""Continuous batching engine (serve/batching.py): slot isolation — every
+request's greedy output must match the same request generated alone."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoawq_tpu.io.hf import init_random_params
+from autoawq_tpu.models.config import ModelConfig
+from autoawq_tpu.serve import generate as gen
+from autoawq_tpu.serve.batching import BatchingEngine
+
+CFG = ModelConfig(
+    model_type="llama", vocab_size=64, hidden_size=64,
+    intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+    num_key_value_heads=2, head_dim=16, max_position_embeddings=64,
+)
+
+
+def solo(params, prompt, n):
+    out = gen.generate(CFG, params, jnp.asarray(prompt[None]), n,
+                       method="jnp", dtype=jnp.float32,
+                       max_seq_len=48)
+    return list(np.asarray(out)[0][len(prompt):])
+
+
+def test_batched_matches_solo(rng):
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    eng = BatchingEngine(CFG, params, max_batch=3, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32)
+    prompts = {f"r{i}": rng.integers(0, 64, (l,))
+               for i, l in enumerate([5, 9, 3, 7])}
+    budgets = {"r0": 6, "r1": 4, "r2": 8, "r3": 5}
+
+    # staggered arrival: two up front, two mid-flight (continuous admission)
+    eng.add_request("r0", prompts["r0"], budgets["r0"])
+    eng.add_request("r1", prompts["r1"], budgets["r1"])
+    eng.step()
+    eng.add_request("r2", prompts["r2"], budgets["r2"])
+    eng.step()
+    eng.add_request("r3", prompts["r3"], budgets["r3"])
+    results = eng.run()
+
+    assert set(results) == set(prompts)
+    for rid, toks in results.items():
+        assert toks == solo(params, prompts[rid], budgets[rid]), rid
+
+
+def test_eos_and_capacity(rng):
+    params = init_random_params(CFG, seed=6, scale=0.08)
+    # 5 requests through a 2-slot pool: forces queueing + slot reuse
+    eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32)
+    prompts = [rng.integers(0, 64, (4 + i,)) for i in range(5)]
+    for i, p in enumerate(prompts):
+        eng.add_request(i, p, 5)
+    results = eng.run()
+    assert set(results) == set(range(5))
+    for i, p in enumerate(prompts):
+        assert results[i] == solo(params, p, 5), i
+
+    # eos retirement: pick the first token solo generation emits as "eos"
+    first = solo(params, prompts[0], 1)[0]
+    eng2 = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                          eos_token_id=first, method="jnp",
+                          dtype=jnp.float32)
+    eng2.add_request("x", prompts[0], 50)
+    res = eng2.run()
+    assert res["x"][-1] == first and len(res["x"]) == 1
+
+    with pytest.raises(ValueError):
+        eng2.add_request("too-long", np.zeros(64, np.int32), 4)

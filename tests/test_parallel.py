@@ -198,3 +198,78 @@ def test_hybrid_mesh_shapes(requires_multidevice):
     # explicit dcn factor splits the data axis without changing its size
     mesh2 = hybrid_mesh(tensor=2, expert=1, dcn_data=2)
     assert mesh2.shape["data"] == jax.device_count() // 2
+
+
+def test_data_parallel_calibration_matches_single(rng, requires_multidevice):
+    """DP calibration (SURVEY §2.6): sharding the calib batch over the
+    ``data`` axis must reproduce the single-device AWQ search — same scales,
+    same clips, same packed weights (GSPMD psums replace nothing but the
+    reduction order)."""
+    from autoawq_tpu.quantize.quantizer import AwqQuantizer
+
+    cfg = ModelConfig(
+        model_type="llama", vocab_size=96, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, max_position_embeddings=32,
+    )
+    params = init_random_params(cfg, seed=3, scale=0.08)
+    calib = rng.integers(0, cfg.vocab_size, (8, 16))
+    qcfg = AwqConfig(q_group_size=32)
+
+    # clip search OFF for the strict leg: its 20-step argmin has exact ties
+    # that psum reduction order legitimately flips; the scale search is the
+    # numerically stable part and must reproduce tightly.
+    ref_q = AwqQuantizer(cfg, qcfg, params, calib, progress=False,
+                         apply_clip=False)
+    ref = ref_q.quantize()
+
+    mesh = build_mesh(tensor=1, data=8)
+    dp_q = AwqQuantizer(cfg, qcfg, params, calib, progress=False,
+                        apply_clip=False, mesh=mesh)
+    got = dp_q.quantize()
+
+    for (g1, s1), (g2, s2) in zip(ref_q.all_scales[0], dp_q.all_scales[0]):
+        np.testing.assert_allclose(s2, s1, rtol=1e-4, atol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves(ref)
+    flat_got = jax.tree_util.tree_leaves(got)
+    assert len(flat_ref) == len(flat_got)
+    n_close = n_total = 0
+    for a, b in zip(flat_ref, flat_got):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        n_close += np.isclose(b, a, rtol=1e-4, atol=1e-4).sum()
+        n_total += a.size
+    assert n_close / n_total >= 0.999, n_close / n_total
+    tok = jnp.asarray(calib[:2])
+    lr = modules.forward(cfg, ref, tok, method="jnp", dtype=np.float32)
+    lg = modules.forward(cfg, got, tok, method="jnp", dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(lr),
+                               rtol=5e-3, atol=5e-3)
+
+    # clip-on leg: artifacts may differ where grid ties flip, but the
+    # overwhelming majority of elements must still agree
+    ref_c = AwqQuantizer(cfg, qcfg, params, calib, progress=False).quantize()
+    dp_c = AwqQuantizer(cfg, qcfg, params, calib, progress=False,
+                        mesh=mesh).quantize()
+    n_close = n_total = 0
+    for a, b in zip(jax.tree_util.tree_leaves(ref_c),
+                    jax.tree_util.tree_leaves(dp_c)):
+        n_close += np.isclose(np.asarray(b, np.float32),
+                              np.asarray(a, np.float32),
+                              rtol=1e-4, atol=1e-4).sum()
+        n_total += np.asarray(a).size
+    assert n_close / n_total >= 0.99, n_close / n_total
+
+    # non-divisible batch falls back to replicated with a warning, not a crash
+    odd = AwqQuantizer(cfg, qcfg, params, rng.integers(0, 96, (7, 16)),
+                       progress=False, mesh=mesh)
+    assert odd.mesh is None
+
+    # chunked + data-parallel compose: chunks stay multiples of the axis
+    chunked = AwqQuantizer(cfg, qcfg, params, calib, progress=False,
+                           mesh=mesh, n_parallel_calib_samples=4)
+    assert chunked._chunk_size(8) is None  # 4 < ddp=8 -> no chunking
+    mesh2 = build_mesh(tensor=2, data=4)
+    chunked2 = AwqQuantizer(cfg, qcfg, params, calib, progress=False,
+                            mesh=mesh2, n_parallel_calib_samples=4)
+    assert chunked2._chunk_size(8) == 4
