@@ -330,6 +330,35 @@ def attention(
     b, s, _ = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
 
+    if (taps is None and s == 1 and kv_cache is not None
+            and getattr(kv_cache["pos"], "ndim", 0) == 0
+            and _fused_attn_ok(cfg, p, x, method, kv_cache)):
+        # whole attention step in one kernel: int4 qkv GEMM + rope + softmax
+        # over the cache + int4 o GEMM (ops/fused_attn_step.py). Replaces
+        # the reference's qkv kernel + flash_attn_with_kvcache + o kernel
+        # chain (awq/modules/fused/attn.py:205-301).
+        from autoawq_tpu.ops import fused_attn_step
+
+        pos = kv_cache["pos"]
+        scale = cfg.attn_scale if cfg.attn_scale is not None else hd**-0.5
+        cs = jnp.broadcast_to(cos[:, 0], (b, cos.shape[-1]))
+        sn = jnp.broadcast_to(sin[:, 0], (b, sin.shape[-1]))
+        y, k_new, v_new = fused_attn_step.fused_attention_step(
+            x[:, 0], p["qkv_proj"], p["o_proj"], kv_cache["k"],
+            kv_cache["v"], cs, sn, pos, nh=nh, nkv=nkv, hd=hd,
+            scale=scale, window=cfg.sliding_window,
+            interpret=jax.default_backend() != "tpu")
+        kc = jax.lax.dynamic_update_slice(
+            kv_cache["k"], k_new[:, :, None, :].astype(kv_cache["k"].dtype),
+            (0, 0, pos, 0))
+        vc = jax.lax.dynamic_update_slice(
+            kv_cache["v"], v_new[:, :, None, :].astype(kv_cache["v"].dtype),
+            (0, 0, pos, 0))
+        y = y[:, None, : cfg.hidden_size].astype(x.dtype)
+        if p["o_proj"].get("bias") is not None:
+            y = y + p["o_proj"]["bias"].astype(y.dtype)
+        return y, {"k": kc, "v": vc, "pos": pos + 1}
+
     if "qkv_proj" in p:  # fused projection (nn/fuse.py or phi3-style)
         _tap(taps, "self_attn.qkv_proj", x)
         y = linear(p["qkv_proj"], x, (nh + 2 * nkv) * hd, method)
@@ -535,6 +564,24 @@ def mla_attention(
     _tap(taps, "self_attn.o_proj", out)
     y = linear(p["o_proj"], out, cfg.hidden_size, method)
     return y, kv_cache
+
+
+def _fused_attn_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
+                   method: str, kv_cache: Dict[str, jax.Array]) -> bool:
+    """Fused attention-step megakernel eligibility (ops/fused_attn_step.py).
+    AWQ_TPU_FUSED_ATTN: "1" (default) = on-TPU single-chip decode; "force"
+    = also off-TPU interpret mode (tests); "0" = off."""
+    if method == "jnp":
+        return False
+    flag = _os.environ.get("AWQ_TPU_FUSED_ATTN", "1")
+    if flag == "0":
+        return False
+    if flag != "force" and not (jax.default_backend() == "tpu"
+                                and jax.device_count() == 1):
+        return False
+    from autoawq_tpu.ops import fused_attn_step
+
+    return fused_attn_step.supported(cfg, p, x, kv_cache["k"])
 
 
 def _fused_mlp_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,

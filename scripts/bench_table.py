@@ -79,14 +79,15 @@ def probe_roofline():
 
     @jax.jit
     def stream(x):
-        # acc-dependence forces a fresh full read of x each iteration
+        # chained scaled-copy: each iteration reads + writes the full
+        # buffer (reductions under-report TPU HBM bandwidth by ~2-3x)
         return jax.lax.fori_loop(
-            0, reps, lambda i, acc: (x + acc).sum().astype(jnp.float32), 0.0)
+            0, reps, lambda i, x: x * jnp.bfloat16(0.9999), x)
 
     stream(big).block_until_ready()
     t0 = time.perf_counter()
     stream(big).block_until_ready()
-    gbps = reps * big.nbytes / (time.perf_counter() - t0) / 1e9
+    gbps = reps * 2 * big.nbytes / (time.perf_counter() - t0) / 1e9
     return tflops, gbps
 
 
@@ -127,13 +128,14 @@ def main():
     rng = np.random.default_rng(0)
     rows = []
     last_model = None
-    for name, b, ctx, n_gen in RUNS:
-        cfg = ModelConfig(model_type="llama", max_position_embeddings=8192,
-                          **MODELS[name])
-        if name != last_model:
-            params = jax.device_put(random_quantized_params(
-                cfg, seed=0, fp_dtype=jnp.bfloat16, fused=True))
-            last_model = name
+
+    def flush():
+        with open("BENCH_TABLE.json", "w") as f:
+            json.dump({"roofline": {"bf16_tflops": round(tflops, 1),
+                                    "hbm_gbps": round(gbps, 0)},
+                       "rows": rows}, f, indent=1)
+
+    def run_one(cfg, params, name, b, ctx, n_gen):
         prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, ctx)))
         total = ctx + n_gen
 
@@ -172,6 +174,30 @@ def main():
         t_small = min(timed_gen(n_small) for _ in range(2))
         t_big = min(timed_gen(n_gen) for _ in range(2))
         best = b * (n_gen - n_small) / (t_big - t_small)
+        return pre_tps, best
+
+    for name, b, ctx, n_gen in RUNS:
+        cfg = ModelConfig(model_type="llama", max_position_embeddings=8192,
+                          **MODELS[name])
+        if name != last_model:
+            params = jax.device_put(random_quantized_params(
+                cfg, seed=0, fp_dtype=jnp.bfloat16, fused=True))
+            last_model = name
+        # the compile tunnel occasionally drops a connection mid-request —
+        # retry each configuration once before skipping it
+        for attempt in (1, 2):
+            try:
+                pre_tps, best = run_one(cfg, params, name, b, ctx, n_gen)
+                break
+            except Exception as e:
+                print(f"run {name} b{b} ctx{ctx} attempt {attempt}: {e}")
+                if attempt == 2:
+                    rows.append(dict(model=name, batch=b, ctx=ctx,
+                                     gen=n_gen, error=str(e)[:200]))
+                    flush()
+                    pre_tps = None
+        if pre_tps is None:
+            continue
 
         wbytes = weight_stream_bytes(cfg)
         ftok = flops_per_token(cfg)
@@ -188,10 +214,7 @@ def main():
                           f"{100 * pre_mfu:.0f}% of measured peak FLOPs"),
             ))
             print(rows[-1])
-    with open("BENCH_TABLE.json", "w") as f:
-        json.dump({"roofline": {"bf16_tflops": round(tflops, 1),
-                                "hbm_gbps": round(gbps, 0)},
-                   "rows": rows}, f, indent=1)
+        flush()
     print("wrote BENCH_TABLE.json")
 
 
