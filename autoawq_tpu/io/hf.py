@@ -706,12 +706,32 @@ def init_random_params(cfg: ModelConfig, seed: int = 0,
         "layers": [],
     }
     for _ in range(cfg.num_hidden_layers):
-        attn = {
-            "q_proj": lin(h, nh * hd, cfg.attention_bias),
-            "k_proj": lin(h, nkv * hd, cfg.attention_bias),
-            "v_proj": lin(h, nkv * hd, cfg.attention_bias),
-            "o_proj": lin(nh * hd, h),
-        }
+        if cfg.is_mla:
+            dq = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
+            attn = {
+                "kv_a_proj_with_mqa": lin(
+                    h, cfg.kv_lora_rank + cfg.qk_rope_head_dim),
+                "kv_a_layernorm": {
+                    "weight": np.ones((cfg.kv_lora_rank,), dtype=dtype)},
+                "kv_b_proj": lin(
+                    cfg.kv_lora_rank,
+                    nh * (cfg.qk_nope_head_dim + cfg.v_head_dim)),
+                "o_proj": lin(nh * cfg.v_head_dim, h),
+            }
+            if cfg.q_lora_rank:
+                attn["q_a_proj"] = lin(h, cfg.q_lora_rank)
+                attn["q_a_layernorm"] = {
+                    "weight": np.ones((cfg.q_lora_rank,), dtype=dtype)}
+                attn["q_b_proj"] = lin(cfg.q_lora_rank, nh * dq)
+            else:
+                attn["q_proj"] = lin(h, nh * dq)
+        else:
+            attn = {
+                "q_proj": lin(h, nh * hd, cfg.attention_bias),
+                "k_proj": lin(h, nkv * hd, cfg.attention_bias),
+                "v_proj": lin(h, nkv * hd, cfg.attention_bias),
+                "o_proj": lin(nh * hd, h),
+            }
         if cfg.qk_norm:
             attn["q_norm"] = {"weight": np.ones((hd,), dtype=dtype)}
             attn["k_norm"] = {"weight": np.ones((hd,), dtype=dtype)}

@@ -477,6 +477,23 @@ def attention(
     return y, kv_cache
 
 
+def _dense_weight(lin: Dict[str, Any], out_features: int) -> jax.Array:
+    """Dense f32 weight of a LIN (dequantized if packed, LoRA folded) — for
+    weight-absorption formulations that reassociate the matmul."""
+    from autoawq_tpu.ops.gemm import dequantize_planar
+
+    if "qweight" in lin:
+        w = dequantize_planar(lin["qweight"], lin["scales"],
+                              lin.get("qzeros"),
+                              dtype=jnp.float32)[:, :out_features]
+    else:
+        w = lin["kernel"].astype(jnp.float32)[:, :out_features]
+    if "lora_a" in lin:
+        w = w + jnp.dot(lin["lora_a"].astype(jnp.float32),
+                        lin["lora_b"].astype(jnp.float32))[:, :out_features]
+    return w
+
+
 def mla_attention(
     cfg: ModelConfig,
     p: Dict[str, Any],
@@ -522,21 +539,64 @@ def mla_attention(
     ckv = linear(p["kv_a_proj_with_mqa"], x, cfg.kv_lora_rank + dr, method)
     c, k_pe = ckv[..., : cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank :]
     c = rms_norm(c, p["kv_a_layernorm"]["weight"], cfg.rms_norm_eps)
-    _tap(taps, "self_attn.kv_b_proj", c)
-    kv = linear(p["kv_b_proj"], c, nh * (dn + dv), method)
-    kv = kv.reshape(b, s, nh, dn + dv)
-    k_nope, v = kv[..., :dn], kv[..., dn:]
 
     # decoupled rope head: interleaved pairs (HF view_as_complex semantics)
     q_pe = apply_rope(q_pe, cos, sin, dr, style="gptj")
     k_pe = apply_rope(k_pe[:, :, None, :], cos, sin, dr, style="gptj")
 
-    k = jnp.concatenate(
-        [k_nope, jnp.broadcast_to(k_pe, (b, s, nh, dr))], axis=-1
-    )  # [B, S, nh, dq]
+    # full per-head K/V only where attention runs against local keys — the
+    # absorbed latent-decode path below never materializes them
+    latent_decode = (kv_cache is not None and "c" in kv_cache
+                     and not causal_prefill)
+    if not latent_decode:
+        _tap(taps, "self_attn.kv_b_proj", c)
+        kv = linear(p["kv_b_proj"], c, nh * (dn + dv), method)
+        kv = kv.reshape(b, s, nh, dn + dv)
+        k_nope, v = kv[..., :dn], kv[..., dn:]
+        k = jnp.concatenate(
+            [k_nope, jnp.broadcast_to(k_pe, (b, s, nh, dr))], axis=-1
+        )  # [B, S, nh, dq]
 
-    if kv_cache is not None:
-        # cache layout is [B, heads, T, head_dim] (serve/generate.py)
+    scale = cfg.attn_scale if cfg.attn_scale is not None else dq**-0.5
+    if kv_cache is not None and "c" in kv_cache:
+        # Latent cache (DeepSeek-V2 paper §2.1): the cache holds ONE
+        # [compressed-kv | rope-head] row per token shared by all heads.
+        # Decode uses the ABSORBED formulation — fold kv_b's up-projections
+        # into the query (W_uk) and the output (W_uv) so attention contracts
+        # directly against the [T, dc+dr] latent slab: per step the cache
+        # read shrinks ~nh*(dk+dv)/(dc+dr)x vs materialized K/V. (HF's
+        # DeepseekV2Attention materializes full K/V; this is the serving
+        # optimization the paper describes and the reference lacks.)
+        pos = kv_cache["pos"]
+        dc_rank = cfg.kv_lora_rank
+        ce = jnp.concatenate([c, k_pe[:, :, 0, :]], axis=-1)  # [B, S, dc+dr]
+        cc = jax.lax.dynamic_update_slice(
+            kv_cache["c"], ce[:, None].astype(kv_cache["c"].dtype),
+            (0, 0, pos, 0))
+        kv_cache = {"c": cc, "pos": pos + s}
+        if not causal_prefill:
+            wkv = _dense_weight(p["kv_b_proj"], nh * (dn + dv))
+            w3 = wkv.reshape(dc_rank, nh, dn + dv)
+            c_cache = cc[:, 0, :, :dc_rank].astype(jnp.float32)  # [B, T, dc]
+            pe_cache = cc[:, 0, :, dc_rank:].astype(jnp.float32)
+            q_abs = jnp.einsum("bshd,chd->bshc",
+                               q_nope.astype(jnp.float32), w3[..., :dn])
+            scores = jnp.einsum("bshc,btc->bhst", q_abs, c_cache)
+            scores = scores + jnp.einsum(
+                "bshr,btr->bhst", q_pe.astype(jnp.float32), pe_cache)
+            scores = scores * scale
+            if mask is not None:
+                scores = scores + mask
+            probs = jax.nn.softmax(scores, axis=-1)
+            ov = jnp.einsum("bhst,btc->bshc", probs, c_cache)
+            out = jnp.einsum("bshc,chd->bshd", ov, w3[..., dn:]).reshape(
+                b, s, nh * dv).astype(x.dtype)
+            _tap(taps, "self_attn.o_proj", out)
+            y = linear(p["o_proj"], out, cfg.hidden_size, method)
+            return y, kv_cache
+        # causal prefill: attend over the locally materialized k/v below
+    elif kv_cache is not None:
+        # materialized cache layout [B, heads, T, head_dim]
         pos = kv_cache["pos"]
         kc = jax.lax.dynamic_update_slice(
             kv_cache["k"], k.swapaxes(1, 2).astype(kv_cache["k"].dtype),
@@ -549,7 +609,6 @@ def mla_attention(
             k = kc.swapaxes(1, 2).astype(x.dtype)
             v = vc.swapaxes(1, 2).astype(x.dtype)
 
-    scale = cfg.attn_scale if cfg.attn_scale is not None else dq**-0.5
     scores = jnp.einsum("bshd,bthd->bhst", q_nope.astype(x.dtype), k[..., :dn],
                         preferred_element_type=jnp.float32)
     scores = scores + jnp.einsum(

@@ -22,12 +22,26 @@ from autoawq_tpu.nn import modules
 
 
 def init_kv_cache(cfg: ModelConfig, batch: int, max_seq_len: int,
-                  dtype=jnp.bfloat16) -> List[Dict[str, jax.Array]]:
+                  dtype=jnp.bfloat16,
+                  mla_latent: bool = True) -> List[Dict[str, jax.Array]]:
     """Per-layer K/V buffers in the canonical TPU attention layout
     [B, heads, T, head_dim] — (T, head_dim) trailing dims tile directly
     into the fused decode-attention kernel's VMEM blocks
-    (ops/decode_attn.py) and shard on the head dim under TP."""
-    if cfg.is_mla:  # full-head K (nope+rope) and V caches per MLA head
+    (ops/decode_attn.py) and shard on the head dim under TP. MLA models
+    default to the compressed latent cache (``mla_latent=False`` restores
+    the full per-head materialization)."""
+    if cfg.is_mla:
+        if mla_latent:
+            # latent cache: ONE [compressed-kv | rope-head] row per token
+            # shared by every head (DeepSeek-V2 paper §2.1; HF instead
+            # caches full per-head K/V). Decode reads [T, dc+dr] once per
+            # step instead of [T, nh, dk]+[T, nh, dv] — a ~nh*(dk+dv)/(dc
+            # +dr) ≈ 100x cache-bandwidth reduction at deepseek_v2 shapes.
+            dc = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+            return [
+                {"c": jnp.zeros((batch, 1, max_seq_len, dc), dtype)}
+                for _ in range(cfg.num_hidden_layers)
+            ]
         nh = cfg.num_attention_heads
         dk = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
         dv = cfg.v_head_dim
@@ -48,6 +62,12 @@ def init_kv_cache(cfg: ModelConfig, batch: int, max_seq_len: int,
     ]
 
 
+def _cache_len(caches: List[Dict[str, jax.Array]]) -> int:
+    """Capacity (T) of a cache pytree — works for both the [B, H, T, D]
+    K/V format and the MLA latent [B, 1, T, dc+dr] format."""
+    return next(iter(caches[0].values())).shape[2]
+
+
 def _run_blocks(cfg, params, x, positions, mask, caches, pos, method,
                 causal_prefill=False):
     # rope_scaling context length = the KV-cache capacity, so prefill and
@@ -55,13 +75,13 @@ def _run_blocks(cfg, params, x, positions, mask, caches, pos, method,
     # recomputes dynamic-NTK/longrope tables mid-generation, mutating K
     # embeddings inconsistently across steps).
     cos, sin = modules.rope_tables(cfg, positions,
-                                   seq_len=caches[0]["k"].shape[2])
+                                   seq_len=_cache_len(caches))
     new_caches = []
     for lp, cache in zip(params["layers"], caches):
-        kv = {"k": cache["k"], "v": cache["v"], "pos": pos}
+        kv = {**cache, "pos": pos}
         x, kv = modules.block(cfg, lp, x, cos, sin, mask, kv_cache=kv,
                               method=method, causal_prefill=causal_prefill)
-        new_caches.append({"k": kv["k"], "v": kv["v"]})
+        new_caches.append({k: kv[k] for k in cache})
     return x, new_caches
 
 
@@ -76,7 +96,7 @@ def prefill(
 ) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
     """Process the prompt; returns (last-position logits [B, V], caches)."""
     b, s = tokens.shape
-    max_t = caches[0]["k"].shape[2]
+    max_t = _cache_len(caches)
     positions = jnp.arange(s)[None, :]
     x = modules.embed(cfg, params, tokens, dtype, positions)
     causal_prefill = cfg.sliding_window is None and cfg.pos_embed != "alibi"
@@ -108,7 +128,7 @@ def decode_step(
     dtype=jnp.bfloat16,
 ) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
     """One decode step; donates and returns the KV caches."""
-    max_t = caches[0]["k"].shape[2]
+    max_t = _cache_len(caches)
     positions = pos[None, None] if pos.ndim == 0 else pos
     x = modules.embed(cfg, params, token, dtype, positions)
     ki = jnp.arange(max_t)[None, :]
@@ -133,10 +153,7 @@ def roll_kv(caches: List[Dict[str, jax.Array]], n: int) -> List[Dict[str, jax.Ar
     awq/utils/fused_utils.py:14-27). Rolled-off tokens are dropped."""
     out = []
     for c in caches:
-        out.append({
-            "k": jnp.roll(c["k"], -n, axis=2),
-            "v": jnp.roll(c["v"], -n, axis=2),
-        })
+        out.append({k: jnp.roll(v, -n, axis=2) for k, v in c.items()})
     return out
 
 
