@@ -628,11 +628,19 @@ def mla_attention(
 def _fused_attn_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
                    method: str, kv_cache: Dict[str, jax.Array]) -> bool:
     """Fused attention-step megakernel eligibility (ops/fused_attn_step.py).
-    AWQ_TPU_FUSED_ATTN: "1" (default) = on-TPU single-chip decode; "force"
-    = also off-TPU interpret mode (tests); "0" = off."""
+
+    Default OFF (measured): one launch replacing {qkv GEMM, rope, attention,
+    o GEMM} still loses ~12% decode wall-clock (785 -> 694 tok/s, TinyLlama
+    bs1) — during the in-kernel attention phase the DMA engines idle, while
+    the XLA chain's scheduler hides the next op's weight fetches under the
+    attention compute. Same lesson as the standalone decode kernel: at
+    decode, cross-op latency hiding beats intra-kernel fusion unless every
+    phase streams weights (the fused MLP, where both phases do, wins).
+    AWQ_TPU_FUSED_ATTN: "1" = on-TPU single-chip decode; "force" = also
+    off-TPU interpret mode (tests); "0" (default) = off."""
     if method == "jnp":
         return False
-    flag = _os.environ.get("AWQ_TPU_FUSED_ATTN", "1")
+    flag = _os.environ.get("AWQ_TPU_FUSED_ATTN", "0")
     if flag == "0":
         return False
     if flag != "force" and not (jax.default_backend() == "tpu"

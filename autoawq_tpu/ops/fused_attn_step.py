@@ -59,7 +59,7 @@ def _kernel(vl_ref, x_ref, qwq_ref, scq_ref, qwo_ref, sco_ref, kc_ref,
     qzq_ref = next(it) if gq > 0 else None
     qzo_ref = next(it) if go > 0 else None
     qb_ref = next(it) if has_qkv_bias else None
-    y_ref, k_out, v_out, qkv_scr, og_scr = it
+    y_ref, k_out, v_out, qkv_scr, og_scr, q_scr, k_scr, v_scr, o_scr = it
 
     t = pl.program_id(0)
     h = x_ref.shape[1]
@@ -75,50 +75,66 @@ def _kernel(vl_ref, x_ref, qwq_ref, scq_ref, qwo_ref, sco_ref, kc_ref,
 
     @pl.when(t == sa)
     def _attend():
-        # Every tile here is a 2-D [1, hd]-row slice of the GEMM output —
         # Mosaic supports neither the lane->sublane shape cast that would
-        # batch a kv group's heads into [rep, hd] ([8, 256] -> [32, 64] is
-        # an "unsupported shape cast") nor efficient 1-D row slicing (it
-        # scalarizes and compile time explodes). Attention FLOPs at decode
-        # are microscopic, so per-head [1, hd] matvecs cost nothing.
+        # view a row's heads as [nh, hd] ([8, 256] -> [32, 64] is an
+        # "unsupported shape cast") nor efficient 1-D row slicing (it
+        # scalarizes; compile time explodes). So: SCATTER each head's
+        # [1, hd] lane-slice onto its own sublane row with tiny 2-D copies,
+        # then run rope and the softmax/value contractions as group-batched
+        # [rep, hd] / [rep, T] ops — per-head work is two 64-lane copies,
+        # the math runs at full tile width. (A purely per-head formulation
+        # measured 20% SLOWER end-to-end: ~40 serial matvec chains/layer.)
         vl = vl_ref[0]
 
-        def row(off):  # [1, hd] f32 slice of the qkv GEMM output, + bias
+        def row(off, bi):  # [1, hd] f32 lane-slice of the GEMM output
             r = qkv_scr[bi : bi + 1, off : off + hd]
             if qb_ref is not None:
                 r = r + qb_ref[0:1, off : off + hd]
             return r
 
         for bi in range(b):
-            cos = cs_ref[0, bi : bi + 1]  # [1, hd/2]
-            sin = cs_ref[1, bi : bi + 1]
+            for hh in range(nh):
+                q_scr[bi * nh + hh : bi * nh + hh + 1] = row(hh * hd, bi)
             for j in range(nkv):
-                kn = _rope_neox(row(nh * hd + j * hd), cos, sin)
-                vn = row((nh + nkv) * hd + j * hd)
-                k_out[bi, j : j + 1] = kn.astype(k_out.dtype)
-                v_out[bi, j : j + 1] = vn.astype(v_out.dtype)
+                k_scr[bi * nkv + j : bi * nkv + j + 1] = row(
+                    nh * hd + j * hd, bi)
+                v_scr[bi * nkv + j : bi * nkv + j + 1] = row(
+                    (nh + nkv) * hd + j * hd, bi)
+        for bi in range(b):
+            cos = cs_ref[0, bi : bi + 1]  # [1, hd/2], broadcasts over rows
+            sin = cs_ref[1, bi : bi + 1]
+            qrot = _rope_neox(q_scr[bi * nh : (bi + 1) * nh], cos, sin)
+            krot = _rope_neox(k_scr[bi * nkv : (bi + 1) * nkv], cos, sin)
+            vb = v_scr[bi * nkv : (bi + 1) * nkv]
+            k_out[bi] = krot.astype(k_out.dtype)
+            v_out[bi] = vb.astype(v_out.dtype)
+            for j in range(nkv):
+                qg = qrot[j * rep : (j + 1) * rep]  # [rep, hd]
+                kn = krot[j : j + 1]
+                vn = vb[j : j + 1]
                 ks = kc_ref[bi, j].astype(jnp.float32)  # [T, hd]
                 vs = vc_ref[bi, j].astype(jnp.float32)
-                for r in range(rep):
-                    hq = (j * rep + r) * hd
-                    qh = _rope_neox(row(hq), cos, sin)  # [1, hd]
-                    s = jax.lax.dot_general(
-                        qh, ks, dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32) * scale  # [1, T]
-                    idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                    ok = idx < vl
-                    if window is not None:
-                        ok &= idx > vl - window
-                    s = jnp.where(ok, s, -1e30)
-                    diag = jnp.sum(qh * kn, axis=1, keepdims=True) * scale
-                    m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), diag)
-                    p = jnp.where(ok, jnp.exp(s - m), 0.0)
-                    pd = jnp.exp(diag - m)  # [1, 1]
-                    l = jnp.sum(p, axis=1, keepdims=True) + pd
-                    o = (jax.lax.dot_general(
-                        p, vs, dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32) + pd * vn) / l
-                    og_scr[bi : bi + 1, hq : hq + hd] = o
+                s = jax.lax.dot_general(
+                    qg, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale  # [rep, T]
+                idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                ok = idx < vl
+                if window is not None:
+                    ok &= idx > vl - window
+                s = jnp.where(ok, s, -1e30)
+                diag = jnp.sum(qg * kn, axis=1, keepdims=True) * scale
+                m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), diag)
+                p = jnp.where(ok, jnp.exp(s - m), 0.0)
+                pd = jnp.exp(diag - m)  # [rep, 1]
+                l = jnp.sum(p, axis=1, keepdims=True) + pd
+                o = (jax.lax.dot_general(
+                    p, vs, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) + pd * vn) / l
+                o_scr[bi * nh + j * rep : bi * nh + (j + 1) * rep] = o
+        for bi in range(b):
+            for hh in range(nh):
+                og_scr[bi : bi + 1, hh * hd : (hh + 1) * hd] = \
+                    o_scr[bi * nh + hh : bi * nh + hh + 1]
 
     @pl.when(t > sa)
     def _oproj():
@@ -148,6 +164,11 @@ def supported(cfg, p: Dict[str, Any], x: jax.Array,
         return False
     b, t = k_cache.shape[0], k_cache.shape[2]
     if x.shape[0] * x.shape[1] != b or b > B_MAX:
+        return False
+    # phase B unrolls one op-chain per query head per batch row; cap the
+    # unroll so compile time stays sane. Measured: the kernel still beats
+    # the XLA chain at 256 chains (mistral bs8: 960 vs 938 tok/s).
+    if b * nh > 256:
         return False
     if hd % 8 or hd > 512 or t % 8:
         return False
@@ -259,6 +280,10 @@ def fused_attention_step(
             scratch_shapes=[
                 pltpu.VMEM((bm, 4 * n4q), jnp.float32),
                 pltpu.VMEM((bm, nh * hd), jnp.float32),
+                pltpu.VMEM((b * nh, hd), jnp.float32),   # heads-on-sublanes
+                pltpu.VMEM((b * nkv, hd), jnp.float32),
+                pltpu.VMEM((b * nkv, hd), jnp.float32),
+                pltpu.VMEM((b * nh, hd), jnp.float32),
             ],
         ),
         out_shape=[

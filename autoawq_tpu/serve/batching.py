@@ -74,6 +74,44 @@ def batched_decode_step(
     return logits[:, 0, :], new_caches
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "method", "dtype"),
+                   donate_argnums=(3,))
+def prefill_chunk(
+    cfg: ModelConfig,
+    params: Dict[str, Any],
+    tokens: jax.Array,  # [1, C] chunk of one request's prompt
+    row_caches: List[Dict[str, jax.Array]],
+    pos0: jax.Array,  # scalar int32: tokens already prefilled
+    method: str = "auto",
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
+    """One prompt chunk against a single-request cache; returns the chunk's
+    [1, C, V] logits (the caller indexes the last REAL position — padded
+    tail positions write cache rows that decode overwrites before they are
+    ever unmasked)."""
+    _, c = tokens.shape
+    max_t = row_caches[0]["k"].shape[2]
+    positions = pos0 + jnp.arange(c)[None, :]
+    x = modules.embed(cfg, params, tokens, dtype, positions)
+    ki = jnp.arange(max_t)[None, :]
+    ok = ki <= positions[0][:, None]  # [C, T]
+    if cfg.sliding_window:
+        ok &= ki > positions[0][:, None] - cfg.sliding_window
+    mask = jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[None, None]
+    if cfg.pos_embed == "alibi":
+        mask = mask + modules.alibi_bias(cfg.num_attention_heads,
+                                         positions[0], ki[0])
+    cos, sin = modules.rope_tables(cfg, positions, seq_len=max_t)
+    new_caches = []
+    for lp, cache in zip(params["layers"], row_caches):
+        kv = {"k": cache["k"], "v": cache["v"], "pos": pos0}
+        x, kv = modules.block(cfg, lp, x, cos, sin, mask, kv_cache=kv,
+                              method=method)
+        new_caches.append({"k": kv["k"], "v": kv["v"]})
+    logits = modules.logits_fn(cfg, params, x, method)
+    return logits, new_caches
+
+
 @functools.partial(jax.jit, static_argnames=("slot",), donate_argnums=(0,))
 def _install_slot(caches, row_caches, slot: int):
     """Copy a single-request prefill cache row into pool slot ``slot``."""
@@ -104,7 +142,13 @@ class BatchingEngine:
     def __init__(self, cfg: ModelConfig, params: Dict[str, Any],
                  max_batch: int = 8, max_seq_len: int = 2048,
                  eos_token_id: Optional[int] = None, method: str = "auto",
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16,
+                 prefill_chunk_size: Optional[int] = None):
+        """``prefill_chunk_size`` bounds per-step admission work: long
+        prompts prefill in fixed-size chunks interleaved with pool decode
+        steps, so running requests never stall behind a 100k-token arrival
+        (the continuous-batching "chunked prefill" discipline). ``None``
+        prefills each prompt whole at admission."""
         if cfg.is_mla:
             raise NotImplementedError(
                 "MLA caches need the latent layout; use serve.generate")
@@ -112,10 +156,12 @@ class BatchingEngine:
         self.max_batch, self.max_seq = max_batch, max_seq_len
         self.eos = eos_token_id
         self.method, self.dtype = method, dtype
+        self.chunk = prefill_chunk_size
         self.caches = gen.init_kv_cache(cfg, max_batch, max_seq_len, dtype)
         self.pos = np.zeros((max_batch,), np.int32)
         self.last_token = np.zeros((max_batch,), np.int32)
         self.slots: List[Optional[Request]] = [None] * max_batch
+        self.inflight: Dict[int, Dict[str, Any]] = {}  # slot -> prefill state
         self.queue: deque[Request] = deque()
         self.finished: List[Request] = []
 
@@ -127,24 +173,55 @@ class BatchingEngine:
 
     @property
     def has_work(self) -> bool:
-        return bool(self.queue) or any(s is not None for s in self.slots)
+        return (bool(self.queue) or bool(self.inflight)
+                or any(s is not None for s in self.slots))
 
     def _admit(self):
         for slot in range(self.max_batch):
-            if self.slots[slot] is not None or not self.queue:
+            if (self.slots[slot] is not None or slot in self.inflight
+                    or not self.queue):
                 continue
             req = self.queue.popleft()
-            row = gen.init_kv_cache(self.cfg, 1, self.max_seq, self.dtype)
-            logits, row = gen.prefill(
-                self.cfg, self.params, jnp.asarray(req.prompt[None]), row,
-                self.method, self.dtype)
-            self.caches = _install_slot(self.caches, row, slot)
-            tok = int(jnp.argmax(logits[0]))
-            req.output.append(tok)
-            self.slots[slot] = req
-            self.pos[slot] = len(req.prompt)
-            self.last_token[slot] = tok
-            self._retire_if_done(slot)
+            if self.chunk is None:
+                row = gen.init_kv_cache(self.cfg, 1, self.max_seq, self.dtype)
+                logits, row = gen.prefill(
+                    self.cfg, self.params, jnp.asarray(req.prompt[None]), row,
+                    self.method, self.dtype)
+                self._activate(slot, req, row, logits)
+            else:  # reserve the slot; chunks advance one per engine step
+                self.inflight[slot] = {
+                    "req": req,
+                    "row": gen.init_kv_cache(self.cfg, 1, self.max_seq,
+                                             self.dtype),
+                    "done": 0,
+                }
+
+    def _activate(self, slot: int, req: Request, row, logits):
+        self.caches = _install_slot(self.caches, row, slot)
+        tok = int(jnp.argmax(logits[0]))
+        req.output.append(tok)
+        self.slots[slot] = req
+        self.pos[slot] = len(req.prompt)
+        self.last_token[slot] = tok
+        self._retire_if_done(slot)
+
+    def _advance_prefill(self):
+        """One chunk for every in-flight admission (padded to chunk size so
+        jit sees one shape; padded tail rows are dead — see prefill_chunk)."""
+        for slot, st in list(self.inflight.items()):
+            req, c = st["req"], self.chunk
+            lo = st["done"]
+            chunk = req.prompt[lo : lo + c]
+            real = len(chunk)
+            if real < c:
+                chunk = np.pad(chunk, (0, c - real))
+            logits, st["row"] = prefill_chunk(
+                self.cfg, self.params, jnp.asarray(chunk[None]), st["row"],
+                jnp.int32(lo), self.method, self.dtype)
+            st["done"] += real
+            if st["done"] >= len(req.prompt):
+                del self.inflight[slot]
+                self._activate(slot, req, st["row"], logits[:, real - 1])
 
     def _retire_if_done(self, slot: int):
         req = self.slots[slot]
@@ -160,9 +237,12 @@ class BatchingEngine:
 
     # ------------------------------------------------------------- steps
     def step(self) -> List[Tuple[Any, int]]:
-        """Admit waiting requests, then decode one token for every active
-        slot. Returns the (request_id, token) pairs emitted this step."""
+        """Admit waiting requests, advance in-flight chunked prefills by one
+        chunk, then decode one token for every active slot. Returns the
+        (request_id, token) pairs emitted this step."""
         self._admit()
+        if self.inflight:
+            self._advance_prefill()
         active = [i for i, s in enumerate(self.slots) if s is not None]
         if not active:
             return []

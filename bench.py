@@ -49,30 +49,28 @@ def main():
     )
     prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, CTX)))
 
-    def run_prefill():
-        caches = gen.init_kv_cache(cfg, 1, CTX + DECODE_TOKENS, jnp.bfloat16)
-        logits, caches = gen.prefill(cfg, params, prompt, caches,
-                                     "auto", jnp.bfloat16)
-        np.asarray(logits)
-
-    def run_full():
-        out = gen.generate_compiled(cfg, params, prompt, DECODE_TOKENS,
+    def run_gen(n):
+        """Whole compiled generation; returns wall time. The tiny token
+        fetch keeps the dispatch RPC identical across lengths."""
+        t0 = time.perf_counter()
+        out = gen.generate_compiled(cfg, params, prompt, n,
                                     method="auto", dtype=jnp.bfloat16)
         np.asarray(out)  # full host transfer: immune to async-dispatch lies
+        return time.perf_counter() - t0
 
-    run_prefill()
-    run_full()  # compile + warmup
+    # decode tok/s by difference quotient of two generation lengths: the
+    # prefill and the constant per-dispatch tunnel RPC cancel in the
+    # subtraction. (Subtracting a separately-timed prefill instead
+    # over-reports: its [1, V] logits fetch is a much bigger RPC than the
+    # generation's token fetch.)
+    n_small = 32
+    run_gen(n_small), run_gen(DECODE_TOKENS)  # compile + warmup
 
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run_prefill()
-        dt_prefill = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        run_full()
-        dt_full = time.perf_counter() - t0
-        tok_s = DECODE_TOKENS / max(dt_full - dt_prefill, 1e-9)
-        best = max(best, tok_s)
+    # min over reps per length, then one quotient — robust to RPC jitter
+    # (max-of-paired-quotients picks lucky pairings and biases high)
+    t_small = min(run_gen(n_small) for _ in range(3))
+    t_big = min(run_gen(DECODE_TOKENS) for _ in range(3))
+    best = (DECODE_TOKENS - n_small) / max(t_big - t_small, 1e-9)
 
     print(json.dumps({
         "metric": "tinyllama_1b_w4a16_decode_bs1_ctx64",

@@ -70,3 +70,25 @@ def test_eos_and_capacity(rng):
 
     with pytest.raises(ValueError):
         eng2.add_request("too-long", np.zeros(64, np.int32), 4)
+
+
+def test_chunked_prefill_matches_whole(rng):
+    """prefill_chunk_size bounds admission work without changing results:
+    chunked and whole-prompt engines produce identical outputs, including a
+    prompt that is not a multiple of the chunk (padded tail rows are dead)."""
+    params = init_random_params(CFG, seed=7, scale=0.08)
+    prompts = {f"r{i}": rng.integers(0, 64, (l,))
+               for i, l in enumerate([11, 4, 7])}
+
+    def run(chunk):
+        eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                             method="jnp", dtype=jnp.float32,
+                             prefill_chunk_size=chunk)
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, 5)
+        return eng.run()
+
+    whole, chunked = run(None), run(4)
+    assert whole == chunked
+    for rid, p in prompts.items():
+        assert chunked[rid] == solo(params, p, 5), rid
