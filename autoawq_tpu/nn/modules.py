@@ -629,26 +629,30 @@ def _fused_attn_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
                    method: str, kv_cache: Dict[str, jax.Array]) -> bool:
     """Fused attention-step megakernel eligibility (ops/fused_attn_step.py).
 
-    Default OFF (measured): one launch replacing {qkv GEMM, rope, attention,
-    o GEMM} still loses ~12% decode wall-clock (785 -> 694 tok/s, TinyLlama
-    bs1) — during the in-kernel attention phase the DMA engines idle, while
-    the XLA chain's scheduler hides the next op's weight fetches under the
-    attention compute. Same lesson as the standalone decode kernel: at
-    decode, cross-op latency hiding beats intra-kernel fusion unless every
-    phase streams weights (the fused MLP, where both phases do, wins).
-    AWQ_TPU_FUSED_ATTN: "1" = on-TPU single-chip decode; "force" = also
-    off-TPU interpret mode (tests); "0" (default) = off."""
+    Measured policy (TinyLlama/Mistral, on-chip A/B): the single launch
+    replacing {qkv GEMM, rope, attention, o GEMM} loses short-context bs1
+    decode (785 -> 694 tok/s at B*T=576 — during the in-kernel attention
+    phase the DMA engines idle while the XLA chain's scheduler hides the
+    next op's weight fetches under attention compute) but WINS whenever the
+    attention phase itself moves real bytes: +24% at ctx2048 (146 vs 117 —
+    the XLA path's jnp.repeat GQA materialization re-reads the cache nh/nkv
+    times) and +2-5% at bs8. "auto" therefore engages the kernel when
+    B*T >= 2048. AWQ_TPU_FUSED_ATTN: "auto" (default) | "1" always |
+    "force" = also off-TPU interpret mode (tests) | "0" never."""
     if method == "jnp":
         return False
-    flag = _os.environ.get("AWQ_TPU_FUSED_ATTN", "0")
+    flag = _os.environ.get("AWQ_TPU_FUSED_ATTN", "auto")
     if flag == "0":
         return False
     if flag != "force" and not (jax.default_backend() == "tpu"
                                 and jax.device_count() == 1):
         return False
+    k_cache = kv_cache["k"]
+    if flag == "auto" and k_cache.shape[0] * k_cache.shape[2] < 2048:
+        return False
     from autoawq_tpu.ops import fused_attn_step
 
-    return fused_attn_step.supported(cfg, p, x, kv_cache["k"])
+    return fused_attn_step.supported(cfg, p, x, k_cache)
 
 
 def _fused_mlp_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,

@@ -142,3 +142,34 @@ def test_fused_attn_eligibility(rng):
                              {"qkv_proj": qkv, "o_proj": o}, p3, kc)
     assert not fas.supported(cfg, {"qkv_proj": qkv, "o_proj": o},
                              jnp.zeros((16, 1, 256), jnp.bfloat16), kc)
+
+
+def test_auto_policy_gate(rng, monkeypatch):
+    """AWQ_TPU_FUSED_ATTN=auto engages the kernel only when B*T >= 2048
+    (measured crossover: the kernel loses short-ctx bs1, wins long-ctx and
+    batched decode)."""
+    from autoawq_tpu.nn import modules
+
+    hd, h, t = 64, 256, 64
+    qkv, o, x, kc, vc = _setup(rng, 1, 8, 2, hd, h, t)
+    cfg = ModelConfig(model_type="llama", vocab_size=64, hidden_size=h,
+                      intermediate_size=512, num_hidden_layers=1,
+                      num_attention_heads=8, num_key_value_heads=2,
+                      head_dim=hd, max_position_embeddings=4096)
+    p = {"qkv_proj": qkv, "o_proj": o}
+    x3 = x[:, None, :]
+    monkeypatch.setenv("AWQ_TPU_FUSED_ATTN", "force")
+    small = {"k": kc, "v": vc, "pos": jnp.int32(3)}
+    assert modules._fused_attn_ok(cfg, p, x3, "auto", small)
+    monkeypatch.setenv("AWQ_TPU_FUSED_ATTN", "auto")
+    # auto never fires off-TPU; the B*T branch is tested via the flag check
+    # order: B*T < 2048 rejects before the backend check would accept
+    big = {"k": jnp.zeros((1, 2, 4096, hd), jnp.bfloat16),
+           "v": jnp.zeros((1, 2, 4096, hd), jnp.bfloat16),
+           "pos": jnp.int32(3)}
+    import jax as _jax
+    on_tpu = _jax.default_backend() == "tpu"
+    assert modules._fused_attn_ok(cfg, p, x3, "auto", big) == on_tpu
+    assert not modules._fused_attn_ok(cfg, p, x3, "auto", small)
+    monkeypatch.setenv("AWQ_TPU_FUSED_ATTN", "0")
+    assert not modules._fused_attn_ok(cfg, p, x3, "auto", big)
