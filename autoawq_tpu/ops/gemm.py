@@ -104,6 +104,16 @@ def _awq_matmul_vjp(x, qweight, scales, qzeros, out_features, method):
     return _awq_matmul_impl(x, qweight, scales, qzeros, out_features, method)
 
 
+# NOTE on the reference's M>=1024 dequant-then-matmul heuristic
+# (awq/modules/linear/gemm.py:48-58): measured on one v5e chip the XLA
+# dequant+matmul path IS faster at large M (M=4096: 78 vs 47 TFLOP/s) —
+# but it is NOT memory-safe: XLA keeps several layers' dequantized bf16
+# weight temps alive across an unrolled forward, and a 7B ctx2048 prefill
+# OOMs a 16 GB chip (24.3 GB requested). The fused kernel instead gets a
+# weights-stationary large-M mode (ops/pallas_gemm.py: extract once into
+# VMEM scratch, stream M tiles innermost) — same fix, no HBM blowup.
+
+
 def _awq_matmul_impl(x, qweight, scales, qzeros, out_features, method):
     if method != "jnp":
         from autoawq_tpu.ops import pallas_gemm, sharded_gemm

@@ -53,6 +53,24 @@ from jax.experimental.pallas import tpu as pltpu
 PAIRS = 4  # extraction passes (one per low/high nibble pair)
 QW_BLOCK_MAX = 3 * 1024 * 1024  # qweight block byte cap
 
+# weights-stationary large-M mode: x held whole in VMEM, weights extracted
+# ONCE per column superblock into a bf16 scratch, M tiles streamed against
+# it. The default grid re-reads (and re-extracts) every weight block once
+# per M tile — at M=2048 that is 8x the weight traffic and VPU extraction
+# work, capping the kernel at ~42 TFLOP/s while a (memory-unsafe) XLA
+# dequant+matmul reached 78. Engaged when M >= WS_MIN_M and both x and the
+# extracted slab fit their VMEM budgets; longer prompts are processed in
+# M-slabs by the wrapper.
+WS_MIN_M = 1024
+# resident-x sweet spot (measured, mistral gate_up): a 33.5 MB slab
+# (M=4096 @ K=4096) runs 116 TFLOP/s; a 42 MB slab falls off a VMEM cliff
+# to ~50 (the operand double-buffers, 2x42 + scratches > 96 MB). A single
+# call accepts up to WS_X_MAX resident; anything longer slabs at
+# WS_SLAB_BYTES so every slab sits on the sweet spot.
+WS_X_MAX = 34 * 1024 * 1024
+WS_SLAB_BYTES = 32 * 1024 * 1024
+WS_WBF_MAX = 16 * 1024 * 1024  # extracted-weights scratch cap (bytes)
+
 _MASK = 0x00780078  # bf16 mantissa bits [3, 7) in both 16-bit halves
 _EXP = 0x43804380  # bf16 exponent 2^8 in both halves -> value 256 + 16n
 
@@ -113,6 +131,118 @@ def _kernel(x_ref, qw_ref, sc_ref, *rest, nk: int, group_size: int,
     @pl.when(k == nk - 1)
     def _():
         out_ref[:] = acc_ref[:].reshape(bm, PAIRS * lanes).astype(out_ref.dtype)
+
+
+def _kernel_ws(x_ref, qw_ref, sc_ref, *rest, group_size: int, lanes: int,
+               bm: int):
+    """Weights-stationary step: grid (N_j, M_m), m innermost. At m == 0 the
+    j-th superblock is extracted AND dequantized into the bf16 scratch —
+    every m step is then a pure [BM, K] x [K, L] MXU dot with zero
+    per-element epilogue. (The group-factored formulation the streaming
+    grid uses would pay its O(BG x BM x L) VPU post-scaling once per M
+    tile; at large M that epilogue, not bandwidth, is the ceiling.)"""
+    symmetric = len(rest) == 2
+    qz_ref = None if symmetric else rest[0]
+    out_ref, wbf_ref = rest[-2], rest[-1]
+    m = pl.program_id(1)
+    k = x_ref.shape[1]
+    g = sc_ref.shape[1]
+
+    @pl.when(m == 0)
+    def _():
+        s_all = sc_ref[0]  # [G, SB]
+        for p in range(PAIRS):
+            wraw = _extract_pair(qw_ref[:], p).astype(jnp.float32)  # 256+16n
+            if symmetric:
+                zb = jnp.float32(384.0)
+            else:
+                zb = _extract_pair(qz_ref[0], p).astype(
+                    jnp.float32)[:, None, :]  # [G, 1, L]
+            s = (s_all[:, p * lanes : (p + 1) * lanes]
+                 * 0.0625)[:, None, :]  # [G, 1, L]
+            w = (wraw.reshape(g, group_size, lanes) - zb) * s
+            wbf_ref[p] = w.reshape(k, lanes).astype(jnp.bfloat16)
+
+    x = x_ref[pl.ds(m * bm, bm), :]  # [BM, K] slab of the resident x
+    outs = [
+        jax.lax.dot_general(
+            x, wbf_ref[p], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for p in range(PAIRS)
+    ]
+    out_ref[:] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
+
+
+def _ws_ok(m_pad: int, k: int, lanes: int, group_size: int) -> bool:
+    # no upper bound on M here: _ws_matmul slabs oversized inputs at the
+    # sweet-spot size itself
+    return (
+        m_pad >= WS_MIN_M
+        and PAIRS * k * lanes * 2 <= WS_WBF_MAX
+        and k % (2 * group_size) == 0
+        and (k // group_size) % 2 == 0
+    )
+
+
+def _ws_matmul(x2: jax.Array, qweight: jax.Array, scales: jax.Array,
+               qzeros: Optional[jax.Array], *, lanes: int,
+               interpret: bool) -> jax.Array:
+    """Weights-stationary pass: returns [m(padded), N_pad]. Splits very
+    long inputs into M-slabs that keep x VMEM-resident (weights are re-read
+    once per slab — still 1/(slab/256)th of the default grid's traffic)."""
+    m, k = x2.shape
+    bm = 256
+    m_pad = -(-m // bm) * bm
+    if m_pad * k * 2 <= WS_X_MAX:
+        max_rows = m_pad
+    else:
+        max_rows = max(bm, (WS_SLAB_BYTES // (k * 2)) // bm * bm)
+    if m_pad > max_rows:
+        outs = [
+            _ws_matmul(x2[lo : lo + max_rows], qweight, scales, qzeros,
+                       lanes=lanes, interpret=interpret)
+            for lo in range(0, m, max_rows)
+        ]
+        return jnp.concatenate(outs, axis=0)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    n4 = qweight.shape[1]
+    n_pad = 4 * n4
+    g = scales.shape[0]
+    sb = PAIRS * lanes
+    grid = (n_pad // sb, m_pad // bm)
+
+    in_specs = [
+        pl.BlockSpec((m_pad, k), lambda j, mm: (0, 0)),
+        pl.BlockSpec((k // 2, lanes), lambda j, mm: (0, j)),
+        pl.BlockSpec((1, g, sb), lambda j, mm: (0, 0, j)),
+    ]
+    operands = [x2, qweight,
+                scales.astype(jnp.float32).reshape(1, g, n_pad)]
+    if qzeros is not None:
+        in_specs.append(
+            pl.BlockSpec((1, g // 2, lanes), lambda j, mm: (0, 0, j)))
+        operands.append(qzeros.reshape(1, g // 2, n4))
+
+    return pl.pallas_call(
+        functools.partial(_kernel_ws, group_size=k // g, lanes=lanes, bm=bm),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, sb), lambda j, mm: (mm, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((PAIRS, k, lanes), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * k,
+            bytes_accessed=m_pad * k * 2 + k * n4 * 2 + m_pad * n_pad * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
 
 
 def _lanes(n4: int) -> int:
@@ -178,6 +308,16 @@ def awq_matmul_pallas(
     g = scales.shape[0]
     group_size = k // g
     lanes = _lanes(n4)
+
+    group_size_ = k // g
+    lanes_ = _lanes(n4)
+    if block_k is None and _ws_ok(-(-m // 256) * 256, k, lanes_, group_size_):
+        y = _ws_matmul(x2, qweight, scales, qzeros, lanes=lanes_,
+                       interpret=interpret)
+        y = y[:m, :out_features]
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y.reshape(*orig_shape[:-1], out_features)
 
     # NOTE: do NOT run unpadded M<8 blocks — Mosaic accepts sublane-1 blocks
     # but lowers them to a catastrophically slow path (~40x). Padding decode

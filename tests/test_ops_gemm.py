@@ -127,3 +127,57 @@ def test_symmetric_zeros_free_path(rng):
     ids = rng.integers(0, 64, (1, 8))
     np.testing.assert_allclose(np.asarray(m(ids)), np.asarray(m2(ids)),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_ws_large_m_matches_oracle(rng):
+    """Weights-stationary large-M mode (extract-once, x VMEM-resident)
+    matches the oracle; small-M inputs keep the streaming grid."""
+    k, n = 256, 1024
+    qw, ps, qz, wdq = make_packed(rng, k, n)
+    x = rng.standard_normal((1200, k)).astype(np.float32) * 0.3
+    y = awq_matmul_pallas(jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw),
+                          jnp.asarray(ps), jnp.asarray(qz),
+                          out_features=n, interpret=True)
+    ref = x @ wdq
+    scale = np.abs(ref).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(y, np.float32) / scale,
+                               ref / scale, atol=2e-2)
+
+
+def test_ws_slab_split_matches_oracle(rng, monkeypatch):
+    """M beyond the resident-x budget is processed in slabs."""
+    from autoawq_tpu.ops import pallas_gemm
+
+    monkeypatch.setattr(pallas_gemm, "WS_X_MAX", 512 * 1024)  # force slabs
+    k, n = 256, 1024
+    qw, ps, qz, wdq = make_packed(rng, k, n)
+    x = rng.standard_normal((2100, k)).astype(np.float32) * 0.3
+    y = pallas_gemm.awq_matmul_pallas(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw), jnp.asarray(ps),
+        jnp.asarray(qz), out_features=n, interpret=True)
+    assert y.shape == (2100, n)
+    ref = x @ wdq
+    scale = np.abs(ref).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(y, np.float32) / scale,
+                               ref / scale, atol=2e-2)
+
+
+def test_ws_symmetric(rng):
+    from autoawq_tpu.core.quant import quantize_weight
+
+    k, n = 256, 1024
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    q, s, _ = quantize_weight(w, group_size=128, zero_point=False)
+    qw = packing.pack_planar(np.asarray(q))
+    ps = packing.pad_scales_planar(np.asarray(s))
+    wdq = np.asarray(dequantize_planar(jnp.asarray(qw), jnp.asarray(ps),
+                                       None, out_features=n,
+                                       dtype=jnp.float32))
+    x = rng.standard_normal((1100, k)).astype(np.float32) * 0.3
+    y = awq_matmul_pallas(jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw),
+                          jnp.asarray(ps), None, out_features=n,
+                          interpret=True)
+    ref = x @ wdq
+    scale = np.abs(ref).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(y, np.float32) / scale,
+                               ref / scale, atol=2e-2)
