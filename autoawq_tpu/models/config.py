@@ -131,6 +131,13 @@ class ModelConfig:
                 kwargs["rope_scaling"] = _freeze_rope(kwargs["rope_scaling"])
             return cls(**kwargs)
         mt = d.get("model_type", "llama")
+        # trust_remote_code-era aliases the reference registers separately
+        # (awq/models/auto.py:9-47): old falcon checkpoints say RefinedWeb,
+        # old Yi checkpoints say "Yi" — both are vanilla members of existing
+        # families here
+        mt = {"RefinedWeb": "falcon", "RefinedWebModel": "falcon",
+              "Yi": "yi"}.get(mt, mt)
+        d = {**d, "model_type": mt}
         if isinstance(d.get("thinker_config"), dict):
             # qwen2_5_omni nests thinker_config.text_config; the talker /
             # token2wav submodels are never quantized (reference
@@ -432,6 +439,12 @@ def _adapt_mpt(d):
 
 
 def _adapt_falcon(d):
+    # RefinedWeb(-Model)-era configs spell the core fields n_head / n_layer
+    # (reference registers them as separate model_types, awq/models/auto.py)
+    if "num_attention_heads" not in d and "n_head" in d:
+        d = {**d, "num_attention_heads": d["n_head"]}
+    if "num_hidden_layers" not in d and "n_layer" in d:
+        d = {**d, "num_hidden_layers": d["n_layer"]}
     nh = d["num_attention_heads"]
     if d.get("new_decoder_architecture"):
         nkv = d.get("num_kv_heads", nh)
@@ -440,6 +453,8 @@ def _adapt_falcon(d):
         nkv = 1 if d.get("multi_query", True) else nh
         shared = True  # falcon-7b: single input_layernorm feeds attn + mlp
     return dict(
+        num_attention_heads=nh,
+        num_hidden_layers=d["num_hidden_layers"],
         num_key_value_heads=nkv,
         intermediate_size=d.get("ffn_hidden_size") or 4 * d["hidden_size"],
         hidden_act="gelu",

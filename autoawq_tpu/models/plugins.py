@@ -580,10 +580,10 @@ class DeepseekPlugin:
 
 
 PLUGINS: Dict[str, type] = {}
-for plugin in (LlamaFamilyPlugin, MoEFamilyPlugin, Phi3Plugin, OptPlugin,
-               BloomPlugin, GptjPlugin, GptNeoxPlugin, GptBigcodePlugin,
-               Starcoder2Plugin, MptPlugin, FalconPlugin, CoherePlugin,
-               QwenV1Plugin, DeepseekPlugin):
+for plugin in (LlamaFamilyPlugin, FusedQkvLlamaPlugin, MoEFamilyPlugin,
+               Phi3Plugin, OptPlugin, BloomPlugin, GptjPlugin, GptNeoxPlugin,
+               GptBigcodePlugin, Starcoder2Plugin, MptPlugin, FalconPlugin,
+               CoherePlugin, QwenV1Plugin, DeepseekPlugin):
     for mt in plugin.model_types:
         PLUGINS[mt] = plugin
 

@@ -169,3 +169,66 @@ def test_internlm2_quantized_save_roundtrip():
                                   np.asarray(b["qweight"]))
     np.testing.assert_allclose(np.asarray(a["scales"]),
                                np.asarray(b["scales"]), atol=1e-3)
+
+
+def test_reference_registry_coverage():
+    """Every model_type the reference registers (awq/models/auto.py:9-47)
+    either has a quantization plugin here (after alias normalization) or is
+    a multimodal wrapper dispatched at the api level."""
+    import re
+
+    from autoawq_tpu.api import MULTIMODAL_TYPES
+    from autoawq_tpu.models.config import ModelConfig
+    from autoawq_tpu.models.plugins import PLUGINS
+
+    ref_types = [
+        "RefinedWeb", "RefinedWebModel", "Yi", "aquila", "baichuan",
+        "bloom", "cohere", "deepseek_v2", "deepseek_v3", "exaone", "falcon",
+        "gemma", "gemma2", "gpt_bigcode", "gpt_neox", "gptj", "internlm2",
+        "llama", "llava", "llava_next", "minicpm", "minicpm3", "mistral",
+        "mixtral", "mpt", "opt", "phi3", "phi3_v", "qwen", "qwen2",
+        "qwen2_5_vl", "qwen2_vl", "qwen3", "qwen3_moe", "stablelm",
+        "starcoder2",
+    ]
+    alias = {"RefinedWeb": "falcon", "RefinedWebModel": "falcon", "Yi": "yi"}
+    for mt in ref_types:
+        norm = alias.get(mt, mt)
+        assert norm in PLUGINS or norm in MULTIMODAL_TYPES, mt
+
+
+def test_baichuan_quantize_end_to_end(rng):
+    """FusedQkvLlamaPlugin is registered: a W_pack-style model runs the
+    full AWQ search + pack (regression: the plugin existed but was missing
+    from the registry, so quantize() raised for baichuan/internlm2)."""
+    import jax.numpy as jnp
+
+    from autoawq_tpu.config import AwqConfig
+    from autoawq_tpu.models.config import ModelConfig
+    from autoawq_tpu.models.plugins import get_plugin
+    from autoawq_tpu.io.hf import init_random_params
+    from autoawq_tpu.nn import fuse
+    from autoawq_tpu.quantize.quantizer import AwqQuantizer
+    from autoawq_tpu.utils.tree import iter_linears
+
+    assert get_plugin("baichuan").__name__ == "FusedQkvLlamaPlugin"
+    assert get_plugin("internlm2").__name__ == "FusedQkvLlamaPlugin"
+
+    cfg = ModelConfig(model_type="baichuan", vocab_size=96, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=1,
+                      num_attention_heads=4, num_key_value_heads=4,
+                      head_dim=16, max_position_embeddings=32)
+    # baichuan loads with ONLY W_pack fused -> qkv_proj (io/hf.py layout);
+    # gate/up stay separate like any llama checkpoint
+    params = init_random_params(cfg, seed=2, scale=0.08)
+    for lp in params["layers"]:
+        attn = lp["self_attn"]
+        attn["qkv_proj"] = fuse._fuse(
+            [attn.pop("q_proj"), attn.pop("k_proj"), attn.pop("v_proj")],
+            [64, 64, 64])
+    calib = rng.integers(0, 96, (2, 16))
+    q = AwqQuantizer(cfg, AwqConfig(q_group_size=32), params, calib,
+                     progress=False)
+    out = q.quantize()
+    lins = dict(iter_linears(out["layers"][0]))
+    assert "qweight" in lins["self_attn.qkv_proj"]
+    assert "qweight" in lins["mlp.down_proj"]
