@@ -39,7 +39,16 @@ from autoawq_tpu.ops.pallas_gemm import (
     _pick_bk,
 )
 
-BLOCK_M = 8  # token rows per block (sublane-aligned)
+BLOCK_M = 8  # decode token rows per block (sublane-aligned)
+
+
+def pick_block_m(total_entries: int, num_experts: int) -> int:
+    """Token-block size: decode keeps 8-row blocks (one expert rarely owns
+    more); prefill grows blocks so the int4 extraction amortizes over more
+    rows, capped so per-expert padding stays ~<=25% of real rows."""
+    if total_entries <= 64:
+        return BLOCK_M
+    return min(128, max(8, (total_entries // (4 * num_experts)) // 8 * 8))
 
 
 def moe_align(topi: jax.Array, num_experts: int,
@@ -119,7 +128,8 @@ def _kernel(be_ref, x_ref, qw_ref, sc_ref, *rest, nk: int, group_size: int,
         out_ref[:] = acc_ref[:].reshape(bm, PAIRS * lanes).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_features", "interpret"))
+@functools.partial(jax.jit, static_argnames=("out_features", "block_m",
+                                             "interpret"))
 def grouped_awq_matmul_pallas(
     xs: jax.Array,  # [NB*BM, K] expert-sorted activation rows
     block_expert: jax.Array,  # [NB] int32
@@ -128,11 +138,12 @@ def grouped_awq_matmul_pallas(
     qzeros: Optional[jax.Array] = None,  # [E, ceil(G/2), N_pad/4] | None (symmetric)
     *,
     out_features: int,
+    block_m: int = BLOCK_M,
     interpret: bool = False,
 ) -> jax.Array:
     """Per-block expert-indexed W4A16 matmul -> [NB*BM, out_features]."""
     m, k = xs.shape
-    nb = m // BLOCK_M
+    nb = m // block_m
     e, _, n4 = qweight.shape
     n_pad = 4 * n4
     g = scales.shape[1]
@@ -149,7 +160,7 @@ def grouped_awq_matmul_pallas(
     sc4 = scales.astype(jnp.float32).reshape(e, nk, bg, n_pad)
 
     in_specs = [
-        pl.BlockSpec((BLOCK_M, bk), lambda i, j, kk, be: (i, kk)),
+        pl.BlockSpec((block_m, bk), lambda i, j, kk, be: (i, kk)),
         pl.BlockSpec((1, bk // 2, lanes),
                      lambda i, j, kk, be: (be[i], kk, j)),
         pl.BlockSpec((1, 1, bg, sb), lambda i, j, kk, be: (be[i], kk, 0, j)),
@@ -165,8 +176,8 @@ def grouped_awq_matmul_pallas(
         num_scalar_prefetch=1,
         grid=(nb, n_pad // sb, nk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((BLOCK_M, sb), lambda i, j, kk, be: (i, j)),
-        scratch_shapes=[pltpu.VMEM((BLOCK_M, PAIRS, lanes), jnp.float32)],
+        out_specs=pl.BlockSpec((block_m, sb), lambda i, j, kk, be: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, PAIRS, lanes), jnp.float32)],
     )
     out = pl.pallas_call(
         functools.partial(_kernel, nk=nk, group_size=group_size, lanes=lanes),
@@ -210,19 +221,20 @@ def moe_mlp(
     gu, dn = stacked["gate_up_proj"], stacked["down_proj"]
     e = gu["qweight"].shape[0]
 
-    gather_idx, block_expert = moe_align(topi, e)
+    bm = pick_block_m(t * k, e)
+    gather_idx, block_expert = moe_align(topi, e, block_m=bm)
     xz = jnp.concatenate([x, jnp.zeros((1, h), x.dtype)], axis=0)
     xs = xz[jnp.minimum(gather_idx // k, t)]  # sentinel -> zero row
 
     g2 = grouped_awq_matmul_pallas(
         xs, block_expert, gu["qweight"], gu["scales"], gu.get("qzeros"),
-        out_features=2 * intermediate, interpret=interpret,
+        out_features=2 * intermediate, block_m=bm, interpret=interpret,
     )
     hmid = (act_fn(hidden_act, g2[:, :intermediate])
             * g2[:, intermediate:]).astype(x.dtype)
     y = grouped_awq_matmul_pallas(
         hmid, block_expert, dn["qweight"], dn["scales"], dn.get("qzeros"),
-        out_features=h, interpret=interpret,
+        out_features=h, block_m=bm, interpret=interpret,
     )
     w_flat = jnp.concatenate(
         [topw.reshape(-1).astype(jnp.float32), jnp.zeros((1,), jnp.float32)]

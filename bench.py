@@ -2,9 +2,9 @@
 batch 1, on one TPU chip.
 
 Baseline: the reference's TinyLlama 1B GEMV decode bs1 ctx64 = 548.99 tok/s
-on an RTX 4090 (BASELINE.md / reference README.md:220). Like the reference's
-examples/benchmark.py, prefill and decode are timed separately and the
-headline is decode tokens/s.
+on an RTX 4090 (BASELINE.md / reference README.md:220). The headline is
+decode tokens/s, isolated by a difference quotient over two generation
+lengths (prefill and the constant dispatch RPC cancel in the subtraction).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -189,3 +189,42 @@ def test_stacked_symmetric_moe_forward_matches_dense(rng):
     got = np.asarray(modules.forward(cfg, stacked, jnp.asarray(tokens),
                                      method="jnp", dtype=np.float32))
     np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_prefill_block_m_matches_dense(rng):
+    """Large token counts pick bigger token blocks (extraction amortizes);
+    results must match the per-expert oracle regardless of block size."""
+    from autoawq_tpu.ops.moe_gemm import pick_block_m
+
+    assert pick_block_m(16, 4) == 8
+    assert pick_block_m(4096, 8) == 128
+    assert pick_block_m(4096, 64) == 16
+
+    inter = 128
+    gu_q, gu_s, gu_z, gu_dense = _stacked(rng, k=K, n=2 * inter)
+    dn_q, dn_s, dn_z, dn_dense = _stacked(rng, k=inter, n=K)
+    t, k = 256, 2
+    assert pick_block_m(t * k, E) > 8  # exercises the large-block path
+    x = rng.standard_normal((t, K)).astype(np.float32) * 0.3
+    topi = rng.integers(0, E, (t, k)).astype(np.int32)
+    topw = rng.random((t, k)).astype(np.float32)
+
+    got = np.asarray(moe_gemm.moe_mlp(
+        None,
+        {"gate_up_proj": {"qweight": gu_q, "scales": gu_s, "qzeros": gu_z},
+         "down_proj": {"qweight": dn_q, "scales": dn_s, "qzeros": dn_z}},
+        jnp.asarray(x), jnp.asarray(topw), jnp.asarray(topi),
+        "silu", inter, interpret=INTERP,
+    ))
+
+    def silu(v):
+        return v / (1.0 + np.exp(-v))
+
+    want = np.zeros((t, K), np.float32)
+    for ti in range(t):
+        for s in range(k):
+            e = topi[ti, s]
+            g2 = x[ti] @ gu_dense[e][:, : 2 * inter]
+            hmid = (silu(g2[:inter]) * g2[inter:]).astype(np.float32)
+            want[ti] += topw[ti, s] * (hmid @ dn_dense[e][:, :K])
+    np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2)
