@@ -146,14 +146,29 @@ def mrope_position_ids(
     *,
     image_token_id: int,
     spatial_merge_size: int,
+    video_token_id: Optional[int] = None,
+    second_per_grid_ts: Optional[Sequence[float]] = None,
+    tokens_per_second: Optional[float] = None,
 ) -> np.ndarray:
     """3-D position ids [3, B, S] (HF ``get_rope_index``): vision runs get
     (temporal, height, width) grids, text runs advance all three streams
     together from max(previous)+1. grid h/w are in patches; the LLM sees
-    them divided by the spatial merge size."""
+    them divided by the spatial merge size.
+
+    Video placeholders (``video_token_id``) are handled like image runs
+    except for the temporal stream: Qwen2.5-VL scales it to absolute time
+    (HF ``Qwen2_5_VLModel.get_rope_index``:
+    ``t_index = arange(t) * second_per_grid_t * tokens_per_second``) when
+    ``tokens_per_second`` is given; Qwen2-VL (``tokens_per_second=None``)
+    keeps the raw frame index. ``second_per_grid_ts`` aligns with
+    ``grid_thw`` (entries for image blocks are ignored; HF uses 0 there,
+    which coincides with arange(1) for t=1 images)."""
     input_ids = np.asarray(input_ids)
     b, s = input_ids.shape
     out = np.zeros((3, b, s), np.int64)
+    vision_ids = [image_token_id]
+    if video_token_id is not None:
+        vision_ids.append(video_token_id)
     gi = 0
     for i in range(b):
         ids = input_ids[i]
@@ -161,7 +176,7 @@ def mrope_position_ids(
         st = 0
         nxt = 0  # next free position value
         while True:
-            img = np.nonzero(ids[st:] == image_token_id)[0]
+            img = np.nonzero(np.isin(ids[st:], vision_ids))[0]
             if img.size == 0:
                 break
             ed = st + int(img[0])
@@ -170,13 +185,27 @@ def mrope_position_ids(
                 pos_chunks.append(np.broadcast_to(text, (3, ed - st)))
                 nxt = int(text[-1]) + 1
             t, h, w = grid_thw[gi]
-            gi += 1
+            is_video = (video_token_id is not None
+                        and ids[ed] == video_token_id)
             lh, lw = h // spatial_merge_size, w // spatial_merge_size
-            tt = np.repeat(np.arange(t), lh * lw)
+            if tokens_per_second is not None and is_video:
+                spg = (second_per_grid_ts[gi]
+                       if second_per_grid_ts is not None else 1.0)
+                # HF quirk preserved: get_rope_index casts second_per_grid_t
+                # to range_tensor's int64 dtype BEFORE multiplying
+                # (modeling_qwen2_5_vl.py ``torch.as_tensor(second_per_grid_t,
+                # dtype=range_tensor.dtype)``), so fractional grid intervals
+                # truncate (2.5 -> 2, 0.5 -> 0). Parity > prettiness.
+                t_index = (np.arange(t) * int(spg)
+                           * float(tokens_per_second)).astype(np.int64)
+            else:
+                t_index = np.arange(t)
+            gi += 1
+            tt = np.repeat(t_index, lh * lw)
             hh = np.tile(np.repeat(np.arange(lh), lw), t)
             ww = np.tile(np.arange(lw), t * lh)
             pos_chunks.append(np.stack([tt, hh, ww]) + nxt)
-            nxt = nxt + max(t, lh, lw)
+            nxt = nxt + max(int(t_index[-1]) + 1 if t else 1, lh, lw)
             st = ed + t * lh * lw
         if st < s:
             text = np.arange(s - st) + nxt
@@ -217,6 +246,7 @@ def qwen2vl_forward(
     grid_thw: Sequence[Tuple[int, int, int]] = (),
     *,
     image_token_id: int,
+    video_token_id: Optional[int] = None,
     method: str = "auto",
     dtype=jnp.float32,
 ) -> jax.Array:
@@ -229,12 +259,15 @@ def qwen2vl_forward(
     if patches is not None and len(grid_thw):
         feats = qwen2vl_vision_features(vcfg, params["visual"], patches,
                                         grid_thw).astype(x.dtype)
-        pos = np.nonzero(ids_np.reshape(-1) == image_token_id)
+        vis_ids = [image_token_id] + (
+            [video_token_id] if video_token_id is not None else [])
+        pos = np.nonzero(np.isin(ids_np.reshape(-1), vis_ids))
         b, s, h = x.shape
         x = x.reshape(b * s, h).at[pos[0]].set(feats).reshape(b, s, h)
 
     positions3 = mrope_position_ids(
         ids_np, grid_thw, image_token_id=image_token_id,
+        video_token_id=video_token_id,
         spatial_merge_size=vcfg.get("spatial_merge_size", 2))
     section = (cfg.rope_scaling_dict or {}).get("mrope_section")
     if section is None:  # no section config: plain 1-D rope on stream 0
@@ -529,21 +562,30 @@ def qwen25vl_forward(
     grid_thw: Sequence[Tuple[int, int, int]] = (),
     *,
     image_token_id: int,
+    video_token_id: Optional[int] = None,
+    second_per_grid_ts: Optional[Sequence[float]] = None,
     method: str = "auto",
     dtype=jnp.float32,
 ) -> jax.Array:
-    """Qwen2.5-VL multimodal forward -> logits (same M-RoPE LM as 2.0)."""
+    """Qwen2.5-VL multimodal forward -> logits (same M-RoPE LM as 2.0,
+    except the video temporal stream is scaled to absolute time via
+    ``tokens_per_second`` from the vision config — HF ``get_rope_index``)."""
     ids_np = np.asarray(input_ids)
     lm = params["language_model"]
     x = modules.embed(cfg, lm, jnp.asarray(ids_np), dtype)
     if patches is not None and len(grid_thw):
         feats = qwen25vl_vision_features(vcfg, params["visual"], patches,
                                          grid_thw).astype(x.dtype)
-        pos = np.nonzero(ids_np.reshape(-1) == image_token_id)
+        vis_ids = [image_token_id] + (
+            [video_token_id] if video_token_id is not None else [])
+        pos = np.nonzero(np.isin(ids_np.reshape(-1), vis_ids))
         b, s, h = x.shape
         x = x.reshape(b * s, h).at[pos[0]].set(feats).reshape(b, s, h)
     positions3 = mrope_position_ids(
         ids_np, grid_thw, image_token_id=image_token_id,
+        video_token_id=video_token_id,
+        second_per_grid_ts=second_per_grid_ts,
+        tokens_per_second=vcfg.get("tokens_per_second", 2),
         spatial_merge_size=vcfg.get("spatial_merge_size", 2))
     section = (cfg.rope_scaling_dict or {}).get("mrope_section")
     if section is None:

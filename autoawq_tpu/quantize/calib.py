@@ -2,13 +2,15 @@
 
 Accepts: a HF dataset name ("pileval" default, needs network), a list of
 strings (tokenized here), a list of token-id lists, or a pre-tokenized 2-D
-array. Reference semantics preserved: shuffle, concatenate all samples, then
-re-split into fixed [n_samples, max_seq_len] blocks.
+array. Reference semantics preserved exactly: shuffle (seed 42), DROP
+samples longer than max_seq_len (calib_data.py:50-51), take the first
+n_samples surviving samples (calib_data.py:56-58), concatenate, then
+re-split into fixed [*, max_seq_len] blocks (calib_data.py:59-65).
 """
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Union
+from typing import Any, List, Sequence, Union
 
 import numpy as np
 
@@ -21,7 +23,13 @@ def get_calib_dataset(
     split: str = "train",
     text_column: str = "text",
     seed: int = 42,
+    filter_long_samples: bool = True,
 ) -> np.ndarray:
+    """``filter_long_samples=True`` is the reference behavior: samples
+    longer than ``max_seq_len`` never enter the concatenated stream
+    (awq/utils/calib_data.py:50-51), so same-dataset calibration sees the
+    identical token blocks AutoAWQ would. ``False`` keeps everything
+    (more tokens from fewer documents)."""
     if isinstance(data, np.ndarray):
         if data.ndim != 2:
             raise ValueError("pre-tokenized array must be [n, seq_len]")
@@ -36,10 +44,26 @@ def get_calib_dataset(
     else:  # list of token-id lists
         ids = [np.asarray(t) for t in data]
 
+    # reference sample selection (calib_data.py:41-58): skip empty and
+    # too-long samples, stop after n_samples survivors
+    kept: List[np.ndarray] = []
+    for t in ids:
+        t = t.reshape(-1)
+        if t.size == 0:
+            continue
+        if filter_long_samples and t.size > max_seq_len:
+            continue
+        kept.append(t)
+        if len(kept) == n_samples:
+            break
+    if not kept:
+        raise ValueError("no calibration samples survive the length filter")
+
     # concatenate and re-split into max_seq_len blocks (calib_data.py:59-65)
-    ids = [t for t in ids if 0 < t.size]
-    cat = np.concatenate([t.reshape(-1) for t in ids])
-    n_blocks = min(n_samples, cat.size // max_seq_len)
+    cat = np.concatenate(kept)
+    n_blocks = cat.size // max_seq_len
+    if not filter_long_samples:
+        n_blocks = min(n_samples, n_blocks)
     if n_blocks == 0:
         raise ValueError(
             f"calibration data too short: {cat.size} tokens < {max_seq_len}"

@@ -61,8 +61,12 @@ def batched_decode_step(
         ok &= ki > (pos[:, None] - cfg.sliding_window)
     mask = jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
     if cfg.pos_embed == "alibi":
-        mask = mask + modules.alibi_bias(
-            cfg.num_attention_heads, positions[:, 0], ki[0])
+        # Per-slot bias [B, H, 1, T]: each slot's single query sits at its
+        # own pos.  (alibi_bias(q_pos[B], ki[T]) would return [1, H, B, T]
+        # and broadcast a bogus extra B dim into the scores.)
+        rel = (ki - pos[:, None]).astype(jnp.float32)  # [B, T]
+        slopes = modules.alibi_slopes(cfg.num_attention_heads)
+        mask = mask + slopes[None, :, None, None] * rel[:, None, None, :]
     cos, sin = modules.rope_tables(cfg, positions, seq_len=max_t)
     new_caches = []
     for lp, cache in zip(params["layers"], caches):
@@ -156,7 +160,18 @@ class BatchingEngine:
         self.max_batch, self.max_seq = max_batch, max_seq_len
         self.eos = eos_token_id
         self.method, self.dtype = method, dtype
+        if prefill_chunk_size is not None \
+                and max_seq_len % prefill_chunk_size != 0:
+            # The final padded chunk writes at pos0=lo with
+            # dynamic_update_slice; if lo + chunk could exceed capacity XLA
+            # clamps the start index and silently overwrites earlier valid
+            # KV rows.  A chunk-multiple capacity makes that unreachable
+            # (add_request already caps prompts at max_seq_len - 1).
+            raise ValueError(
+                f"max_seq_len ({max_seq_len}) must be a multiple of "
+                f"prefill_chunk_size ({prefill_chunk_size})")
         self.chunk = prefill_chunk_size
+        gen._check_rope_capacity(cfg, max_seq_len)
         self.caches = gen.init_kv_cache(cfg, max_batch, max_seq_len, dtype)
         self.pos = np.zeros((max_batch,), np.int32)
         self.last_token = np.zeros((max_batch,), np.int32)

@@ -68,6 +68,34 @@ def _cache_len(caches: List[Dict[str, jax.Array]]) -> int:
     return next(iter(caches[0].values())).shape[2]
 
 
+_warned_long_rope = set()
+
+
+def _check_rope_capacity(cfg: ModelConfig, capacity: int) -> None:
+    """Rope tables are keyed on cache CAPACITY (see _run_blocks), which for
+    dynamic-NTK / longrope selects the long-context factors as soon as the
+    cache is allocated past original_max_position_embeddings — even if the
+    actual prompt+generation stays short. That keeps every step of one
+    generation numerically consistent, but silently diverges from HF for
+    short sequences in oversized caches, so warn once per (model, capacity)."""
+    if cfg.rope_type not in ("dynamic", "longrope"):
+        return
+    rs = cfg.rope_scaling_dict or {}
+    orig = (cfg.original_max_position_embeddings
+            or rs.get("original_max_position_embeddings")
+            or cfg.max_position_embeddings)
+    if orig and capacity > orig and (cfg.model_type, capacity) not in _warned_long_rope:
+        _warned_long_rope.add((cfg.model_type, capacity))
+        import warnings
+
+        warnings.warn(
+            f"KV-cache capacity {capacity} > original_max_position_embeddings "
+            f"{orig}: {cfg.rope_type} rope uses its long-context factors for "
+            "the WHOLE generation (consistent across steps, but different "
+            "from HF for short sequences). Size max_seq_len to the expected "
+            "prompt+generation length to keep short-context numerics.")
+
+
 def _run_blocks(cfg, params, x, positions, mask, caches, pos, method,
                 causal_prefill=False):
     # rope_scaling context length = the KV-cache capacity, so prefill and
@@ -157,10 +185,52 @@ def roll_kv(caches: List[Dict[str, jax.Array]], n: int) -> List[Dict[str, jax.Ar
     return out
 
 
-def sample(logits: jax.Array, temperature: float, key) -> jax.Array:
+def _mask_top_k(logits: jax.Array, top_k: int) -> jax.Array:
+    """Keep only the k largest logits per row (HF TopKLogitsWarper)."""
+    kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def _mask_top_p(logits: jax.Array, top_p: float) -> jax.Array:
+    """Nucleus filtering (HF TopPLogitsWarper): keep the smallest set of
+    tokens whose cumulative probability reaches ``top_p`` (always at least
+    the argmax)."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # token i survives if the mass BEFORE it is < top_p (exclusive cumsum),
+    # which keeps the first token crossing the threshold, like HF's
+    # shift-right of the removal mask.
+    keep = (cum - probs) < top_p
+    # per-row logit threshold = smallest kept sorted logit
+    thresh = jnp.min(jnp.where(keep, sorted_logits, jnp.inf),
+                     axis=-1, keepdims=True)
+    return jnp.where(logits < thresh, -jnp.inf, logits)
+
+
+def apply_repetition_penalty(logits: jax.Array, presence: jax.Array,
+                             penalty: float) -> jax.Array:
+    """HF RepetitionPenaltyLogitsProcessor: for every token already seen
+    (``presence`` [B, V] bool over prompt+generated), divide positive logits
+    by ``penalty`` and multiply negative ones."""
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(presence, penalized, logits)
+
+
+def sample(logits: jax.Array, temperature: float, key,
+           top_k: Optional[int] = None,
+           top_p: Optional[float] = None) -> jax.Array:
+    """Temperature / top-k / top-p sampling (the reference inherits these
+    from HF GenerationMixin; warper order matches HF: temperature -> top_k
+    -> top_p). ``temperature == 0`` is greedy."""
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1)
-    return jax.random.categorical(key, logits / temperature, axis=-1)
+    logits = logits / temperature
+    if top_k is not None and 0 < top_k < logits.shape[-1]:
+        logits = _mask_top_k(logits, top_k)
+    if top_p is not None and top_p < 1.0:
+        logits = _mask_top_p(logits, top_p)
+    return jax.random.categorical(key, logits, axis=-1)
 
 
 def generate(
@@ -170,6 +240,9 @@ def generate(
     max_new_tokens: int,
     *,
     temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+    repetition_penalty: float = 1.0,
     seed: int = 0,
     eos_token_id: Optional[int] = None,
     max_seq_len: Optional[int] = None,
@@ -180,6 +253,7 @@ def generate(
     """Python-loop generation (streaming-friendly). Returns [B, S + new]."""
     b, s = prompt.shape
     total = max_seq_len or (s + max_new_tokens)
+    _check_rope_capacity(cfg, total)
     roll_step = 128  # eviction granularity on overflow (reference rolls 100)
     caches = init_kv_cache(cfg, b, total, dtype)
     logits, caches = prefill(cfg, params, prompt, caches, method, dtype)
@@ -187,10 +261,20 @@ def generate(
     out = [prompt]
     token = None
     finished = jnp.zeros((b,), dtype=bool)
+    presence = None
+    if repetition_penalty != 1.0:
+        v = logits.shape[-1]
+        presence = jnp.zeros((b, v), bool).at[
+            jnp.arange(b)[:, None], prompt].set(True)
     pos = s
     for i in range(max_new_tokens):
         key, sub = jax.random.split(key)
-        token = sample(logits, temperature, sub)[:, None]  # [B, 1]
+        if presence is not None:
+            logits = apply_repetition_penalty(logits, presence,
+                                              repetition_penalty)
+        token = sample(logits, temperature, sub, top_k, top_p)[:, None]
+        if presence is not None:
+            presence = presence.at[jnp.arange(b), token[:, 0]].set(True)
         if eos_token_id is not None:
             finished = finished | (token[:, 0] == eos_token_id)
         out.append(token)
@@ -210,7 +294,8 @@ def generate(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "temperature", "method", "dtype"),
+    static_argnames=("cfg", "max_new_tokens", "temperature", "top_k", "top_p",
+                     "method", "dtype"),
 )
 def generate_compiled(
     cfg: ModelConfig,
@@ -219,6 +304,8 @@ def generate_compiled(
     max_new_tokens: int,
     *,
     temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     seed: int = 0,
     method: str = "auto",
     dtype=jnp.bfloat16,
@@ -226,6 +313,7 @@ def generate_compiled(
     """Whole-generation lax.scan compile: zero per-token dispatch overhead."""
     b, s = prompt.shape
     total = s + max_new_tokens
+    _check_rope_capacity(cfg, total)
     caches = init_kv_cache(cfg, b, total, dtype)
     logits, caches = prefill(cfg, params, prompt, caches, method, dtype)
     key = jax.random.PRNGKey(seed)
@@ -233,10 +321,7 @@ def generate_compiled(
     def step(carry, i):
         logits, caches, key = carry
         key, sub = jax.random.split(key)
-        if temperature == 0.0:
-            token = jnp.argmax(logits, axis=-1)[:, None]
-        else:
-            token = jax.random.categorical(sub, logits / temperature)[:, None]
+        token = sample(logits, temperature, sub, top_k, top_p)[:, None]
         logits, caches = decode_step(cfg, params, token, caches, s + i,
                                      method, dtype)
         return (logits, caches, key), token[:, 0]

@@ -92,3 +92,39 @@ def test_chunked_prefill_matches_whole(rng):
     assert whole == chunked
     for rid, p in prompts.items():
         assert chunked[rid] == solo(params, p, 5), rid
+
+
+def test_chunk_must_divide_capacity():
+    """Guards the dynamic_update_slice clamp: a final padded chunk starting
+    at lo with lo + chunk > capacity would silently overwrite earlier KV."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    with pytest.raises(ValueError, match="multiple"):
+        BatchingEngine(CFG, params, max_batch=2, max_seq_len=50,
+                       method="jnp", dtype=jnp.float32,
+                       prefill_chunk_size=4)
+
+
+def test_alibi_batched_matches_solo(rng):
+    """ALiBi bias in batched decode must be per-slot [B, H, 1, T] — the
+    naive alibi_bias(pos[B], ki[T]) broadcasts a bogus extra batch dim."""
+    acfg = ModelConfig(
+        model_type="bloom", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, head_dim=16, max_position_embeddings=64,
+        pos_embed="alibi")
+    params = init_random_params(acfg, seed=11, scale=0.08)
+
+    def asolo(prompt, n):
+        out = gen.generate(acfg, params, jnp.asarray(prompt[None]), n,
+                           method="jnp", dtype=jnp.float32, max_seq_len=48)
+        return list(np.asarray(out)[0][len(prompt):])
+
+    eng = BatchingEngine(acfg, params, max_batch=3, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32)
+    prompts = {f"r{i}": rng.integers(0, 64, (l,))
+               for i, l in enumerate([5, 9, 3])}
+    for rid, p in prompts.items():
+        eng.add_request(rid, p, 6)
+    results = eng.run()
+    for rid, p in prompts.items():
+        assert results[rid] == asolo(p, 6), rid

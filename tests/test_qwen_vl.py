@@ -329,3 +329,71 @@ def test_qwen25_omni_thinker_text_parity_and_quantize(rng, tmp_path):
     back = load_file(str(out / "model.safetensors"))
     assert "audio_tower.conv1.weight" in back
     assert "model.layers.0.self_attn.q_proj.qweight" in back
+
+
+def _ids_with_video(rng, grid, s=48, tok=151):
+    """Token stream with one video placeholder run."""
+    t, h, w = grid
+    n = t * (h // 2) * (w // 2)
+    ids = rng.integers(0, 128, (1, s))
+    ids[0, 3] = VSTART
+    ids[0, 4:4 + n] = tok
+    return ids
+
+
+def test_mrope_video_positions_match_hf(rng):
+    """Qwen2-VL video run: raw frame-index temporal stream (no time scale)."""
+    hf_cfg, model = _tiny()
+    grid = (2, 8, 8)
+    ids = _ids_with_video(rng, grid)
+    ref_pos, _ = model.model.get_rope_index(
+        torch.tensor(ids), video_grid_thw=torch.tensor([list(grid)]))
+    got = qwen_vl.mrope_position_ids(
+        ids, [grid], image_token_id=IMG_TOK, video_token_id=151,
+        spatial_merge_size=2)
+    np.testing.assert_array_equal(got, ref_pos.numpy())
+
+
+def test_mrope_video_positions_match_hf_25(rng):
+    """Qwen2.5-VL video run: temporal stream scaled to absolute time
+    (t_index = arange(t) * second_per_grid_t * tokens_per_second, HF
+    Qwen2_5_VLModel.get_rope_index)."""
+    hf_cfg, model = _tiny25()
+    grid = (4, 8, 8)
+    spg = 2.5
+    ids = _ids_with_video(rng, grid, s=96)
+    ref_pos, _ = model.model.get_rope_index(
+        torch.tensor(ids), video_grid_thw=torch.tensor([list(grid)]),
+        second_per_grid_ts=torch.tensor([spg]))
+    got = qwen_vl.mrope_position_ids(
+        ids, [grid], image_token_id=IMG_TOK, video_token_id=151,
+        second_per_grid_ts=[spg],
+        tokens_per_second=hf_cfg.vision_config.tokens_per_second,
+        spatial_merge_size=2)
+    np.testing.assert_array_equal(got, ref_pos.numpy())
+
+
+def test_mrope_mixed_image_and_video_match_hf(rng):
+    """One image run + one video run in the same sequence: gi indexing must
+    walk image_grid_thw and video_grid_thw in stream order."""
+    hf_cfg, model = _tiny25()
+    img_grid, vid_grid = (1, 8, 8), (2, 8, 8)
+    n_img = (8 // 2) * (8 // 2)
+    n_vid = 2 * n_img
+    ids = rng.integers(0, 128, (1, 80))
+    ids[0, 3] = VSTART
+    ids[0, 4:4 + n_img] = IMG_TOK
+    ids[0, 30] = VSTART
+    ids[0, 31:31 + n_vid] = 151
+    spg = 1.0
+    ref_pos, _ = model.model.get_rope_index(
+        torch.tensor(ids),
+        image_grid_thw=torch.tensor([list(img_grid)]),
+        video_grid_thw=torch.tensor([list(vid_grid)]),
+        second_per_grid_ts=torch.tensor([spg]))
+    got = qwen_vl.mrope_position_ids(
+        ids, [img_grid, vid_grid], image_token_id=IMG_TOK,
+        video_token_id=151, second_per_grid_ts=[0.0, spg],
+        tokens_per_second=hf_cfg.vision_config.tokens_per_second,
+        spatial_merge_size=2)
+    np.testing.assert_array_equal(got, ref_pos.numpy())
