@@ -65,6 +65,13 @@ def quantize_weight(
         max_val = g.max(axis=1, keepdims=True)
         min_val = g.min(axis=1, keepdims=True)
         scales = jnp.clip(max_val - min_val, min=1e-5) / max_int
+        # Materialize scales before the divisions: XLA's algebraic
+        # simplifier otherwise rewrites round(x / ((max-min)/15)) into a
+        # fused form that loses the last ULP — and clip-search boundaries
+        # land EXACTLY on round-half ties (w = ±max_val => w/scales =
+        # ±max_int/2), where that ULP flips the quantized integer vs the
+        # reference's torch math (tests/test_reference_oracle.py).
+        scales = jax.lax.optimization_barrier(scales)
         zeros = jnp.clip(jnp.round(-min_val / scales), 0, max_int)
         q = jnp.clip(jnp.round(g / scales) + zeros, 0, max_int)
         k, n = w.shape
@@ -79,6 +86,7 @@ def quantize_weight(
         min_int = -(2 ** (bits - 1))
         absmax = jnp.clip(jnp.abs(g).max(axis=1, keepdims=True), min=1e-5)
         scales = absmax / max_int
+        scales = jax.lax.optimization_barrier(scales)  # see above
         q = jnp.clip(jnp.round(g / scales), min_int, max_int)
         k, n = w.shape
         gs = group_size if group_size > 0 else k
