@@ -680,6 +680,37 @@ def _fused_mlp_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
     return fused_mlp.supported(x, gu, dn, inter, cfg.hidden_act)
 
 
+def _sharded_mlp_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
+                    method: str, inter: int) -> bool:
+    """Three-operand fused decode-MLP eligibility (ops/sharded_mlp.py):
+    the TP-capable variant over UNFUSED gate/up/down — one pallas_call per
+    chip + psum under Megatron shardings, the same megakernel single-chip.
+    Shares AWQ_TPU_FUSED_MLP with the fused-layout kernel ("1" default on
+    TPU, "force" = interpret mode off-TPU for tests/dryrun, "0" off)."""
+    if method == "jnp":
+        return False
+    flag = _os.environ.get("AWQ_TPU_FUSED_MLP", "1")
+    if flag == "0":
+        return False
+    if flag != "force" and jax.default_backend() != "tpu":
+        return False
+    gate, up, dn = p["gate_proj"], p["up_proj"], p.get("down_proj")
+    if dn is None or not all(is_quantized(l) for l in (gate, up, dn)):
+        return False
+    if "act_scale" in p or dn.get("lora_a") is not None:
+        return False
+    from autoawq_tpu.ops import sharded_mlp
+
+    # m-cap only: per-shard tiling eligibility is re-checked inside the
+    # partitioned lowering on the LOCAL shapes (falls back to the jnp
+    # dequant path on the shard — still no int4 all-gather)
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    return m <= sharded_mlp.M_MAX and cfg.hidden_act in (
+        "silu", "gelu", "gelu_new", "gelu_pytorch_tanh", "gelu_fast")
+
+
 def act_fn(name: str, x: jax.Array) -> jax.Array:
     if name == "silu":
         return jax.nn.silu(x)
@@ -724,6 +755,16 @@ def mlp(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
     else:
         _tap(taps, tap_prefix + "gate_proj", x)
         _tap(taps, tap_prefix + "up_proj", x)
+        if taps is None and _sharded_mlp_ok(cfg, p, x, method, inter):
+            from autoawq_tpu.ops import sharded_mlp
+
+            y = sharded_mlp.fused_mlp_sharded(
+                x, p["gate_proj"], p["up_proj"], p["down_proj"],
+                inter=inter, out_features=cfg.hidden_size,
+                act=cfg.hidden_act,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return y
         g = linear(p["gate_proj"], x, inter, method)
         u = linear(p["up_proj"], x, inter, method)
     h = act_fn(cfg.hidden_act, g) * u
