@@ -317,14 +317,51 @@ class AwqQwen2VLModel:
         return m
 
     # ---------------------------------------------------------- quantizing
-    def quantize(self, tokenizer=None, quant_config=None, **kw) -> None:
-        """AWQ-quantize the language model only (text calibration — the
-        multimodal-calibration recipe feeds image-conditioned activations
-        through the same taps; reference docs/examples.md:267-420)."""
-        lm = AwqCausalLM(self.cfg, self.params["language_model"])
-        lm.quantize(tokenizer, quant_config, **kw)
-        self.params["language_model"] = lm.params
-        self.quant_config = lm.quant_config
+    def quantize(self, tokenizer=None, quant_config=None,
+                 calib_patches=None, calib_grid_thw=(),
+                 calib_second_per_grid_ts=None, **kw) -> None:
+        """AWQ-quantize the language model.
+
+        Text-only by default. Passing ``calib_patches`` (the stacked
+        [sum(t*h*w), C*tp*p*p] patch matrix) + ``calib_grid_thw`` runs
+        IMAGE-CONDITIONED calibration (the reference's multimodal recipe,
+        docs/examples.md:267-420): ``calib_data`` must then be pre-
+        tokenized samples WITH the image/video placeholder runs in place
+        (no concat-resplit — splice alignment is per-sample), and the
+        calib forward sees vision features spliced at those positions
+        under the true M-RoPE tables instead of text embeddings."""
+        from autoawq_tpu.models import qwen_vl as qvl
+        from autoawq_tpu.quantize.quantizer import AwqQuantizer
+
+        if calib_patches is None:
+            lm = AwqCausalLM(self.cfg, self.params["language_model"])
+            lm.quantize(tokenizer, quant_config, **kw)
+            self.params["language_model"] = lm.params
+            self.quant_config = lm.quant_config
+            return
+
+        if isinstance(quant_config, dict) or quant_config is None:
+            quant_config = AwqConfig.from_dict(quant_config)
+        calib_data = kw.pop("calib_data")
+        tokens = np.asarray(calib_data)
+        if tokens.ndim != 2:
+            raise ValueError(
+                "multimodal calibration needs pre-tokenized [n, s] samples "
+                "with placeholder runs aligned to calib_patches")
+        x, cos, sin = qvl.multimodal_calib_inputs(
+            self.cfg, self.vision_cfg, self.params, tokens,
+            np.asarray(calib_patches), calib_grid_thw,
+            image_token_id=self.raw_config.get("image_token_id", 151655),
+            video_token_id=self.raw_config.get("video_token_id"),
+            second_per_grid_ts=calib_second_per_grid_ts,
+            is_25=self._is_25)
+        for k in ("max_calib_samples", "max_calib_seq_len"):
+            kw.pop(k, None)
+        quantizer = AwqQuantizer(
+            self.cfg, quant_config, self.params["language_model"], None,
+            calib_inputs=np.asarray(x), calib_rope=(cos, sin), **kw)
+        self.params["language_model"] = quantizer.quantize()
+        self.quant_config = quant_config
 
     def save_quantized(self, path: str) -> None:
         import json

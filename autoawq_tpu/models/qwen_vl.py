@@ -237,6 +237,57 @@ def mrope_tables(cfg: ModelConfig, positions3,
     return jnp.cos(mixed) * attention_scaling, jnp.sin(mixed) * attention_scaling
 
 
+def multimodal_calib_inputs(
+    cfg: ModelConfig,
+    vcfg: Dict[str, Any],
+    params: Dict[str, Any],  # {"visual", "language_model"}
+    input_ids,
+    patches: Optional[jax.Array] = None,
+    grid_thw: Sequence[Tuple[int, int, int]] = (),
+    *,
+    image_token_id: int,
+    video_token_id: Optional[int] = None,
+    second_per_grid_ts: Optional[Sequence[float]] = None,
+    is_25: bool = False,
+    dtype=jnp.float32,
+):
+    """The multimodal LM prelude -> (x [B, S, H], cos, sin).
+
+    Embeds tokens, runs the vision tower, splices features at the
+    image/video placeholder positions, and builds the M-RoPE tables. Both
+    the forwards below and image-conditioned AWQ calibration
+    (AwqQuantizer(calib_inputs=..., calib_rope=...); reference recipe
+    docs/examples.md:267-420) consume it."""
+    ids_np = np.asarray(input_ids)
+    lm = params["language_model"]
+    x = modules.embed(cfg, lm, jnp.asarray(ids_np), dtype)
+
+    if patches is not None and len(grid_thw):
+        feats_fn = qwen25vl_vision_features if is_25 else \
+            qwen2vl_vision_features
+        feats = feats_fn(vcfg, params["visual"], patches,
+                         grid_thw).astype(x.dtype)
+        vis_ids = [image_token_id] + (
+            [video_token_id] if video_token_id is not None else [])
+        pos = np.nonzero(np.isin(ids_np.reshape(-1), vis_ids))
+        b, s, h = x.shape
+        x = x.reshape(b * s, h).at[pos[0]].set(feats).reshape(b, s, h)
+
+    positions3 = mrope_position_ids(
+        ids_np, grid_thw, image_token_id=image_token_id,
+        video_token_id=video_token_id,
+        second_per_grid_ts=second_per_grid_ts,
+        tokens_per_second=(vcfg.get("tokens_per_second", 2)
+                           if is_25 else None),
+        spatial_merge_size=vcfg.get("spatial_merge_size", 2))
+    section = (cfg.rope_scaling_dict or {}).get("mrope_section")
+    if section is None:  # no section config: plain 1-D rope on stream 0
+        cos, sin = modules.rope_tables(cfg, jnp.asarray(positions3[0]))
+    else:
+        cos, sin = mrope_tables(cfg, positions3, section)
+    return x, cos, sin
+
+
 def qwen2vl_forward(
     cfg: ModelConfig,
     vcfg: Dict[str, Any],
@@ -253,28 +304,10 @@ def qwen2vl_forward(
     """Full multimodal forward -> logits [B, S, V]."""
     ids_np = np.asarray(input_ids)
     lm = params["language_model"]
-    ids = jnp.asarray(ids_np)
-    x = modules.embed(cfg, lm, ids, dtype)
-
-    if patches is not None and len(grid_thw):
-        feats = qwen2vl_vision_features(vcfg, params["visual"], patches,
-                                        grid_thw).astype(x.dtype)
-        vis_ids = [image_token_id] + (
-            [video_token_id] if video_token_id is not None else [])
-        pos = np.nonzero(np.isin(ids_np.reshape(-1), vis_ids))
-        b, s, h = x.shape
-        x = x.reshape(b * s, h).at[pos[0]].set(feats).reshape(b, s, h)
-
-    positions3 = mrope_position_ids(
-        ids_np, grid_thw, image_token_id=image_token_id,
-        video_token_id=video_token_id,
-        spatial_merge_size=vcfg.get("spatial_merge_size", 2))
-    section = (cfg.rope_scaling_dict or {}).get("mrope_section")
-    if section is None:  # no section config: plain 1-D rope on stream 0
-        cos, sin = modules.rope_tables(cfg, jnp.asarray(positions3[0]))
-    else:
-        cos, sin = mrope_tables(cfg, positions3, section)
-
+    x, cos, sin = multimodal_calib_inputs(
+        cfg, vcfg, params, ids_np, patches, grid_thw,
+        image_token_id=image_token_id, video_token_id=video_token_id,
+        dtype=dtype)
     s = ids_np.shape[1]
     mask = modules.causal_mask(s, sliding_window=cfg.sliding_window)
     for lp in lm["layers"]:
@@ -572,26 +605,10 @@ def qwen25vl_forward(
     ``tokens_per_second`` from the vision config — HF ``get_rope_index``)."""
     ids_np = np.asarray(input_ids)
     lm = params["language_model"]
-    x = modules.embed(cfg, lm, jnp.asarray(ids_np), dtype)
-    if patches is not None and len(grid_thw):
-        feats = qwen25vl_vision_features(vcfg, params["visual"], patches,
-                                         grid_thw).astype(x.dtype)
-        vis_ids = [image_token_id] + (
-            [video_token_id] if video_token_id is not None else [])
-        pos = np.nonzero(np.isin(ids_np.reshape(-1), vis_ids))
-        b, s, h = x.shape
-        x = x.reshape(b * s, h).at[pos[0]].set(feats).reshape(b, s, h)
-    positions3 = mrope_position_ids(
-        ids_np, grid_thw, image_token_id=image_token_id,
-        video_token_id=video_token_id,
-        second_per_grid_ts=second_per_grid_ts,
-        tokens_per_second=vcfg.get("tokens_per_second", 2),
-        spatial_merge_size=vcfg.get("spatial_merge_size", 2))
-    section = (cfg.rope_scaling_dict or {}).get("mrope_section")
-    if section is None:
-        cos, sin = modules.rope_tables(cfg, jnp.asarray(positions3[0]))
-    else:
-        cos, sin = mrope_tables(cfg, positions3, section)
+    x, cos, sin = multimodal_calib_inputs(
+        cfg, vcfg, params, ids_np, patches, grid_thw,
+        image_token_id=image_token_id, video_token_id=video_token_id,
+        second_per_grid_ts=second_per_grid_ts, is_25=True, dtype=dtype)
     s = ids_np.shape[1]
     mask = modules.causal_mask(s, sliding_window=cfg.sliding_window)
     for lp in lm["layers"]:

@@ -82,8 +82,10 @@ class AwqQuantizer:
         cfg: ModelConfig,
         qcfg: AwqConfig,
         params: Dict[str, Any],
-        calib_tokens: np.ndarray,  # [n_samples, seq_len]
+        calib_tokens: Optional[np.ndarray],  # [n_samples, seq_len]
         *,
+        calib_inputs: Optional[np.ndarray] = None,  # [n, s, h] embeds
+        calib_rope: Optional[Tuple] = None,  # (cos, sin) override
         duo_scaling: bool = True,
         apply_clip: bool = True,
         n_grid: int = 20,
@@ -99,7 +101,19 @@ class AwqQuantizer:
         self.cfg = cfg
         self.qcfg = qcfg
         self.params = params
-        self.calib_tokens = np.asarray(calib_tokens)
+        # multimodal calibration (reference recipe: a custom quantizer
+        # whose calib forward carries image features spliced at the
+        # image-token positions, docs/examples.md:267-420): instead of
+        # token ids, accept PRECOMPUTED input embeds [n, s, h] (vision
+        # features already spliced) plus the matching rope tables (M-RoPE
+        # for qwen2-vl) — the tapped block loop is modality-agnostic.
+        self.calib_inputs = (np.asarray(calib_inputs)
+                             if calib_inputs is not None else None)
+        self.calib_rope = calib_rope
+        if calib_tokens is None and calib_inputs is None:
+            raise ValueError("need calib_tokens or calib_inputs")
+        self.calib_tokens = (np.asarray(calib_tokens)
+                             if calib_tokens is not None else None)
         self.duo_scaling = duo_scaling
         self.do_clip = apply_clip
         self.n_grid = n_grid
@@ -125,13 +139,15 @@ class AwqQuantizer:
         # into psums over ICI — no other code changes.
         self.mesh = mesh
         self._ddp = int(mesh.shape.get("data", 1)) if mesh is not None else 1
-        if self._ddp > 1 and len(self.calib_tokens) % self._ddp:
+        n_calib = len(self.calib_tokens if self.calib_tokens is not None
+                      else self.calib_inputs)
+        if self._ddp > 1 and n_calib % self._ddp:
             import logging
 
             logging.getLogger(__name__).warning(
                 "calib sample count %d not divisible by data axis %d; "
                 "calibration runs replicated",
-                len(self.calib_tokens), self._ddp)
+                n_calib, self._ddp)
             self.mesh, self._ddp = None, 1
         self.plugin = get_plugin(cfg.model_type)
         self._skip = tuple(qcfg.modules_to_not_convert or ())
@@ -150,17 +166,28 @@ class AwqQuantizer:
         (reference base.py:156-161); call :meth:`pack` afterwards.
         """
         cfg = self.cfg
-        tokens = self._shard_batch(jnp.asarray(self.calib_tokens))
-        emb = self._replicate({
-            k: _to_jnp(self.params[k])
-            for k in ("embed_tokens", "embed_positions", "embed_ln")
-            if k in self.params
-        })
-        s = tokens.shape[1]
-        positions = jnp.arange(s)[None, :]
-        x = modules.embed(cfg, emb, tokens, dtype=self.compute_dtype,
-                          positions=positions)
-        cos, sin = modules.rope_tables(cfg, positions, seq_len=s)
+        if self.calib_inputs is not None:
+            # precomputed (e.g. vision-spliced) input embeds
+            x = self._shard_batch(
+                jnp.asarray(self.calib_inputs).astype(self.compute_dtype))
+            s = x.shape[1]
+            positions = jnp.arange(s)[None, :]
+        else:
+            tokens = self._shard_batch(jnp.asarray(self.calib_tokens))
+            emb = self._replicate({
+                k: _to_jnp(self.params[k])
+                for k in ("embed_tokens", "embed_positions", "embed_ln")
+                if k in self.params
+            })
+            s = tokens.shape[1]
+            positions = jnp.arange(s)[None, :]
+            x = modules.embed(cfg, emb, tokens, dtype=self.compute_dtype,
+                              positions=positions)
+        if self.calib_rope is not None:
+            cos, sin = (jnp.asarray(self.calib_rope[0]),
+                        jnp.asarray(self.calib_rope[1]))
+        else:
+            cos, sin = modules.rope_tables(cfg, positions, seq_len=s)
         mask = modules.causal_mask(s, sliding_window=cfg.sliding_window)
         if cfg.pos_embed == "alibi":
             mask = mask + modules.alibi_bias(cfg.num_attention_heads,
