@@ -64,7 +64,7 @@ def save_quantized(
     for k, v in params.get("_extra", {}).items():  # unmodeled tensors
         v = np.asarray(v)
         sd[k] = v.astype(np.float16) if v.dtype == np.float32 else v
-    write_safetensors(path, sd, shard_bytes)
+    write_safetensors(path, _reprefix_omni_keys(cfg, sd), shard_bytes)
 
 
 def write_safetensors(path: str, sd: Dict[str, np.ndarray],
@@ -120,6 +120,32 @@ class _TrackingSD(dict):
         return super().__getitem__(k)
 
 
+def _normalize_omni_keys(cfg: ModelConfig,
+                         sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Full Qwen2.5-Omni checkpoints nest the quantizable LM under a
+    ``thinker.`` prefix (thinker.model.layers.* / thinker.lm_head.* /
+    thinker.audio_tower.* / thinker.visual.*); strip it so the standard
+    layer map applies. ``talker.*`` / ``token2wav.*`` keep their names and
+    land in params["_extra"] — they are never quantized and have no JAX
+    forward here (the reference likewise leaves them as live HF modules,
+    awq/models/qwen2_5_omni.py:11-36); save_quantized round-trips them and
+    re-adds the thinker prefix (_reprefix_omni_keys)."""
+    if cfg.model_type != "qwen2_5_omni":
+        return sd
+    return {(k[len("thinker."):] if k.startswith("thinker.") else k): v
+            for k, v in sd.items()}
+
+
+def _reprefix_omni_keys(cfg: ModelConfig,
+                        sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Inverse of _normalize_omni_keys for save: HF's full-omni layout."""
+    if cfg.model_type != "qwen2_5_omni":
+        return sd
+    return {(k if k.startswith(("talker.", "token2wav."))
+             else "thinker." + k): v
+            for k, v in sd.items()}
+
+
 def _load_params_with_extras(cfg: ModelConfig,
                              sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """params_from_state_dict + preserve tensors the layer map doesn't
@@ -127,6 +153,7 @@ def _load_params_with_extras(cfg: ModelConfig,
     buffers) in ``params["_extra"]`` so save_quantized round-trips them —
     the analogue of the reference mutating the HF tree in place, which
     keeps unknown submodules for free."""
+    sd = _normalize_omni_keys(cfg, sd)
     tsd = _TrackingSD(sd)
     params = hf_io.params_from_state_dict(cfg, tsd)
     extra = {k: np.asarray(v) for k, v in sd.items()
