@@ -26,7 +26,12 @@ class AwqConfig:
     def __post_init__(self):
         if self.w_bit != 4:
             raise ValueError(f"Only 4-bit supported, got {self.w_bit}")
-        if self.version.lower() not in ("gemm", "gemv", "planar"):
+        # gemv / gemv_fast / marlin are READ-side layouts: upstream
+        # checkpoints saved with those kernels convert to the GEMM triple
+        # on load (io/interop.py); saves always write GEMM (see
+        # to_transformers_dict).
+        if self.version.lower() not in (
+                "gemm", "gemv", "gemv_fast", "marlin", "planar"):
             raise ValueError(f"Unknown kernel version {self.version}")
 
     @classmethod

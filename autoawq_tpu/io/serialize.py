@@ -18,6 +18,7 @@ import numpy as np
 
 from autoawq_tpu.config import AwqConfig
 from autoawq_tpu.io import hf as hf_io
+from autoawq_tpu.io import interop
 from autoawq_tpu.models.config import ModelConfig
 
 SHARD_BYTES = 4 * 1024**3
@@ -171,6 +172,9 @@ def from_quantized(path: str) -> Tuple[ModelConfig, AwqConfig, Dict[str, Any]]:
     if qcfg is None:
         raise ValueError(f"{path} has no quantization_config")
     sd = hf_io.load_state_dict_from_dir(path)
+    if qcfg.version.lower() in interop._CONVERTIBLE:
+        sd = interop.convert_state_dict_to_gemm(
+            sd, qcfg.version, qcfg.q_group_size)
     params = _load_params_with_extras(cfg, sd)
     return cfg, qcfg, params
 

@@ -10,6 +10,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -17,6 +18,53 @@ import numpy as np
 BASELINE_TOK_S = 548.99  # RTX 4090, AutoAWQ GEMV, TinyLlama 1B, bs1 ctx64
 CTX = 64
 DECODE_TOKENS = 512
+ARTIFACT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".artifacts", "tinyllama-awq")
+
+
+def _load_artifact_params(cfg):
+    """Load the shared quantized artifact if present and shape-identical to
+    the benchmark config; fp leaves (embed/norms/lm_head/scales stay f32)
+    cast to bf16 to match the synthetic path's precision. Set
+    AWQ_TPU_BENCH_SYNTH=1 to force the synthetic."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    if os.environ.get("AWQ_TPU_BENCH_SYNTH") == "1":
+        return None
+    if not os.path.isfile(os.path.join(ARTIFACT_DIR, "config.json")):
+        return None
+    from autoawq_tpu.io import serialize
+    from autoawq_tpu.nn.fuse import fuse_model
+
+    acfg, _, params = serialize.from_quantized(ARTIFACT_DIR)
+    bench_kw = dict(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads)
+    if any(getattr(acfg, k) != v for k, v in bench_kw.items()):
+        print(f"# artifact config mismatch, using synthetic", flush=True)
+        return None
+
+    def cast(x):
+        x = np.asarray(x)
+        if x.dtype in (np.float16, np.float32, np.float64):
+            return x.astype(ml_dtypes.bfloat16)
+        return x
+
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda x: x if getattr(x, "dtype", None) == np.float32 else cast(x),
+        params)
+    # scales must stay f32 (kernel contract); everything else fp -> bf16.
+    # from_quantized already keeps scales f32 and the rest fp16, so the
+    # tree_map above casts exactly the fp16 leaves.
+    print("# benching the shared AWQ artifact (.artifacts/tinyllama-awq)",
+          flush=True)
+    return fuse_model(cfg, params)
 
 
 def main():
@@ -41,12 +89,17 @@ def main():
     from autoawq_tpu.utils.synth import random_quantized_params
 
     rng = np.random.default_rng(0)
-    # host-side synthesis + fusion, then ONE batched device transfer —
-    # host-resident params would be re-uploaded on every jitted call.
-    params = jax.device_put(
-        fuse_model(cfg, random_quantized_params(cfg, seed=0,
-                                                fp_dtype=jnp.bfloat16))
-    )
+    # Prefer the shared AWQ-calibrated artifact (scripts/make_artifact.py):
+    # the SAME weights scripts/quality.py quality-gates, so the throughput
+    # and quality reports describe one model. Falls back to random-packed
+    # synthetics (identical shapes/layout => identical perf) when absent.
+    params = _load_artifact_params(cfg)
+    if params is None:
+        # host-side synthesis + fusion, then ONE batched device transfer —
+        # host-resident params would be re-uploaded on every jitted call.
+        params = fuse_model(cfg, random_quantized_params(
+            cfg, seed=0, fp_dtype=jnp.bfloat16))
+    params = jax.device_put(params)
     prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, CTX)))
 
     def run_gen(n):

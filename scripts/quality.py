@@ -4,20 +4,29 @@ The reference's north-star quality gate is WikiText-2 perplexity delta vs
 fp16 (awq/evaluation/eval_utils.py:22-58; AWQ paper target <= 0.2-0.3 ppl at
 4-bit g128). This environment has no network, so no real checkpoint or
 corpus — instead this script measures the same Δppl/KL quantities on a
-self-consistent synthetic: a mid-size llama-shaped model with activation
-outlier channels (the regime AWQ's scaling exists for), evaluated on token
-streams SAMPLED FROM THE FP MODEL ITSELF. The fp model is, by construction,
-the true distribution of its own temperature-1 samples, so its perplexity is
-its own entropy rate and any quantization Δppl is pure quantization
-distortion — the measurement is deterministic (fixed seeds), needs no data,
-and ranks AWQ vs naive round-to-nearest exactly like the reference's gate.
+self-consistent synthetic: a llama-shaped model with activation outlier
+channels (the regime AWQ's scaling exists for), evaluated on token streams
+SAMPLED FROM THE FP MODEL ITSELF. The fp model is, by construction, the
+true distribution of its own temperature-1 samples, so its perplexity is
+its own entropy rate (NOT a broken-model number — an untrained net's
+entropy rate is naturally high) and any quantization Δppl is pure
+quantization distortion — deterministic, data-free, and it ranks AWQ vs
+naive round-to-nearest exactly like the reference's gate.
 
-Run (CPU is fine):
+When the shared artifact exists (scripts/make_artifact.py), the report is
+computed on THAT checkpoint — the same weights bench.py measures — so the
+throughput and quality numbers describe one model. Otherwise a small
+self-contained synthetic is quantized in-process.
+
+Run (the artifact path wants the chip; the fallback runs fine on CPU):
+  env PYTHONPATH=/root/repo:/root/.axon_site python scripts/quality.py
   env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu PYTHONPATH=/root/repo \
       python scripts/quality.py
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -25,19 +34,104 @@ import numpy as np
 SEQ = 256  # ppl chunk length
 N_EVAL_TOKENS = 8192
 N_CALIB = 16  # calib sequences sampled from the model
+EVAL_SEED = 13  # != make_artifact's calib_seed: eval stream is held out
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from make_artifact import ARTIFACT_DIR, fp_model_from_recipe  # noqa: E402
 
 
-def main():
+def _rtn(cfg, params, qcfg):
     import jax.numpy as jnp
 
-    from autoawq_tpu.config import AwqConfig
+    from autoawq_tpu.quantize.quantizer import (_clone,
+                                                quantize_linear_params)
+    from autoawq_tpu.utils.tree import iter_linears, set_by_path
+
+    out = _clone(params)
+    for lp in out["layers"]:
+        for path, p in list(iter_linears(lp)):
+            set_by_path(lp, path, quantize_linear_params(
+                {k: jnp.asarray(v) for k, v in p.items()}, qcfg))
+    return out
+
+
+def _sample(cfg, params, n_seqs, seed):
+    import jax.numpy as jnp
+
+    from autoawq_tpu.serve import generate as gen
+
+    bos = jnp.zeros((n_seqs, 1), jnp.int32)
+    return np.asarray(gen.generate_compiled(
+        cfg, params, bos, SEQ, temperature=1.0, seed=seed, method="jnp",
+        dtype=jnp.float32))[:, 1:]
+
+
+def _report(cfg, fp_params, variants, eval_stream, kl_tokens, header):
     from autoawq_tpu.eval.perplexity import kl_divergence_report, perplexity
+
+    report = {"config": dict(
+        header, seq_len=SEQ, eval_tokens=int(len(eval_stream)),
+        note="eval stream sampled from the fp model; fp ppl = the model's "
+             "own entropy rate (high for an untrained net — only DELTAS "
+             "are meaningful)")}
+    ppl_fp = None
+    for name, p in variants.items():
+        ppl = perplexity(cfg, p, eval_stream, seq_len=SEQ, method="jnp")
+        row = {"ppl": round(ppl, 4)}
+        if name == "fp32":
+            ppl_fp = ppl
+        else:
+            row["delta_ppl"] = round(ppl - ppl_fp, 4)
+            kl = kl_divergence_report(cfg, fp_params, cfg, p, kl_tokens,
+                                      method="jnp")
+            row.update({k: round(float(v), 5) for k, v in kl.items()})
+        report[name] = row
+        print(name, row, flush=True)
+
+    d_awq = report["awq_w4g128"]["delta_ppl"]
+    d_rtn = report["rtn_w4g128"]["delta_ppl"]
+    report["awq_vs_rtn_dppl_ratio"] = round(d_awq / d_rtn, 4) if d_rtn else None
+    assert d_awq < d_rtn, (d_awq, d_rtn)
+    print(f"AWQ Δppl {d_awq} < RTN Δppl {d_rtn} "
+          f"(ratio {report['awq_vs_rtn_dppl_ratio']})")
+    with open("QUALITY.json", "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote QUALITY.json")
+
+
+def run_artifact():
+    """Quality-gate the SAME checkpoint bench.py measures."""
+    from autoawq_tpu.config import AwqConfig
+    from autoawq_tpu.io import serialize
+
+    t0 = time.time()
+    cfg, fp_params = fp_model_from_recipe()
+    acfg, qcfg, qparams = serialize.from_quantized(ARTIFACT_DIR)
+    print(f"artifact + fp model loaded ({time.time() - t0:.0f}s)", flush=True)
+
+    t0 = time.time()
+    sampled = _sample(cfg, fp_params, N_EVAL_TOKENS // SEQ + 4, EVAL_SEED)
+    print(f"sampled {sampled.shape} eval tokens ({time.time() - t0:.0f}s)",
+          flush=True)
+    variants = {
+        "fp32": fp_params,
+        "rtn_w4g128": _rtn(cfg, fp_params, qcfg),
+        "awq_w4g128": qparams,
+    }
+    _report(cfg, fp_params, variants, sampled[4:].reshape(-1),
+            sampled[:4, :128],
+            {"artifact": os.path.relpath(ARTIFACT_DIR),
+             "model": "tinyllama-1.1b-shaped (same weights as bench.py)",
+             "w_bit": 4, "q_group_size": 128})
+
+
+def run_synthetic():
+    """Self-contained fallback (no artifact): mid-size model quantized
+    in-process."""
+    from autoawq_tpu.config import AwqConfig
     from autoawq_tpu.io.hf import init_random_params
     from autoawq_tpu.models.config import ModelConfig
-    from autoawq_tpu.quantize.quantizer import (AwqQuantizer, _clone,
-                                                quantize_linear_params)
-    from autoawq_tpu.serve import generate as gen
-    from autoawq_tpu.utils.tree import iter_linears, set_by_path
+    from autoawq_tpu.quantize.quantizer import AwqQuantizer
 
     cfg = ModelConfig(
         model_type="llama", vocab_size=2048, hidden_size=512,
@@ -51,59 +145,28 @@ def main():
     params["embed_tokens"]["weight"][:, :16] *= 20.0
 
     t0 = time.time()
-    bos = jnp.zeros((N_EVAL_TOKENS // SEQ + N_CALIB, 1), jnp.int32)
-    sampled = np.asarray(gen.generate_compiled(
-        cfg, params, bos, SEQ, temperature=1.0, seed=11, method="jnp",
-        dtype=jnp.float32))[:, 1:]
-    calib = sampled[: N_CALIB]
-    eval_stream = sampled[N_CALIB:].reshape(-1)
+    sampled = _sample(cfg, params, N_EVAL_TOKENS // SEQ + N_CALIB, 11)
+    calib = sampled[:N_CALIB]
     print(f"sampled {sampled.shape} tokens from fp model "
-          f"({time.time() - t0:.0f}s)")
+          f"({time.time() - t0:.0f}s)", flush=True)
 
     qcfg = AwqConfig()  # 4-bit, g128, zero-point — the reference default
-
-    def rtn(params):
-        out = _clone(params)
-        for lp in out["layers"]:
-            for path, p in list(iter_linears(lp)):
-                set_by_path(lp, path, quantize_linear_params(
-                    {k: jnp.asarray(v) for k, v in p.items()}, qcfg))
-        return out
-
-    variants = {"fp32": params, "rtn_w4g128": rtn(params)}
+    variants = {"fp32": params, "rtn_w4g128": _rtn(cfg, params, qcfg)}
     t0 = time.time()
     variants["awq_w4g128"] = AwqQuantizer(
         cfg, qcfg, params, calib, progress=False).quantize()
     print(f"AWQ calibration: {time.time() - t0:.0f}s")
+    _report(cfg, params, variants, sampled[N_CALIB:].reshape(-1),
+            sampled[N_CALIB:N_CALIB + 4, :128],
+            {"model": "self-contained synthetic (no artifact found)",
+             "w_bit": 4, "q_group_size": 128})
 
-    report = {"config": {"seq_len": SEQ, "eval_tokens": int(len(eval_stream)),
-                         "w_bit": 4, "q_group_size": 128,
-                         "note": "eval stream sampled from the fp model; "
-                                 "fp ppl = model entropy rate"}}
-    ppl_fp = None
-    kl_tokens = sampled[N_CALIB:N_CALIB + 4, :128]
-    for name, p in variants.items():
-        ppl = perplexity(cfg, p, eval_stream, seq_len=SEQ, method="jnp")
-        row = {"ppl": round(ppl, 4)}
-        if name == "fp32":
-            ppl_fp = ppl
-        else:
-            row["delta_ppl"] = round(ppl - ppl_fp, 4)
-            kl = kl_divergence_report(cfg, params, cfg, p, kl_tokens,
-                                      method="jnp")
-            row.update({k: round(float(v), 5) for k, v in kl.items()})
-        report[name] = row
-        print(name, row)
 
-    d_awq = report["awq_w4g128"]["delta_ppl"]
-    d_rtn = report["rtn_w4g128"]["delta_ppl"]
-    report["awq_vs_rtn_dppl_ratio"] = round(d_awq / d_rtn, 4) if d_rtn else None
-    assert d_awq < d_rtn, (d_awq, d_rtn)
-    print(f"AWQ Δppl {d_awq} < RTN Δppl {d_rtn} "
-          f"(ratio {report['awq_vs_rtn_dppl_ratio']})")
-    with open("QUALITY.json", "w") as f:
-        json.dump(report, f, indent=1)
-    print("wrote QUALITY.json")
+def main():
+    if os.path.isfile(os.path.join(ARTIFACT_DIR, "ARTIFACT.json")):
+        run_artifact()
+    else:
+        run_synthetic()
 
 
 if __name__ == "__main__":
