@@ -7,9 +7,15 @@ expert shard; each shard masks the routing table down to its own expert
 range, computes those experts' contributions with the grouped kernel, and
 a single ``psum`` over the expert axis sums the per-shard partial outputs.
 No tokens are dropped and all shapes stay static — the ragged all-to-all
-variant (dispatch tokens to their expert's chip) trades this scheme's
-replicated activation reads for lower FLOPs and is only profitable once
-activations dominate, which W4A16 decode is far from.
+variant (ops/moe_a2a.py: dispatch tokens to their expert's chip) trades
+this scheme's replicated activation reads for 2x entry-row exchanges and
+capacity-factor drops. MEASURED A/B (scripts/measure_ep_moe.py ->
+EP_MOE_AB.json, 8-shard mesh, top-2): at prefill scale (512-4096 tokens)
+a2a moves 3x fewer per-shard activation bytes (2*(T/D)*k*cf*H vs T*k*H +
+psum) and is 10-43% faster in wall time even on the CPU mesh; this
+replicate+psum scheme remains the right decode choice, where T*k is tiny,
+weight streaming dominates, and a2a's two serialized exchanges sit on the
+latency path. Serving-side prefill can opt into a2a via moe_mlp_a2a.
 
 Replaces the reference's single-GPU fused MoE (awq/modules/fused/moe.py)
 + accelerate layer-pipeline with in-layer expert parallelism it never had
