@@ -340,6 +340,68 @@ def _flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :s, :, :hd].reshape(b, s, nh * hd)
 
 
+def _paged_write(pages: jax.Array, new: jax.Array, table: jax.Array,
+                 pos: jax.Array, page_size: int) -> jax.Array:
+    """Scatter one decode token's K or V into the page pool.
+
+    pages [nkv, P, ps, hd]; new [B, nkv, hd]; table [B, PPS]; pos [B].
+    Each slot b writes page table[b, pos//ps] at line pos%ps."""
+    pg = jnp.take_along_axis(table, (pos // page_size)[:, None], 1)[:, 0]
+    off = pos % page_size
+    return pages.at[:, pg, off, :].set(new.swapaxes(0, 1).astype(pages.dtype))
+
+
+def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
+                  k: jax.Array, v: jax.Array, kv_cache: Dict[str, jax.Array],
+                  scale: float, method: str):
+    """Decode attention over a PAGED KV cache (vLLM-style block tables) —
+    serving memory management the reference does not have (its caches are
+    contiguous per-batch preallocations, awq/modules/fused/cache.py).
+
+    kv_cache: {"k_pages"/"v_pages": [nkv, P, page, hd], "page_table":
+    [B, PPS] int32, "pos": [B] int32}. s == 1 decode only; ALiBi and
+    sliding-window models stay on the contiguous path (serve/paged.py
+    gates admission). On TPU the stock Pallas paged-attention kernel
+    streams only the table's pages; elsewhere a gather + grouped-GQA
+    fallback keeps the math identical."""
+    b, s, nh, hd = q.shape
+    nkv = k.shape[2]
+    ps = kv_cache["k_pages"].shape[2]
+    table, pos = kv_cache["page_table"], kv_cache["pos"]
+    kp = _paged_write(kv_cache["k_pages"], k[:, 0], table, pos, ps)
+    vp = _paged_write(kv_cache["v_pages"], v[:, 0], table, pos, ps)
+    lengths = pos + 1
+    new_cache = {"k_pages": kp, "v_pages": vp, "page_table": table,
+                 "pos": pos + 1}
+
+    if method != "jnp" and jax.default_backend() == "tpu":
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            paged_attention as _stock_paged)
+
+        out = _stock_paged(
+            (q[:, 0] * scale).astype(kp.dtype), kp, vp, lengths, table,
+            attn_logits_soft_cap=cfg.attn_softcap or None,
+            pages_per_compute_block=min(8, table.shape[1]),
+        )
+        return out.reshape(b, 1, nh * hd), new_cache
+
+    # gather fallback: pages -> contiguous [B, nkv, T, hd], grouped GQA
+    kb = jnp.moveaxis(kp[:, table], 1, 0).reshape(b, nkv, -1, hd)
+    vb = jnp.moveaxis(vp[:, table], 1, 0).reshape(b, nkv, -1, hd)
+    rep = nh // nkv
+    qg = q[:, 0].reshape(b, nkv, rep, hd)
+    scores = jnp.einsum("bgrd,bgtd->bgrt", qg, kb.astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+    if cfg.attn_softcap:
+        scores = jnp.tanh(scores / cfg.attn_softcap) * cfg.attn_softcap
+    valid = jnp.arange(kb.shape[2])[None, :] < lengths[:, None]  # [B, T]
+    scores = jnp.where(valid[:, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bgrt,bgtd->bgrd", probs,
+                     vb.astype(q.dtype)).reshape(b, 1, nh * hd)
+    return out, new_cache
+
+
 def _tap(taps: Optional[Dict], name: str, x: jax.Array):
     if taps is not None:
         taps[name] = x
@@ -413,6 +475,12 @@ def attention(
         k = apply_rope(k, cos, sin, cfg.rotary_dim, cfg.rope_style)
 
     scale = cfg.attn_scale if cfg.attn_scale is not None else hd**-0.5
+    if kv_cache is not None and "k_pages" in kv_cache:
+        out, kv_cache = _paged_decode(cfg, p, q, k, v, kv_cache, scale,
+                                      method)
+        out = out.astype(x.dtype)
+        _tap(taps, "self_attn.o_proj", out)
+        return linear(p["o_proj"], out, cfg.hidden_size, method), kv_cache
     if kv_cache is not None:
         # cache layout is [B, heads, T, head_dim] (serve/generate.py);
         # pos may be a scalar (whole-batch decode) or a [B] vector of

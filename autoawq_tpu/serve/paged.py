@@ -1,0 +1,216 @@
+"""Paged KV-cache serving (vLLM-style block tables) on TPU.
+
+Memory upgrade over serve/batching.py's fixed [B, H, max_seq, D] slot pool
+— and far beyond the reference, whose caches are contiguous per-batch
+preallocations sized by a window env var (awq/modules/fused/cache.py,
+awq/utils/fused_utils.py:110-139): KV lives in a shared pool of
+fixed-size pages [nkv, total_pages, page_size, hd]; each request owns just
+``ceil(budget / page_size)`` pages, so many short requests and one long
+one coexist without reserving ``max_batch * max_seq`` everywhere.
+
+Scheduling mirrors BatchingEngine (FIFO admission, per-slot retirement,
+ONE compiled decode step for the pool). Specifics:
+
+* Page 0 is the TRASH page: inactive slots' table rows point at it, so the
+  pool decode step (which always writes every slot's K/V somewhere) can
+  never corrupt a live request's pages.
+* A request reserves its whole budget (prompt + max_new_tokens) at
+  admission — no mid-flight page faults or preemption. Lazy growth would
+  admit more aggressively; reservation keeps the engine allocation-free
+  per step and is the right first discipline on TPU where step latency is
+  king.
+* Attention runs the stock Pallas paged-attention kernel on TPU (only the
+  table's pages stream from HBM) and a gather + grouped-GQA fallback in
+  tests (nn/modules._paged_decode).
+
+ALiBi / sliding-window / MLA models stay on the contiguous engines (the
+stock kernel supports neither bias nor windows; gated in __init__).
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import deque
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autoawq_tpu.models.config import ModelConfig
+from autoawq_tpu.nn import modules
+from autoawq_tpu.serve import generate as gen
+from autoawq_tpu.serve.batching import Request
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "method", "dtype"),
+                   donate_argnums=(3,))
+def paged_decode_step(
+    cfg: ModelConfig,
+    params: Dict[str, Any],
+    tokens: jax.Array,           # [B, 1]
+    page_caches: List[Dict[str, jax.Array]],
+    table: jax.Array,            # [B, PPS] int32
+    pos: jax.Array,              # [B] int32
+    method: str = "auto",
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
+    """One decode token for every slot against the page pool."""
+    ps = page_caches[0]["k_pages"].shape[2]
+    cap = table.shape[1] * ps
+    positions = pos[:, None]
+    x = modules.embed(cfg, params, tokens, dtype, positions)
+    cos, sin = modules.rope_tables(cfg, positions, seq_len=cap)
+    new_caches = []
+    for lp, pc in zip(params["layers"], page_caches):
+        kv = {"k_pages": pc["k_pages"], "v_pages": pc["v_pages"],
+              "page_table": table, "pos": pos}
+        x, kv = modules.block(cfg, lp, x, cos, sin, None, kv_cache=kv,
+                              method=method)
+        new_caches.append({"k_pages": kv["k_pages"],
+                           "v_pages": kv["v_pages"]})
+    logits = modules.logits_fn(cfg, params, x, method)
+    return logits[:, 0, :], new_caches
+
+
+@functools.partial(jax.jit, static_argnames=("n_pages",), donate_argnums=(0,))
+def _install_pages(page_caches, row_caches, page_ids: jax.Array,
+                   n_pages: int):
+    """Copy a contiguous single-request prefill cache into its pages."""
+    out = []
+    for pc, row in zip(page_caches, row_caches):
+        kp = pc["k_pages"]
+        nkv, _, ps, hd = kp.shape
+        k = row["k"][0, :, : n_pages * ps].reshape(nkv, n_pages, ps, hd)
+        v = row["v"][0, :, : n_pages * ps].reshape(nkv, n_pages, ps, hd)
+        out.append({
+            "k_pages": kp.at[:, page_ids].set(k.astype(kp.dtype)),
+            "v_pages": pc["v_pages"].at[:, page_ids].set(
+                v.astype(kp.dtype)),
+        })
+    return out
+
+
+class PagedBatchingEngine:
+    """FIFO continuous batching over a shared KV page pool."""
+
+    def __init__(self, cfg: ModelConfig, params: Dict[str, Any],
+                 max_batch: int = 8, page_size: int = 64,
+                 total_pages: int = 512, pages_per_seq: int = 32,
+                 eos_token_id: Optional[int] = None, method: str = "auto",
+                 dtype=jnp.bfloat16):
+        if cfg.is_mla:
+            raise NotImplementedError("MLA uses the latent layout")
+        if cfg.pos_embed == "alibi" or cfg.sliding_window:
+            raise NotImplementedError(
+                "ALiBi / sliding-window models use serve.batching")
+        self.cfg, self.params = cfg, params
+        self.max_batch, self.ps = max_batch, page_size
+        self.pps = pages_per_seq
+        self.eos, self.method, self.dtype = eos_token_id, method, dtype
+        gen._check_rope_capacity(cfg, pages_per_seq * page_size)
+        nkv = cfg.num_key_value_heads
+        hd = cfg.head_dim_
+        self.pages = [
+            {"k_pages": jnp.zeros((nkv, total_pages, page_size, hd), dtype),
+             "v_pages": jnp.zeros((nkv, total_pages, page_size, hd), dtype)}
+            for _ in range(cfg.num_hidden_layers)
+        ]
+        self.free: List[int] = list(range(total_pages - 1, 0, -1))  # 0=trash
+        self.table = np.zeros((max_batch, pages_per_seq), np.int32)
+        self.owned: List[List[int]] = [[] for _ in range(max_batch)]
+        self.pos = np.zeros((max_batch,), np.int32)
+        self.last_token = np.zeros((max_batch,), np.int32)
+        self.slots: List[Optional[Request]] = [None] * max_batch
+        self.queue: deque[Request] = deque()
+        self.finished: List[Request] = []
+
+    # -------------------------------------------------------- scheduling
+    def add_request(self, req_id: Any, prompt, max_new_tokens: int = 128):
+        prompt = np.asarray(prompt).reshape(-1)
+        budget = len(prompt) + max_new_tokens + 1
+        if budget > self.pps * self.ps:
+            raise ValueError(
+                f"prompt+budget {budget} exceeds pages_per_seq*page_size "
+                f"({self.pps * self.ps})")
+        self.queue.append(Request(req_id, prompt, max_new_tokens))
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(s is not None for s in self.slots)
+
+    def _admit(self):
+        for slot in range(self.max_batch):
+            if self.slots[slot] is not None or not self.queue:
+                continue
+            req = self.queue[0]
+            budget = len(req.prompt) + req.max_new_tokens + 1
+            need = -(-budget // self.ps)
+            if len(self.free) < need:
+                return  # FIFO: wait for pages rather than starve the head
+            self.queue.popleft()
+            pages = [self.free.pop() for _ in range(need)]
+            self.owned[slot] = pages
+            self.table[slot] = 0
+            self.table[slot, :need] = pages
+
+            # contiguous prefill, then scatter full pages into the pool
+            n_prompt_pages = -(-len(req.prompt) // self.ps)
+            t_row = n_prompt_pages * self.ps
+            row = gen.init_kv_cache(self.cfg, 1, t_row, self.dtype)
+            logits, row = gen.prefill(
+                self.cfg, self.params, jnp.asarray(req.prompt[None]), row,
+                self.method, self.dtype)
+            self.pages = _install_pages(
+                self.pages, row, jnp.asarray(pages[:n_prompt_pages]),
+                n_prompt_pages)
+
+            tok = int(jnp.argmax(logits[0]))
+            req.output.append(tok)
+            self.slots[slot] = req
+            self.pos[slot] = len(req.prompt)
+            self.last_token[slot] = tok
+            self._retire_if_done(slot)
+
+    def _retire_if_done(self, slot: int):
+        req = self.slots[slot]
+        if req is None:
+            return
+        if (req.output and req.output[-1] == self.eos) \
+                or len(req.output) >= req.max_new_tokens:
+            req.done = True
+            self.finished.append(req)
+            self.slots[slot] = None
+            self.free.extend(reversed(self.owned[slot]))
+            self.owned[slot] = []
+            self.table[slot] = 0  # trash page: decode writes go nowhere
+            self.pos[slot] = 0
+
+    # ------------------------------------------------------------- steps
+    def step(self) -> List[Tuple[Any, int]]:
+        """Admit, then one decode token for every active slot."""
+        self._admit()
+        active = [i for i, s in enumerate(self.slots) if s is not None]
+        if not active:
+            return []
+        logits, self.pages = paged_decode_step(
+            self.cfg, self.params, jnp.asarray(self.last_token[:, None]),
+            self.pages, jnp.asarray(self.table), jnp.asarray(self.pos),
+            self.method, self.dtype)
+        toks = np.asarray(jnp.argmax(logits, axis=-1))
+        emitted = []
+        for slot in active:
+            tok = int(toks[slot])
+            req = self.slots[slot]
+            req.output.append(tok)
+            emitted.append((req.id, tok))
+            self.pos[slot] += 1
+            self.last_token[slot] = tok
+            self._retire_if_done(slot)
+        return emitted
+
+    def run(self) -> Dict[Any, List[int]]:
+        """Drain all queued/active requests; returns id -> tokens."""
+        while self.has_work:
+            self.step()
+        return {r.id: r.output for r in self.finished}

@@ -1,0 +1,68 @@
+"""Paged KV serving (serve/paged.py + nn/modules._paged_decode): per-request
+outputs must bit-match solo contiguous-cache generation, pages must be
+recycled across requests, and the trash-page discipline must keep inactive
+slots from corrupting live ones."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoawq_tpu.io.hf import init_random_params
+from autoawq_tpu.models.config import ModelConfig
+from autoawq_tpu.serve import generate as gen
+from autoawq_tpu.serve.paged import PagedBatchingEngine
+
+CFG = ModelConfig(
+    model_type="llama", vocab_size=128, hidden_size=64,
+    intermediate_size=128, num_hidden_layers=2, num_attention_heads=8,
+    num_key_value_heads=2, head_dim=8, max_position_embeddings=128)
+
+
+def _solo(params, prompt, n):
+    out = np.asarray(gen.generate_compiled(
+        CFG, params, jnp.asarray(prompt[None]), n, method="auto",
+        dtype=jnp.float32))[0]
+    return list(out[len(prompt):])
+
+
+def test_paged_matches_solo(rng):
+    params = init_random_params(CFG, seed=3)
+    prompts = [rng.integers(0, 128, (n,)) for n in (5, 11, 8)]
+    eng = PagedBatchingEngine(CFG, params, max_batch=2, page_size=8,
+                              total_pages=32, pages_per_seq=8,
+                              dtype=jnp.float32)
+    for i, p in enumerate(prompts):
+        eng.add_request(i, p, max_new_tokens=6)
+    got = eng.run()
+    assert set(got) == {0, 1, 2}
+    for i, p in enumerate(prompts):
+        assert got[i] == _solo(params, p, 6), f"request {i} diverged"
+
+
+def test_page_recycling(rng):
+    """A pool too small to hold all requests at once still serves them all
+    once earlier requests retire and free their pages."""
+    params = init_random_params(CFG, seed=4)
+    # budget per request: 8 + 4 + 1 = 13 tokens -> 2 pages of 8; pool of 5
+    # usable pages (1 reserved for trash) fits two requests concurrently
+    eng = PagedBatchingEngine(CFG, params, max_batch=4, page_size=8,
+                              total_pages=6, pages_per_seq=4,
+                              dtype=jnp.float32)
+    prompts = [rng.integers(0, 128, (8,)) for _ in range(5)]
+    for i, p in enumerate(prompts):
+        eng.add_request(i, p, max_new_tokens=4)
+    got = eng.run()
+    assert set(got) == set(range(5))
+    for i, p in enumerate(prompts):
+        assert got[i] == _solo(params, p, 4), f"request {i} diverged"
+    # every page returned to the free list (5 usable pages, page 0 trash)
+    assert sorted(eng.free) == [1, 2, 3, 4, 5]
+
+
+def test_budget_validation(rng):
+    params = init_random_params(CFG, seed=5)
+    eng = PagedBatchingEngine(CFG, params, max_batch=1, page_size=8,
+                              total_pages=8, pages_per_seq=2,
+                              dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        eng.add_request(0, rng.integers(0, 128, (14,)), max_new_tokens=8)
