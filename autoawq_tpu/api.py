@@ -124,11 +124,13 @@ class AwqCausalLM:
                  temperature: float = 0.0, seed: int = 0,
                  eos_token_id: Optional[int] = None,
                  dtype=jnp.float32, method: str = "auto",
+                 kv_quant: bool = False,
                  stream_callback=None) -> np.ndarray:
         out = gen.generate(
             self.cfg, self.params, jnp.asarray(input_ids), max_new_tokens,
             temperature=temperature, seed=seed, eos_token_id=eos_token_id,
-            dtype=dtype, method=method, stream_callback=stream_callback,
+            dtype=dtype, method=method, kv_quant=kv_quant,
+            stream_callback=stream_callback,
         )
         return np.asarray(out)
 

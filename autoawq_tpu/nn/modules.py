@@ -340,6 +340,17 @@ def _flash_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :s, :, :hd].reshape(b, s, nh * hd)
 
 
+def _kv_quantize(u: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """int8 absmax quantization along head_dim: u [..., hd] ->
+    (int8 [..., hd], f32 scales [...]). Per-(batch, head, token) scales —
+    the granularity that folds into decode's score/prob matrices for free
+    (see the grouped-decode branch in `attention`)."""
+    uf = u.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(uf), axis=-1) / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(uf / s[..., None]), -127, 127)
+    return q.astype(jnp.int8), s
+
+
 def _paged_write(pages: jax.Array, new: jax.Array, table: jax.Array,
                  pos: jax.Array, page_size: int) -> jax.Array:
     """Scatter one decode token's K or V into the page pool.
@@ -486,23 +497,36 @@ def attention(
         # pos may be a scalar (whole-batch decode) or a [B] vector of
         # per-slot write offsets (continuous batching, serve/batching.py)
         pos = kv_cache["pos"]
+        quant = "k_s" in kv_cache  # int8 cache (init_kv_cache kv_quant=True)
+        kt, vt = k.swapaxes(1, 2), v.swapaxes(1, 2)  # [B, nkv, S, hd]
+        kcs = vcs = None
+        if quant:
+            kt, ks_new = _kv_quantize(kt)
+            vt, vs_new = _kv_quantize(vt)
         if getattr(pos, "ndim", 0) == 1:
             def _upd(c, u, p):
                 return jax.lax.dynamic_update_slice(
-                    c, u.astype(c.dtype), (0, p, 0))
+                    c, u.astype(c.dtype), (0, p) + (0,) * (u.ndim - 2))
 
-            kc = jax.vmap(_upd)(kv_cache["k"], k.swapaxes(1, 2), pos)
-            vc = jax.vmap(_upd)(kv_cache["v"], v.swapaxes(1, 2), pos)
+            kc = jax.vmap(_upd)(kv_cache["k"], kt, pos)
+            vc = jax.vmap(_upd)(kv_cache["v"], vt, pos)
+            if quant:
+                kcs = jax.vmap(_upd)(kv_cache["k_s"], ks_new, pos)
+                vcs = jax.vmap(_upd)(kv_cache["v_s"], vs_new, pos)
         else:
-            kc = jax.lax.dynamic_update_slice(
-                kv_cache["k"], k.swapaxes(1, 2).astype(kv_cache["k"].dtype),
-                (0, 0, pos, 0))
-            vc = jax.lax.dynamic_update_slice(
-                kv_cache["v"], v.swapaxes(1, 2).astype(kv_cache["v"].dtype),
-                (0, 0, pos, 0))
+            def _upds(c, u):
+                return jax.lax.dynamic_update_slice(
+                    c, u.astype(c.dtype), (0, 0, pos) + (0,) * (u.ndim - 3))
+
+            kc, vc = _upds(kv_cache["k"], kt), _upds(kv_cache["v"], vt)
+            if quant:
+                kcs = _upds(kv_cache["k_s"], ks_new)
+                vcs = _upds(kv_cache["v_s"], vs_new)
         kv_cache = {"k": kc, "v": vc, "pos": pos + s}
+        if quant:
+            kv_cache.update(k_s=kcs, v_s=vcs)
         if not causal_prefill:
-            if (s == 1 and getattr(pos, "ndim", 0) == 0
+            if (s == 1 and not quant and getattr(pos, "ndim", 0) == 0
                     and _decode_kernel_ok(cfg, method, nh, nkv, hd,
                                           kc.shape[2])):
                 # fused decode attention against the cache — the analogue
@@ -519,8 +543,8 @@ def attention(
                 _tap(taps, "self_attn.o_proj", out)
                 y = linear(p["o_proj"], out, cfg.hidden_size, method)
                 return y, kv_cache
-            if (s == 1 and nkv != nh and _GQA_GROUPED != "0"
-                    and method != "jnp"):
+            if (s == 1 and method != "jnp"
+                    and (quant or (nkv != nh and _GQA_GROUPED != "0"))):
                 # GQA-native grouped decode on the cache's natural layout
                 # [B, nkv, T, hd]: (batch, group) become dot_general BATCH
                 # dims, so XLA lowers one batched MXU GEMM per product and
@@ -535,6 +559,11 @@ def attention(
                 scores = jnp.einsum(
                     "bgrd,bgtd->bgrt", qg, kc.astype(x.dtype),
                     preferred_element_type=jnp.float32) * scale
+                if quant:
+                    # int8 cache: per-(b, head, t) absmax scales fold into
+                    # the score/prob matrices — the dequantized cache is
+                    # never materialized, so attention reads HALF the bytes
+                    scores = scores * kcs[:, :, None, :]
                 if cfg.attn_softcap:
                     scores = jnp.tanh(scores / cfg.attn_softcap) \
                         * cfg.attn_softcap
@@ -544,7 +573,10 @@ def attention(
                         scores = scores + m[:, :, None, :]
                     else:  # per-head bias (ALiBi): heads fold as [g, rep]
                         scores = scores + m.reshape(m.shape[0], nkv, rep, -1)
-                probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+                probs = jax.nn.softmax(scores, axis=-1)
+                if quant:
+                    probs = probs * vcs[:, :, None, :]
+                probs = probs.astype(x.dtype)
                 out = jnp.einsum(
                     "bgrt,bgtd->bgrd", probs, vc.astype(x.dtype),
                 ).reshape(b, 1, nh * hd)
@@ -554,7 +586,14 @@ def attention(
             # decode / mid-context: attend over the whole cache. The
             # causal-prefill path keeps the local s-length k/v (the cache
             # beyond s is empty) so flash attention sees aligned lengths.
-            k, v = kc.swapaxes(1, 2).astype(x.dtype), vc.swapaxes(1, 2).astype(x.dtype)
+            if quant:  # jnp-oracle / s>1 fallback: dequantize the cache
+                k = (kc.astype(jnp.float32) * kcs[..., None]).swapaxes(
+                    1, 2).astype(x.dtype)
+                v = (vc.astype(jnp.float32) * vcs[..., None]).swapaxes(
+                    1, 2).astype(x.dtype)
+            else:
+                k, v = (kc.swapaxes(1, 2).astype(x.dtype),
+                        vc.swapaxes(1, 2).astype(x.dtype))
 
     if causal_prefill and _flash_ok(cfg, method, q, k):
         # Pallas TPU flash attention for prefill (replaces the reference's
@@ -751,7 +790,7 @@ def _fused_attn_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
     if method == "jnp":
         return False
     flag = _os.environ.get("AWQ_TPU_FUSED_ATTN", "auto")
-    if flag == "0":
+    if flag == "0" or "k_s" in kv_cache:  # int8 cache: kernel is bf16-only
         return False
     if flag != "force" and not (jax.default_backend() == "tpu"
                                 and jax.device_count() == 1):

@@ -70,10 +70,10 @@ def batched_decode_step(
     cos, sin = modules.rope_tables(cfg, positions, seq_len=max_t)
     new_caches = []
     for lp, cache in zip(params["layers"], caches):
-        kv = {"k": cache["k"], "v": cache["v"], "pos": pos}
+        kv = {**cache, "pos": pos}
         x, kv = modules.block(cfg, lp, x, cos, sin, mask, kv_cache=kv,
                               method=method)
-        new_caches.append({"k": kv["k"], "v": kv["v"]})
+        new_caches.append({k: kv[k] for k in cache})
     logits = modules.logits_fn(cfg, params, x, method)
     return logits[:, 0, :], new_caches
 
@@ -108,10 +108,10 @@ def prefill_chunk(
     cos, sin = modules.rope_tables(cfg, positions, seq_len=max_t)
     new_caches = []
     for lp, cache in zip(params["layers"], row_caches):
-        kv = {"k": cache["k"], "v": cache["v"], "pos": pos0}
+        kv = {**cache, "pos": pos0}
         x, kv = modules.block(cfg, lp, x, cos, sin, mask, kv_cache=kv,
                               method=method)
-        new_caches.append({"k": kv["k"], "v": kv["v"]})
+        new_caches.append({k: kv[k] for k in cache})
     logits = modules.logits_fn(cfg, params, x, method)
     return logits, new_caches
 
@@ -122,10 +122,10 @@ def _install_slot(caches, row_caches, slot: int):
     out = []
     for pool, row in zip(caches, row_caches):
         out.append({
-            "k": jax.lax.dynamic_update_slice(
-                pool["k"], row["k"].astype(pool["k"].dtype), (slot, 0, 0, 0)),
-            "v": jax.lax.dynamic_update_slice(
-                pool["v"], row["v"].astype(pool["v"].dtype), (slot, 0, 0, 0)),
+            key: jax.lax.dynamic_update_slice(
+                pool[key], row[key].astype(pool[key].dtype),
+                (slot,) + (0,) * (row[key].ndim - 1))
+            for key in pool
         })
     return out
 
@@ -147,7 +147,8 @@ class BatchingEngine:
                  max_batch: int = 8, max_seq_len: int = 2048,
                  eos_token_id: Optional[int] = None, method: str = "auto",
                  dtype=jnp.bfloat16,
-                 prefill_chunk_size: Optional[int] = None):
+                 prefill_chunk_size: Optional[int] = None,
+                 kv_quant: bool = False):
         """``prefill_chunk_size`` bounds per-step admission work: long
         prompts prefill in fixed-size chunks interleaved with pool decode
         steps, so running requests never stall behind a 100k-token arrival
@@ -171,8 +172,10 @@ class BatchingEngine:
                 f"max_seq_len ({max_seq_len}) must be a multiple of "
                 f"prefill_chunk_size ({prefill_chunk_size})")
         self.chunk = prefill_chunk_size
+        self.kv_quant = kv_quant
         gen._check_rope_capacity(cfg, max_seq_len)
-        self.caches = gen.init_kv_cache(cfg, max_batch, max_seq_len, dtype)
+        self.caches = gen.init_kv_cache(cfg, max_batch, max_seq_len, dtype,
+                                        kv_quant=kv_quant)
         self.pos = np.zeros((max_batch,), np.int32)
         self.last_token = np.zeros((max_batch,), np.int32)
         self.slots: List[Optional[Request]] = [None] * max_batch
@@ -198,7 +201,8 @@ class BatchingEngine:
                 continue
             req = self.queue.popleft()
             if self.chunk is None:
-                row = gen.init_kv_cache(self.cfg, 1, self.max_seq, self.dtype)
+                row = gen.init_kv_cache(self.cfg, 1, self.max_seq, self.dtype,
+                                        kv_quant=self.kv_quant)
                 logits, row = gen.prefill(
                     self.cfg, self.params, jnp.asarray(req.prompt[None]), row,
                     self.method, self.dtype)
@@ -207,7 +211,8 @@ class BatchingEngine:
                 self.inflight[slot] = {
                     "req": req,
                     "row": gen.init_kv_cache(self.cfg, 1, self.max_seq,
-                                             self.dtype),
+                                             self.dtype,
+                                             kv_quant=self.kv_quant),
                     "done": 0,
                 }
 

@@ -22,14 +22,23 @@ from autoawq_tpu.nn import modules
 
 
 def init_kv_cache(cfg: ModelConfig, batch: int, max_seq_len: int,
-                  dtype=jnp.bfloat16,
-                  mla_latent: bool = True) -> List[Dict[str, jax.Array]]:
+                  dtype=jnp.bfloat16, mla_latent: bool = True,
+                  kv_quant: bool = False) -> List[Dict[str, jax.Array]]:
     """Per-layer K/V buffers in the canonical TPU attention layout
     [B, heads, T, head_dim] — (T, head_dim) trailing dims tile directly
     into the fused decode-attention kernel's VMEM blocks
     (ops/decode_attn.py) and shard on the head dim under TP. MLA models
     default to the compressed latent cache (``mla_latent=False`` restores
-    the full per-head materialization)."""
+    the full per-head materialization).
+
+    ``kv_quant=True`` stores int8 K/V with per-(batch, head, token) absmax
+    scales — HALF the cache read/write bytes of a bf16 cache, the binding
+    traffic at batched / long-context decode (the reference has no cache
+    quantization; fp16-only windows, awq/modules/fused/cache.py). The
+    dequant folds into the grouped-decode einsums as elementwise score /
+    prob scaling (nn/modules.attention) — no dequantized cache is ever
+    materialized. Downstream jit paths key on the cache pytree structure,
+    so no extra flags are needed past this allocation."""
     if cfg.is_mla:
         if mla_latent:
             # latent cache: ONE [compressed-kv | rope-head] row per token
@@ -53,6 +62,16 @@ def init_kv_cache(cfg: ModelConfig, batch: int, max_seq_len: int,
             for _ in range(cfg.num_hidden_layers)
         ]
     hd, nkv = cfg.head_dim_, cfg.num_key_value_heads
+    if kv_quant:
+        return [
+            {
+                "k": jnp.zeros((batch, nkv, max_seq_len, hd), jnp.int8),
+                "v": jnp.zeros((batch, nkv, max_seq_len, hd), jnp.int8),
+                "k_s": jnp.zeros((batch, nkv, max_seq_len), jnp.float32),
+                "v_s": jnp.zeros((batch, nkv, max_seq_len), jnp.float32),
+            }
+            for _ in range(cfg.num_hidden_layers)
+        ]
     return [
         {
             "k": jnp.zeros((batch, nkv, max_seq_len, hd), dtype),
@@ -248,6 +267,7 @@ def generate(
     max_seq_len: Optional[int] = None,
     method: str = "auto",
     dtype=jnp.bfloat16,
+    kv_quant: bool = False,
     stream_callback=None,
 ) -> jax.Array:
     """Python-loop generation (streaming-friendly). Returns [B, S + new]."""
@@ -255,7 +275,7 @@ def generate(
     total = max_seq_len or (s + max_new_tokens)
     _check_rope_capacity(cfg, total)
     roll_step = 128  # eviction granularity on overflow (reference rolls 100)
-    caches = init_kv_cache(cfg, b, total, dtype)
+    caches = init_kv_cache(cfg, b, total, dtype, kv_quant=kv_quant)
     logits, caches = prefill(cfg, params, prompt, caches, method, dtype)
     key = jax.random.PRNGKey(seed)
     out = [prompt]
@@ -295,7 +315,7 @@ def generate(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_k", "top_p",
-                     "method", "dtype"),
+                     "method", "dtype", "kv_quant"),
 )
 def generate_compiled(
     cfg: ModelConfig,
@@ -309,12 +329,13 @@ def generate_compiled(
     seed: int = 0,
     method: str = "auto",
     dtype=jnp.bfloat16,
+    kv_quant: bool = False,
 ) -> jax.Array:
     """Whole-generation lax.scan compile: zero per-token dispatch overhead."""
     b, s = prompt.shape
     total = s + max_new_tokens
     _check_rope_capacity(cfg, total)
-    caches = init_kv_cache(cfg, b, total, dtype)
+    caches = init_kv_cache(cfg, b, total, dtype, kv_quant=kv_quant)
     logits, caches = prefill(cfg, params, prompt, caches, method, dtype)
     key = jax.random.PRNGKey(seed)
 

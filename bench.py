@@ -102,12 +102,15 @@ def main():
     params = jax.device_put(params)
     prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, CTX)))
 
+    kv_quant = os.environ.get("AWQ_TPU_KV_QUANT") == "1"  # int8 cache A/B
+
     def run_gen(n):
         """Whole compiled generation; returns wall time. The tiny token
         fetch keeps the dispatch RPC identical across lengths."""
         t0 = time.perf_counter()
         out = gen.generate_compiled(cfg, params, prompt, n,
-                                    method="auto", dtype=jnp.bfloat16)
+                                    method="auto", dtype=jnp.bfloat16,
+                                    kv_quant=kv_quant)
         np.asarray(out)  # full host transfer: immune to async-dispatch lies
         return time.perf_counter() - t0
 
