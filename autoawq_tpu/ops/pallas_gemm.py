@@ -61,7 +61,14 @@ QW_BLOCK_MAX = 3 * 1024 * 1024  # qweight block byte cap
 # dequant+matmul reached 78. Engaged when M >= WS_MIN_M and both x and the
 # extracted slab fit their VMEM budgets; longer prompts are processed in
 # M-slabs by the wrapper.
-WS_MIN_M = 1024
+import os as _os
+
+# AWQ_TPU_WS_MIN_M tunes the engagement floor for on-chip A/Bs: below it
+# the streaming grid re-reads weights once per 256-row M tile, above it
+# the weights-stationary mode extracts once per column superblock. 1024
+# was measured as the crossover on mistral gate_up shapes; shorter-prompt
+# regimes (M 256-768) are candidates for lowering it once measured.
+WS_MIN_M = int(_os.environ.get("AWQ_TPU_WS_MIN_M", "1024"))
 # resident-x sweet spot (measured, mistral gate_up): a 33.5 MB slab
 # (M=4096 @ K=4096) runs 116 TFLOP/s; a 42 MB slab falls off a VMEM cliff
 # to ~50 (the operand double-buffers, 2x42 + scratches > 96 MB). A single
