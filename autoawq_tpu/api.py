@@ -72,6 +72,7 @@ class AwqCausalLM:
         offload_taps: bool = False,
         resume_dir: Optional[str] = None,
         mesh=None,
+        quantize_lm_head: bool = False,
     ) -> None:
         """Run AWQ calibration and (unless export_compatible) pack int4.
 
@@ -100,6 +101,7 @@ class AwqCausalLM:
             duo_scaling=duo_scaling, apply_clip=apply_clip, progress=progress,
             n_parallel_calib_samples=n_parallel_calib_samples,
             offload_taps=offload_taps, resume_dir=resume_dir, mesh=mesh,
+            quantize_lm_head=quantize_lm_head,
         )
         self.params = self._quantizer.quantize(export_compatible=export_compatible)
 

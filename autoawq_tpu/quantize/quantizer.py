@@ -97,6 +97,7 @@ class AwqQuantizer:
         n_parallel_calib_samples: Optional[int] = None,
         offload_taps: bool = False,
         mesh: Optional[jax.sharding.Mesh] = None,
+        quantize_lm_head: bool = False,
     ):
         self.cfg = cfg
         self.qcfg = qcfg
@@ -131,6 +132,13 @@ class AwqQuantizer:
         # choreography.
         self.n_parallel = n_parallel_calib_samples
         self.offload_taps = offload_taps
+        # opt-in: the reference (and AWQ generally) leaves lm_head fp16 —
+        # but at bs1 decode the bf16 lm_head matvec is ~10-20% of the
+        # weight stream (h*V*2 bytes vs the int4 body). Clip-searched
+        # int4 lm_head (calibrated on the final-norm activations) trades
+        # a small logit perturbation for that bandwidth. Tied-embedding
+        # models skip it (quantizing would corrupt the input embedding).
+        self.quantize_lm_head = quantize_lm_head
         # data-parallel calibration (SURVEY §2.6: the TPU-native replacement
         # for the reference's round-robin layer placement,
         # awq/quantize/quantizer.py:130-138): shard the calib batch over the
@@ -255,6 +263,19 @@ class AwqQuantizer:
 
         out = _clone(self.params)
         out["layers"] = new_layers
+        if (self.quantize_lm_head and not export_compatible
+                and self.params.get("lm_head") is not None):
+            # x is the post-last-layer activation stream; the lm_head's
+            # true calibration input is the final-norm output of it
+            head = {"lm_head": self._replicate(_to_jnp(self.params["lm_head"]))}
+            hin = modules.norm(
+                cfg, self._replicate(_to_jnp(self.params["norm"])), x)
+            if self.do_clip:
+                mv = self._search_best_clip(head["lm_head"]["kernel"], hin)
+                scale_mod.apply_clip(head, "lm_head", mv)
+                self.all_clips.append([("lm_head", np.asarray(mv))])
+            out["lm_head"] = jax.device_get(
+                quantize_linear_params(head["lm_head"], self.qcfg))
         return out
 
     def pack(self, params: Dict[str, Any]) -> Dict[str, Any]:
