@@ -1116,8 +1116,19 @@ def forward(
     tokens: jax.Array,  # [B, S]
     method: str = "auto",
     dtype=None,
+    activation_spec=None,
 ) -> jax.Array:
-    """Full prefill forward -> logits [B, S, V]."""
+    """Full prefill forward -> logits [B, S, V].
+
+    ``activation_spec`` (a NamedSharding over [B, S, H]) enables
+    Megatron-style sequence parallelism: residual-stream activations are
+    constrained to it at every block boundary — e.g.
+    ``P("data", "tensor", None)`` keeps norms/elementwise work and
+    activation memory seq-sharded over the tensor axis, and GSPMD inserts
+    the all-gather (into attention/matmuls) / reduce-scatter (out) pairs.
+    The reference has no analogue (its TP story is SURVEY §2.6's layer
+    pipeline); this replaces activation replication at long context.
+    """
     b, s = tokens.shape
     positions = jnp.arange(s)[None, :]
     x = embed(cfg, params, tokens, dtype, positions)
@@ -1127,7 +1138,11 @@ def forward(
         mask = mask + alibi_bias(cfg.num_attention_heads, jnp.arange(s),
                                  jnp.arange(s))
     causal_prefill = cfg.sliding_window is None and cfg.pos_embed != "alibi"
+    if activation_spec is not None:
+        x = jax.lax.with_sharding_constraint(x, activation_spec)
     for lp in params["layers"]:
         x, _ = block(cfg, lp, x, cos, sin, mask, None, None, method,
                      causal_prefill)
+        if activation_spec is not None:
+            x = jax.lax.with_sharding_constraint(x, activation_spec)
     return logits_fn(cfg, params, x, method)

@@ -9,6 +9,9 @@ Axes:
   data   — batch / calibration-sample parallelism (DCN-friendly)
   tensor — Megatron-style tensor parallelism within a slice (ICI)
   expert — expert parallelism for MoE (optional third axis)
+  pipe   — pipeline (layer-stage) parallelism (optional; see
+           parallel/pipeline.py). Only added to the mesh when > 1 so
+           existing (data, expert, tensor) callers see the same axis set.
 """
 
 from __future__ import annotations
@@ -24,18 +27,24 @@ def build_mesh(
     tensor: int = 1,
     data: Optional[int] = None,
     expert: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        if n % (tensor * expert):
-            raise ValueError(f"{n} devices not divisible by tensor={tensor} x expert={expert}")
-        data = n // (tensor * expert)
-    if data * tensor * expert != n:
+        if n % (tensor * expert * pipe):
+            raise ValueError(
+                f"{n} devices not divisible by tensor={tensor} x "
+                f"expert={expert} x pipe={pipe}")
+        data = n // (tensor * expert * pipe)
+    if data * tensor * expert * pipe != n:
         raise ValueError(
-            f"mesh {data}x{expert}x{tensor} != {n} devices"
+            f"mesh {data}x{pipe}x{expert}x{tensor} != {n} devices"
         )
+    if pipe > 1:
+        arr = np.asarray(devices).reshape(data, pipe, expert, tensor)
+        return Mesh(arr, axis_names=("data", "pipe", "expert", "tensor"))
     arr = np.asarray(devices).reshape(data, expert, tensor)
     return Mesh(arr, axis_names=("data", "expert", "tensor"))
 
