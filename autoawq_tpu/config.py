@@ -24,8 +24,14 @@ class AwqConfig:
     modules_to_not_convert: Optional[List[str]] = None
 
     def __post_init__(self):
-        if self.w_bit != 4:
-            raise ValueError(f"Only 4-bit supported, got {self.w_bit}")
+        # The AWQ search (scale/clip grids, pseudo-quant losses) is
+        # bit-generic, like the reference quantizer
+        # (awq/quantize/quantizer.py:86-98); only the PACKED int4 layout
+        # and kernels are 4-bit (reference gemm.py:122 raises the same
+        # way). Non-4-bit runs must use export_compatible=True and pack
+        # externally.
+        if not (2 <= self.w_bit <= 8):
+            raise ValueError(f"w_bit must be in [2, 8], got {self.w_bit}")
         # gemv / gemv_fast / marlin are READ-side layouts: upstream
         # checkpoints saved with those kernels convert to the GEMM triple
         # on load (io/interop.py); saves always write GEMM (see

@@ -58,6 +58,11 @@ def _clone(tree):
 
 def quantize_linear_params(p: Dict[str, Any], qcfg: AwqConfig) -> Dict[str, Any]:
     """fp LIN -> packed planar quantized LIN (host-side packing)."""
+    if qcfg.w_bit != 4:
+        raise ValueError(
+            f"packed kernels are 4-bit only (got w_bit={qcfg.w_bit}); "
+            "run quantize(export_compatible=True) and pack externally "
+            "(reference parity: awq/modules/linear/gemm.py:122)")
     w = jnp.asarray(p["kernel"])
     q, s, z = quantize_weight(
         w, bits=qcfg.w_bit, group_size=qcfg.q_group_size,
