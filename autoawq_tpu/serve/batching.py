@@ -130,12 +130,54 @@ def _install_slot(caches, row_caches, slot: int):
     return out
 
 
+@functools.partial(jax.jit, donate_argnums=())
+def sample_batched(
+    logits: jax.Array,  # [B, V]
+    temp: jax.Array,    # [B] f32; 0 = greedy
+    top_k: jax.Array,   # [B] i32; V = disabled
+    top_p: jax.Array,   # [B] f32; 1.0 = disabled
+    key: jax.Array,
+) -> jax.Array:
+    """Per-slot sampling with TRACED per-request params (one compiled step
+    serves any mix of greedy/sampled requests — the slot pool analogue of
+    serve.generate.sample, HF warper order: temperature -> top_k -> top_p).
+
+    Per-slot k/p are values, not static shapes, so both warpers reduce to
+    a value threshold against the slot's descending-sorted logits: top-k's
+    threshold is the k-th largest logit; top-p's is the smallest logit in
+    the minimal prefix whose probability mass reaches p. (Boundary ties
+    all survive — HF cuts by sorted index; difference only matters for
+    exactly-equal logits at the nucleus edge.)
+    """
+    v = logits.shape[-1]
+    greedy = jnp.argmax(logits, axis=-1)
+    scaled = logits / jnp.maximum(temp, 1e-6)[:, None]
+    sv = -jnp.sort(-scaled, axis=-1)  # descending [B, V]
+    # top-k threshold
+    ki = jnp.clip(top_k - 1, 0, v - 1)
+    thr_k = jnp.take_along_axis(sv, ki[:, None], axis=-1)  # [B, 1]
+    # top-p threshold: keep sorted position i while mass before it < p
+    probs = jax.nn.softmax(sv, axis=-1)
+    before = jnp.cumsum(probs, axis=-1) - probs  # exclusive cumsum
+    n_keep = (before < top_p[:, None]).sum(-1)  # >= 1 always
+    thr_p = jnp.take_along_axis(
+        sv, jnp.clip(n_keep - 1, 0, v - 1)[:, None], axis=-1)
+    thr = jnp.maximum(thr_k, thr_p)
+    masked = jnp.where(scaled < thr, -jnp.inf, scaled)
+    sampled = jax.random.categorical(key, masked, axis=-1)
+    return jnp.where(temp <= 0.0, greedy, sampled)
+
+
 class Request:
     def __init__(self, req_id: Any, prompt: np.ndarray,
-                 max_new_tokens: int = 128):
+                 max_new_tokens: int = 128, temperature: float = 0.0,
+                 top_k: Optional[int] = None, top_p: Optional[float] = None):
         self.id = req_id
         self.prompt = np.asarray(prompt).reshape(-1)
         self.max_new_tokens = max_new_tokens
+        self.temperature = float(temperature)
+        self.top_k = top_k
+        self.top_p = top_p
         self.output: List[int] = []
         self.done = False
 
@@ -148,7 +190,7 @@ class BatchingEngine:
                  eos_token_id: Optional[int] = None, method: str = "auto",
                  dtype=jnp.bfloat16,
                  prefill_chunk_size: Optional[int] = None,
-                 kv_quant: bool = False):
+                 kv_quant: bool = False, seed: int = 0):
         """``prefill_chunk_size`` bounds per-step admission work: long
         prompts prefill in fixed-size chunks interleaved with pool decode
         steps, so running requests never stall behind a 100k-token arrival
@@ -182,12 +224,21 @@ class BatchingEngine:
         self.inflight: Dict[int, Dict[str, Any]] = {}  # slot -> prefill state
         self.queue: deque[Request] = deque()
         self.finished: List[Request] = []
+        # per-slot sampling params (greedy defaults; see sample_batched)
+        self.temp = np.zeros((max_batch,), np.float32)
+        self.topk = np.full((max_batch,), cfg.vocab_size, np.int32)
+        self.topp = np.ones((max_batch,), np.float32)
+        self._key = jax.random.PRNGKey(seed)
+        self._steps = 0
 
     # -------------------------------------------------------- scheduling
-    def add_request(self, req_id: Any, prompt, max_new_tokens: int = 128):
+    def add_request(self, req_id: Any, prompt, max_new_tokens: int = 128,
+                    temperature: float = 0.0, top_k: Optional[int] = None,
+                    top_p: Optional[float] = None):
         if len(np.asarray(prompt).reshape(-1)) >= self.max_seq:
             raise ValueError("prompt longer than max_seq_len")
-        self.queue.append(Request(req_id, prompt, max_new_tokens))
+        self.queue.append(Request(req_id, prompt, max_new_tokens,
+                                  temperature, top_k, top_p))
 
     @property
     def has_work(self) -> bool:
@@ -216,9 +267,25 @@ class BatchingEngine:
                     "done": 0,
                 }
 
+    def _set_sampling(self, slot: int, req: Request):
+        v = self.cfg.vocab_size
+        self.temp[slot] = req.temperature
+        self.topk[slot] = (req.top_k if req.top_k and 0 < req.top_k < v
+                           else v)
+        self.topp[slot] = (req.top_p if req.top_p is not None
+                           and req.top_p < 1.0 else 1.0)
+
+    def _next_key(self):
+        self._steps += 1
+        return jax.random.fold_in(self._key, self._steps)
+
     def _activate(self, slot: int, req: Request, row, logits):
         self.caches = _install_slot(self.caches, row, slot)
-        tok = int(jnp.argmax(logits[0]))
+        self._set_sampling(slot, req)
+        tok = int(sample_batched(
+            logits[:1], jnp.asarray(self.temp[slot : slot + 1]),
+            jnp.asarray(self.topk[slot : slot + 1]),
+            jnp.asarray(self.topp[slot : slot + 1]), self._next_key())[0])
         req.output.append(tok)
         self.slots[slot] = req
         self.pos[slot] = len(req.prompt)
@@ -254,6 +321,7 @@ class BatchingEngine:
             self.finished.append(req)
             self.slots[slot] = None
             self.pos[slot] = 0
+            self.temp[slot] = 0.0  # freed slot: back to (discarded) greedy
 
     # ------------------------------------------------------------- steps
     def step(self) -> List[Tuple[Any, int]]:
@@ -269,7 +337,9 @@ class BatchingEngine:
         logits, self.caches = batched_decode_step(
             self.cfg, self.params, jnp.asarray(self.last_token[:, None]),
             self.caches, jnp.asarray(self.pos), self.method, self.dtype)
-        toks = np.asarray(jnp.argmax(logits, axis=-1))
+        toks = np.asarray(sample_batched(
+            logits, jnp.asarray(self.temp), jnp.asarray(self.topk),
+            jnp.asarray(self.topp), self._next_key()))
         emitted = []
         for slot in active:
             tok = int(toks[slot])

@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-seq-len", type=int, default=2048)
     ap.add_argument("--max-new-tokens", type=int, default=128)
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="per-request sampling (0 = greedy)")
+    ap.add_argument("--top-k", type=int, default=None)
+    ap.add_argument("--top-p", type=float, default=None)
     ap.add_argument("--prompts", nargs="*", default=[
         "The capital of France is",
         "def fibonacci(n):",
@@ -40,7 +44,9 @@ def main():
                          eos_token_id=tok.eos_token_id)
     for i, text in enumerate(args.prompts):
         ids = np.asarray(tok.encode(text))
-        eng.add_request(i, ids, args.max_new_tokens)
+        eng.add_request(i, ids, args.max_new_tokens,
+                        temperature=args.temperature,
+                        top_k=args.top_k, top_p=args.top_p)
 
     # stream tokens as slots produce them
     while eng.has_work:

@@ -128,3 +128,73 @@ def test_alibi_batched_matches_solo(rng):
     results = eng.run()
     for rid, p in prompts.items():
         assert results[rid] == asolo(p, 6), rid
+
+
+def test_sample_batched_top_k1_and_tiny_top_p_are_greedy(rng):
+    import jax
+
+    from autoawq_tpu.serve.batching import sample_batched
+
+    logits = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    greedy = np.asarray(jnp.argmax(logits, -1))
+    for seed in range(3):
+        k = jax.random.PRNGKey(seed)
+        tk = np.asarray(sample_batched(
+            logits, jnp.full((4,), 1.3, jnp.float32),
+            jnp.full((4,), 1, jnp.int32), jnp.ones((4,), jnp.float32), k))
+        tp = np.asarray(sample_batched(
+            logits, jnp.full((4,), 1.3, jnp.float32),
+            jnp.full((4,), 64, jnp.int32),
+            jnp.full((4,), 1e-6, jnp.float32), k))
+        assert (tk == greedy).all() and (tp == greedy).all()
+
+
+def test_sample_batched_respects_top_k_support(rng):
+    import jax
+
+    from autoawq_tpu.serve.batching import sample_batched
+
+    logits = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+    top3 = np.argsort(-np.asarray(logits), -1)[:, :3]
+    seen = [set(), set()]
+    for seed in range(50):
+        t = np.asarray(sample_batched(
+            logits, jnp.ones((2,), jnp.float32),
+            jnp.full((2,), 3, jnp.int32), jnp.ones((2,), jnp.float32),
+            jax.random.PRNGKey(seed)))
+        for b in range(2):
+            assert t[b] in top3[b]
+            seen[b].add(int(t[b]))
+    # with temp 1 over 50 draws the support is actually explored
+    assert all(len(s) > 1 for s in seen)
+
+
+def test_mixed_pool_sampling_isolation(rng):
+    """A sampling request must not perturb a greedy neighbour: the greedy
+    request's tokens still bit-match its solo run."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32, seed=11)
+    pg = rng.integers(0, 64, (5,))
+    ps = rng.integers(0, 64, (4,))
+    eng.add_request("greedy", pg, 6)
+    eng.add_request("samp", ps, 6, temperature=1.0, top_k=8, top_p=0.9)
+    results = eng.run()
+    assert results["greedy"] == solo(params, pg, 6)
+    assert len(results["samp"]) == 6
+    assert all(0 <= t < 64 for t in results["samp"])
+
+
+def test_sampling_deterministic_per_seed(rng):
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    prompt = rng.integers(0, 64, (5,))
+
+    def run(seed):
+        eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                             method="jnp", dtype=jnp.float32, seed=seed)
+        eng.add_request("s", prompt, 8, temperature=0.9, top_p=0.95)
+        return eng.run()["s"]
+
+    assert run(3) == run(3)
+    outs = {tuple(run(s)) for s in (3, 4, 5, 6)}
+    assert len(outs) > 1  # different seeds explore different tokens
