@@ -236,6 +236,20 @@ def apply_repetition_penalty(logits: jax.Array, presence: jax.Array,
     return jnp.where(presence, penalized, logits)
 
 
+def warp_logits(logits: jax.Array, temperature: float,
+                top_k: Optional[int] = None,
+                top_p: Optional[float] = None) -> jax.Array:
+    """Apply the HF warper chain (temperature -> top_k -> top_p) and
+    return warped logits. softmax(warp_logits(...)) IS the sampling
+    distribution — speculative sampling needs it explicitly."""
+    logits = logits / temperature
+    if top_k is not None and 0 < top_k < logits.shape[-1]:
+        logits = _mask_top_k(logits, top_k)
+    if top_p is not None and top_p < 1.0:
+        logits = _mask_top_p(logits, top_p)
+    return logits
+
+
 def sample(logits: jax.Array, temperature: float, key,
            top_k: Optional[int] = None,
            top_p: Optional[float] = None) -> jax.Array:
@@ -244,12 +258,8 @@ def sample(logits: jax.Array, temperature: float, key,
     -> top_p). ``temperature == 0`` is greedy."""
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1)
-    logits = logits / temperature
-    if top_k is not None and 0 < top_k < logits.shape[-1]:
-        logits = _mask_top_k(logits, top_k)
-    if top_p is not None and top_p < 1.0:
-        logits = _mask_top_p(logits, top_p)
-    return jax.random.categorical(key, logits, axis=-1)
+    return jax.random.categorical(
+        key, warp_logits(logits, temperature, top_k, top_p), axis=-1)
 
 
 def generate(

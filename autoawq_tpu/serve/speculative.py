@@ -16,9 +16,16 @@ a partially rejected chunk is just decoding from a smaller ``pos`` — stale
 rows beyond ``pos`` are never attended and the next chunk overwrites them.
 No copies, no eviction.
 
-Greedy (temperature=0) only: sampled speculative decoding needs the
-rejection-resampling scheme; the serving surface here mirrors the bench's
-latency-bound greedy regime. B == 1 (latency-bound use case).
+Acceptance schemes:
+* temperature == 0 — greedy prefix matching; output is bit-identical to
+  the target's own greedy stream.
+* temperature > 0 — speculative SAMPLING (Leviathan et al.): the draft
+  proposes by sampling its warped distribution q, the target accepts
+  token x_i with prob min(1, p_i(x_i)/q_i(x_i)) and on first rejection
+  resamples from the residual normalize(max(p_i - q_i, 0)). The output
+  is distributed EXACTLY as target-only sampling (with the same
+  temperature/top_k/top_p warpers) — proven in-repo by a distributional
+  unit test on the accept/resample math. B == 1 (latency-bound use case).
 """
 
 from __future__ import annotations
@@ -66,6 +73,36 @@ def _chunk_step(
     return modules.logits_fn(cfg, params, x, method), caches
 
 
+def accept_resample(p: np.ndarray, q: np.ndarray, drafts, key):
+    """Speculative-sampling acceptance (Leviathan et al. 2023, alg. 1).
+
+    p: [k+1, V] target probs (post-warp), q: [k, V] draft probs
+    (post-warp), drafts: k proposed token ids sampled from q.
+    Returns (a, next_token): a = accepted draft count; next_token is the
+    residual resample at the first rejection, or a fresh sample from
+    p[k] when everything was accepted. The emitted stream
+    [drafts[:a], next_token] is distributed exactly as ancestral
+    sampling from p — verified distributionally in
+    tests/test_speculative.py.
+    """
+    k = len(drafts)
+    keys = jax.random.split(key, k + 1)
+    for i, tok in enumerate(drafts):
+        ratio = p[i, tok] / max(float(q[i, tok]), 1e-30)
+        u = float(jax.random.uniform(keys[i]))
+        if u >= ratio:  # rejected: resample from the residual
+            residual = np.maximum(p[i] - q[i], 0.0)
+            tot = residual.sum()
+            if tot <= 1e-12:  # p == q: residual empty, sample p directly
+                residual, tot = p[i], p[i].sum()
+            nxt = int(jax.random.choice(keys[k], p[i].shape[0],
+                                        p=residual / tot))
+            return i, nxt
+    nxt = int(jax.random.choice(keys[k], p[k].shape[0],
+                                p=p[k] / p[k].sum()))
+    return k, nxt
+
+
 def generate_speculative(
     cfg: ModelConfig,
     params: Dict[str, Any],
@@ -78,12 +115,19 @@ def generate_speculative(
     method: str = "auto",
     dtype=jnp.bfloat16,
     kv_quant: bool = False,
+    temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+    seed: int = 0,
 ) -> Tuple[jax.Array, Dict[str, float]]:
-    """Greedy speculative generation. Returns ([1, S+new] tokens, stats).
+    """Speculative generation. Returns ([1, S+new] tokens, stats).
 
     stats: {"accept_rate": mean accepted-per-proposed, "rounds": N}.
-    Output is bit-identical to the target's own greedy stream regardless
-    of the draft's quality — a bad draft only costs speed.
+    temperature == 0: greedy prefix acceptance — output bit-identical to
+    the target's own greedy stream regardless of draft quality (a bad
+    draft only costs speed). temperature > 0: speculative sampling —
+    output distributed exactly as target-only sampling under the same
+    warpers (see accept_resample).
     """
     if prompt.shape[0] != 1:
         raise NotImplementedError("speculative decoding serves batch 1")
@@ -98,36 +142,67 @@ def generate_speculative(
     logits, caches = gen.prefill(cfg, params, prompt, caches, method, dtype)
     _, dcaches = gen.prefill(draft_cfg, draft_params, prompt, dcaches,
                              method, dtype)
-    last = int(jnp.argmax(logits[0]))
+    sampling = temperature > 0.0
+    key = jax.random.PRNGKey(seed)
+    if sampling:
+        key, sub = jax.random.split(key)
+        last = int(gen.sample(logits[0], temperature, sub, top_k, top_p))
+    else:
+        last = int(jnp.argmax(logits[0]))
 
     out = [last]
     pos = s           # valid target-cache rows (prompt)
     dpos = s
     accepted = proposed = rounds = 0
     while len(out) < max_new_tokens:
-        # ---- draft proposes k greedy tokens from `last`
-        drafts = []
+        # ---- draft proposes k tokens from `last` (greedy, or sampled
+        # from its warped distribution q — recorded for the accept ratio)
+        drafts, qrows = [], []
         tok = last
         for i in range(k):
             dlog, dcaches = gen.decode_step(
                 draft_cfg, draft_params, jnp.asarray([[tok]]), dcaches,
                 jnp.int32(dpos + i), method, dtype)
-            tok = int(jnp.argmax(dlog[0]))
+            if sampling:
+                wl = gen.warp_logits(dlog[0].astype(jnp.float32),
+                                     temperature, top_k, top_p)
+                key, sub = jax.random.split(key)
+                tok = int(jax.random.categorical(sub, wl))
+                qrows.append(np.asarray(jax.nn.softmax(wl)))
+            else:
+                tok = int(jnp.argmax(dlog[0]))
             drafts.append(tok)
         # ---- target scores [last, d_1..d_k] in one chunked pass
         chunk = jnp.asarray([[last] + drafts])
         tlog, caches = _chunk_step(cfg, params, chunk, caches,
                                    jnp.int32(pos), method, dtype)
-        greedy = np.asarray(jnp.argmax(tlog[0], axis=-1))  # [k+1]
-        # accept the longest prefix where the draft matched the target
-        a = 0
-        while a < k and drafts[a] == int(greedy[a]):
-            a += 1
-        new = drafts[:a] + [int(greedy[a])]
+        if sampling:
+            wt = gen.warp_logits(tlog[0].astype(jnp.float32),
+                                 temperature, top_k, top_p)
+            p = np.asarray(jax.nn.softmax(wt, axis=-1))  # [k+1, V]
+            key, sub = jax.random.split(key)
+            a, nxt = accept_resample(p, np.stack(qrows), drafts, sub)
+            new = drafts[:a] + [nxt]
+        else:
+            greedy = np.asarray(jnp.argmax(tlog[0], axis=-1))  # [k+1]
+            # accept the longest prefix where the draft matched the target
+            a = 0
+            while a < k and drafts[a] == int(greedy[a]):
+                a += 1
+            new = drafts[:a] + [int(greedy[a])]
         out.extend(new)
         accepted += a
         proposed += k
         rounds += 1
+        if a == k:
+            # All k drafts accepted: the draft produced d_k as OUTPUT but
+            # never consumed it, so its KV row (position dpos+k) was never
+            # written to the draft cache. Catch up with one draft step
+            # (logits discarded) — otherwise every later round's draft
+            # attends to a zero row and acceptance quietly degrades.
+            _, dcaches = gen.decode_step(
+                draft_cfg, draft_params, jnp.asarray([[drafts[-1]]]),
+                dcaches, jnp.int32(dpos + k), method, dtype)
         # rows pos..pos+a hold [last, d_1..d_a]; the correction token's row
         # is written when it leads the next chunk. Draft cache: accepted
         # rows were written during drafting; rewind is implicit in dpos.

@@ -60,3 +60,64 @@ def test_vocab_mismatch_rejected(rng):
             TARGET, init_random_params(TARGET, seed=1), bad,
             init_random_params(bad, seed=2),
             jnp.zeros((1, 4), jnp.int32), 4)
+
+
+def test_accept_resample_marginal_matches_target():
+    """The speculative-sampling theorem: for ANY draft distribution q, the
+    emitted token at the first position is distributed exactly as the
+    target p. Empirical check at V=8 over 20k trials."""
+    import jax
+
+    from autoawq_tpu.serve.speculative import accept_resample
+
+    rng = np.random.default_rng(7)
+    p = rng.random((2, 8)).astype(np.float64)
+    p /= p.sum(-1, keepdims=True)
+    q = rng.random((1, 8)).astype(np.float64) ** 2  # deliberately far from p
+    q /= q.sum(-1, keepdims=True)
+
+    n = 20000
+    counts = np.zeros(8)
+    draws = rng.choice(8, size=n, p=q[0])  # proposals ~ q
+    for t in range(n):
+        a, nxt = accept_resample(p, q, [int(draws[t])],
+                                 jax.random.PRNGKey(t))
+        first = int(draws[t]) if a >= 1 else nxt
+        counts[first] += 1
+    emp = counts / n
+    # 20k trials: per-bin std <= sqrt(p(1-p)/n) ~ 0.0035; 4 sigma rail
+    assert np.abs(emp - p[0]).max() < 0.016, (emp, p[0])
+
+
+def test_sampled_self_draft_accepts_almost_everything(rng):
+    """Self-draft acceptance: with temperature-only warping the p/q ratio
+    is 1 up to the ULP-level difference between the draft's decode-step
+    logits and the target's chunk-verify logits, so acceptance is ~1.
+    (Truncation warpers can amplify that ULP into a hard 0 at the
+    top-k/top-p boundary — an inherent property of speculative sampling
+    with truncation; rejections only cost speed, never correctness.)
+    This test also guards the all-accepted draft-cache catch-up step: a
+    missing d_k row drops self-draft acceptance to ~0.8."""
+    params = init_random_params(TARGET, seed=4)
+    prompt = jnp.asarray(rng.integers(0, TARGET.vocab_size, (1, 6)))
+    out, stats = generate_speculative(
+        TARGET, params, TARGET, params, prompt, 16, k=4,
+        method="jnp", dtype=jnp.float32, temperature=0.8, seed=5)
+    assert stats["accept_rate"] == 1.0
+    assert out.shape[1] == prompt.shape[1] + 16
+
+
+def test_sampled_deterministic_per_seed(rng):
+    params = init_random_params(TARGET, seed=3)
+    draft_params = init_random_params(DRAFT, seed=11)
+    prompt = jnp.asarray(rng.integers(0, TARGET.vocab_size, (1, 5)))
+
+    def run(seed):
+        out, _ = generate_speculative(
+            TARGET, params, DRAFT, draft_params, prompt, 12, k=3,
+            method="jnp", dtype=jnp.float32, temperature=1.0, top_k=16,
+            seed=seed)
+        return np.asarray(out).tolist()
+
+    assert run(2) == run(2)
+    assert run(2) != run(9)  # different seeds explore different streams
