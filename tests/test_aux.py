@@ -149,3 +149,27 @@ def test_fetch_video_frame_list_and_array(rng):
         ]},
     ])
     assert len(imgs) == 1 and len(vids) == 1
+
+
+def test_tpu_pod_quantize_dry_run(capsys):
+    """The pod orchestration launcher (scripts/tpu_pod_quantize.py,
+    analogue of the reference's runpod_quantize.py) emits a coherent
+    gcloud sequence: create -> ship -> worker-on-all-hosts -> fetch ->
+    delete, with quantize params threaded through to the worker."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "tpu_pod_quantize",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "tpu_pod_quantize.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(["--launch", "--dry-run", "--model", "org/m", "--out", "m-awq",
+              "--tensor", "4", "--accelerator", "v5litepod-16"])
+    out = capsys.readouterr().out
+    assert "tpus tpu-vm create" in out and "v5litepod-16" in out
+    assert "--worker=all" in out and "--worker --model org/m" in out
+    assert "--tensor 4" in out
+    assert out.index("create") < out.index("--worker --model") \
+        < out.index("delete")
