@@ -40,7 +40,7 @@ import numpy as np
 from autoawq_tpu.models.config import ModelConfig
 from autoawq_tpu.nn import modules
 from autoawq_tpu.serve import generate as gen
-from autoawq_tpu.serve.batching import Request
+from autoawq_tpu.serve.batching import Request, sample_batched
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "method", "dtype"),
@@ -98,7 +98,7 @@ class PagedBatchingEngine:
                  max_batch: int = 8, page_size: int = 64,
                  total_pages: int = 512, pages_per_seq: int = 32,
                  eos_token_id: Optional[int] = None, method: str = "auto",
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, seed: int = 0):
         if cfg.is_mla:
             raise NotImplementedError("MLA uses the latent layout")
         if cfg.pos_embed == "alibi" or cfg.sliding_window:
@@ -124,16 +124,30 @@ class PagedBatchingEngine:
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.queue: deque[Request] = deque()
         self.finished: List[Request] = []
+        # per-slot sampling params (greedy defaults; see
+        # batching.sample_batched)
+        self.temp = np.zeros((max_batch,), np.float32)
+        self.topk = np.full((max_batch,), cfg.vocab_size, np.int32)
+        self.topp = np.ones((max_batch,), np.float32)
+        self._key = jax.random.PRNGKey(seed)
+        self._steps = 0
 
     # -------------------------------------------------------- scheduling
-    def add_request(self, req_id: Any, prompt, max_new_tokens: int = 128):
+    def add_request(self, req_id: Any, prompt, max_new_tokens: int = 128,
+                    temperature: float = 0.0, top_k: Optional[int] = None,
+                    top_p: Optional[float] = None):
         prompt = np.asarray(prompt).reshape(-1)
         budget = len(prompt) + max_new_tokens + 1
         if budget > self.pps * self.ps:
             raise ValueError(
                 f"prompt+budget {budget} exceeds pages_per_seq*page_size "
                 f"({self.pps * self.ps})")
-        self.queue.append(Request(req_id, prompt, max_new_tokens))
+        self.queue.append(Request(req_id, prompt, max_new_tokens,
+                                  temperature, top_k, top_p))
+
+    def _next_key(self):
+        self._steps += 1
+        return jax.random.fold_in(self._key, self._steps)
 
     @property
     def has_work(self) -> bool:
@@ -165,7 +179,17 @@ class PagedBatchingEngine:
                 self.pages, row, jnp.asarray(pages[:n_prompt_pages]),
                 n_prompt_pages)
 
-            tok = int(jnp.argmax(logits[0]))
+            v = self.cfg.vocab_size
+            self.temp[slot] = req.temperature
+            self.topk[slot] = (req.top_k if req.top_k
+                               and 0 < req.top_k < v else v)
+            self.topp[slot] = (req.top_p if req.top_p is not None
+                               and req.top_p < 1.0 else 1.0)
+            tok = int(sample_batched(
+                logits[:1], jnp.asarray(self.temp[slot : slot + 1]),
+                jnp.asarray(self.topk[slot : slot + 1]),
+                jnp.asarray(self.topp[slot : slot + 1]),
+                self._next_key())[0])
             req.output.append(tok)
             self.slots[slot] = req
             self.pos[slot] = len(req.prompt)
@@ -185,6 +209,7 @@ class PagedBatchingEngine:
             self.owned[slot] = []
             self.table[slot] = 0  # trash page: decode writes go nowhere
             self.pos[slot] = 0
+            self.temp[slot] = 0.0  # freed slot: back to (discarded) greedy
 
     # ------------------------------------------------------------- steps
     def step(self) -> List[Tuple[Any, int]]:
@@ -197,7 +222,9 @@ class PagedBatchingEngine:
             self.cfg, self.params, jnp.asarray(self.last_token[:, None]),
             self.pages, jnp.asarray(self.table), jnp.asarray(self.pos),
             self.method, self.dtype)
-        toks = np.asarray(jnp.argmax(logits, axis=-1))
+        toks = np.asarray(sample_batched(
+            logits, jnp.asarray(self.temp), jnp.asarray(self.topk),
+            jnp.asarray(self.topp), self._next_key()))
         emitted = []
         for slot in active:
             tok = int(toks[slot])

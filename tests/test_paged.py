@@ -66,3 +66,27 @@ def test_budget_validation(rng):
                               dtype=jnp.float32)
     with pytest.raises(ValueError):
         eng.add_request(0, rng.integers(0, 128, (14,)), max_new_tokens=8)
+
+
+def test_paged_mixed_sampling_isolation(rng):
+    """Per-request sampling in the paged engine: a sampling neighbour must
+    not perturb a greedy request's stream (same guarantee as the
+    contiguous engine)."""
+    import jax.numpy as jnp
+
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    eng = PagedBatchingEngine(CFG, params, max_batch=2, page_size=8,
+                              total_pages=32, pages_per_seq=4,
+                              method="jnp", dtype=jnp.float32, seed=7)
+    solo_eng = PagedBatchingEngine(CFG, params, max_batch=2, page_size=8,
+                                   total_pages=32, pages_per_seq=4,
+                                   method="jnp", dtype=jnp.float32)
+    pg = rng.integers(0, CFG.vocab_size, (5,))
+    ps = rng.integers(0, CFG.vocab_size, (4,))
+    solo_eng.add_request("greedy", pg, 6)
+    solo_out = solo_eng.run()["greedy"]
+    eng.add_request("greedy", pg, 6)
+    eng.add_request("samp", ps, 6, temperature=1.0, top_k=8)
+    results = eng.run()
+    assert results["greedy"] == solo_out
+    assert len(results["samp"]) == 6
