@@ -22,6 +22,13 @@ ONE compiled decode step for the pool). Specifics:
 * Attention runs the stock Pallas paged-attention kernel on TPU (only the
   table's pages stream from HBM) and a gather + grouped-GQA fallback in
   tests (nn/modules._paged_decode).
+* PREFIX CACHING (default on): full prompt pages are hash-chained
+  (h_i = hash(h_{i-1}, page tokens)) and registered at admission; a
+  repeated prefix reuses the cached pages' KV — gather + suffix-only
+  prefill instead of recomputing the prefix forward. Pages are
+  refcounted (mid-flight sharing with an active owner is safe: shared
+  pages are read-only; decode writes land past the prompt) and
+  retired-but-cached pages evict LRU under admission pressure.
 
 ALiBi / sliding-window / MLA models stay on the contiguous engines (the
 stock kernel supports neither bias nor windows; gated in __init__).
@@ -40,7 +47,7 @@ import numpy as np
 from autoawq_tpu.models.config import ModelConfig
 from autoawq_tpu.nn import modules
 from autoawq_tpu.serve import generate as gen
-from autoawq_tpu.serve.batching import Request, sample_batched
+from autoawq_tpu.serve.batching import Request, prefill_chunk, sample_batched
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "method", "dtype"),
@@ -73,20 +80,43 @@ def paged_decode_step(
     return logits[:, 0, :], new_caches
 
 
-@functools.partial(jax.jit, static_argnames=("n_pages",), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("n_pages", "start_page"),
+                   donate_argnums=(0,))
 def _install_pages(page_caches, row_caches, page_ids: jax.Array,
-                   n_pages: int):
-    """Copy a contiguous single-request prefill cache into its pages."""
+                   n_pages: int, start_page: int = 0):
+    """Copy row positions [start_page*ps, (start_page+n_pages)*ps) of a
+    contiguous single-request prefill cache into pool pages ``page_ids``."""
     out = []
     for pc, row in zip(page_caches, row_caches):
         kp = pc["k_pages"]
         nkv, _, ps, hd = kp.shape
-        k = row["k"][0, :, : n_pages * ps].reshape(nkv, n_pages, ps, hd)
-        v = row["v"][0, :, : n_pages * ps].reshape(nkv, n_pages, ps, hd)
+        lo, hi = start_page * ps, (start_page + n_pages) * ps
+        k = row["k"][0, :, lo:hi].reshape(nkv, n_pages, ps, hd)
+        v = row["v"][0, :, lo:hi].reshape(nkv, n_pages, ps, hd)
         out.append({
             "k_pages": kp.at[:, page_ids].set(k.astype(kp.dtype)),
             "v_pages": pc["v_pages"].at[:, page_ids].set(
                 v.astype(kp.dtype)),
+        })
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_pages",), donate_argnums=(1,))
+def _gather_pages(page_caches, row_caches, page_ids: jax.Array,
+                  n_pages: int):
+    """Inverse of _install_pages: read pool pages into row positions
+    [0, n_pages*ps) — the prefix-cache hit path (reuse KV, skip the
+    prefix forward)."""
+    out = []
+    for pc, row in zip(page_caches, row_caches):
+        nkv, _, ps, hd = pc["k_pages"].shape
+        k = pc["k_pages"][:, page_ids].reshape(nkv, n_pages * ps, hd)
+        v = pc["v_pages"][:, page_ids].reshape(nkv, n_pages * ps, hd)
+        out.append({
+            "k": row["k"].at[0, :, : n_pages * ps].set(
+                k.astype(row["k"].dtype)),
+            "v": row["v"].at[0, :, : n_pages * ps].set(
+                v.astype(row["v"].dtype)),
         })
     return out
 
@@ -98,7 +128,8 @@ class PagedBatchingEngine:
                  max_batch: int = 8, page_size: int = 64,
                  total_pages: int = 512, pages_per_seq: int = 32,
                  eos_token_id: Optional[int] = None, method: str = "auto",
-                 dtype=jnp.bfloat16, seed: int = 0):
+                 dtype=jnp.bfloat16, seed: int = 0,
+                 prefix_cache: bool = True):
         if cfg.is_mla:
             raise NotImplementedError("MLA uses the latent layout")
         if cfg.pos_embed == "alibi" or cfg.sliding_window:
@@ -131,6 +162,18 @@ class PagedBatchingEngine:
         self.topp = np.ones((max_batch,), np.float32)
         self._key = jax.random.PRNGKey(seed)
         self._steps = 0
+        # ---- prefix cache (vLLM-style hash-chained full prompt pages).
+        # chain hash h_i = hash(h_{i-1}, tokens of page i) -> page id; a
+        # hit reuses the page's KV (gather + suffix-only prefill) instead
+        # of recomputing the prefix forward. Pages are refcounted: active
+        # users pin them; retired-but-cached pages stay resident until
+        # admission pressure evicts them LRU.
+        self.prefix_enabled = prefix_cache
+        self.page_ref = np.zeros((total_pages,), np.int64)
+        self.prefix_cache: Dict[int, int] = {}   # chain hash -> page id
+        self.page_chain: Dict[int, int] = {}     # page id -> chain hash
+        self.prefix_hits = 0
+        self.prefix_pages_reused = 0
 
     # -------------------------------------------------------- scheduling
     def add_request(self, req_id: Any, prompt, max_new_tokens: int = 128,
@@ -149,6 +192,31 @@ class PagedBatchingEngine:
         self._steps += 1
         return jax.random.fold_in(self._key, self._steps)
 
+    # ------------------------------------------------------ prefix cache
+    @staticmethod
+    def _page_chain_hashes(prompt: np.ndarray, ps: int,
+                           max_pages: int) -> List[int]:
+        """Chain hashes for the first ``max_pages`` full pages."""
+        out, h = [], 0
+        for i in range(max_pages):
+            h = hash((h, tuple(int(t) for t in prompt[i * ps:(i + 1) * ps])))
+            out.append(h)
+        return out
+
+    def _evict_until(self, need: int) -> bool:
+        """Evict unreferenced cached pages (LRU = insertion order) until
+        ``need`` pages are free. Returns success."""
+        if len(self.free) >= need:
+            return True
+        for h, pid in list(self.prefix_cache.items()):
+            if self.page_ref[pid] == 0:
+                del self.prefix_cache[h]
+                del self.page_chain[pid]
+                self.free.append(pid)
+                if len(self.free) >= need:
+                    return True
+        return len(self.free) >= need
+
     @property
     def has_work(self) -> bool:
         return bool(self.queue) or any(s is not None for s in self.slots)
@@ -160,24 +228,66 @@ class PagedBatchingEngine:
             req = self.queue[0]
             budget = len(req.prompt) + req.max_new_tokens + 1
             need = -(-budget // self.ps)
-            if len(self.free) < need:
+
+            # prefix-cache lookup: longest chain of cached full prompt
+            # pages, capped so >= 1 prompt token is always left to prefill
+            # (its logits seed generation) and the last prompt token never
+            # sits in a shared (read-only) page.
+            shared: List[int] = []
+            chain: List[int] = []
+            if self.prefix_enabled:
+                max_sharable = (len(req.prompt) - 1) // self.ps
+                chain = self._page_chain_hashes(req.prompt, self.ps,
+                                                max_sharable)
+                for h in chain:
+                    pid = self.prefix_cache.get(h)
+                    if pid is None:
+                        break
+                    shared.append(pid)
+            n_shared = len(shared)
+            if not self._evict_until(need - n_shared):
                 return  # FIFO: wait for pages rather than starve the head
             self.queue.popleft()
-            pages = [self.free.pop() for _ in range(need)]
+            fresh = [self.free.pop() for _ in range(need - n_shared)]
+            pages = shared + fresh
+            for pid in pages:
+                self.page_ref[pid] += 1
             self.owned[slot] = pages
             self.table[slot] = 0
             self.table[slot, :need] = pages
 
-            # contiguous prefill, then scatter full pages into the pool
+            # prefill the non-shared suffix against a contiguous row whose
+            # prefix KV is gathered from the shared pages, then scatter the
+            # new full pages back into the pool
             n_prompt_pages = -(-len(req.prompt) // self.ps)
             t_row = n_prompt_pages * self.ps
             row = gen.init_kv_cache(self.cfg, 1, t_row, self.dtype)
-            logits, row = gen.prefill(
-                self.cfg, self.params, jnp.asarray(req.prompt[None]), row,
-                self.method, self.dtype)
-            self.pages = _install_pages(
-                self.pages, row, jnp.asarray(pages[:n_prompt_pages]),
-                n_prompt_pages)
+            if n_shared:
+                self.prefix_hits += 1
+                self.prefix_pages_reused += n_shared
+                row = _gather_pages(self.pages, row, jnp.asarray(shared),
+                                    n_shared)
+                suffix = req.prompt[n_shared * self.ps:]
+                logits, row = prefill_chunk(
+                    self.cfg, self.params, jnp.asarray(suffix[None]), row,
+                    jnp.int32(n_shared * self.ps), self.method, self.dtype)
+                logits = logits[:, len(suffix) - 1]
+            else:
+                logits, row = gen.prefill(
+                    self.cfg, self.params, jnp.asarray(req.prompt[None]),
+                    row, self.method, self.dtype)
+            if n_prompt_pages > n_shared:
+                self.pages = _install_pages(
+                    self.pages, row,
+                    jnp.asarray(pages[n_shared:n_prompt_pages]),
+                    n_prompt_pages - n_shared, start_page=n_shared)
+            # register this prompt's full pages for future admissions
+            if self.prefix_enabled:
+                for h, pid in zip(chain, pages):
+                    if h not in self.prefix_cache \
+                            and pid not in self.page_chain:
+                        self.prefix_cache[h] = pid
+                        self.page_chain[pid] = h
 
             v = self.cfg.vocab_size
             self.temp[slot] = req.temperature
@@ -205,7 +315,12 @@ class PagedBatchingEngine:
             req.done = True
             self.finished.append(req)
             self.slots[slot] = None
-            self.free.extend(reversed(self.owned[slot]))
+            for pid in reversed(self.owned[slot]):
+                self.page_ref[pid] -= 1
+                # cached pages stay resident at refcount 0 (future prefix
+                # hits); only uncached pages return to the free pool
+                if self.page_ref[pid] == 0 and pid not in self.page_chain:
+                    self.free.append(pid)
             self.owned[slot] = []
             self.table[slot] = 0  # trash page: decode writes go nowhere
             self.pos[slot] = 0

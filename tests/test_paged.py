@@ -90,3 +90,79 @@ def test_paged_mixed_sampling_isolation(rng):
     results = eng.run()
     assert results["greedy"] == solo_out
     assert len(results["samp"]) == 6
+
+
+def test_prefix_cache_hit_matches_cold(rng):
+    """A repeated prompt reuses cached prompt pages (suffix-only prefill)
+    and must produce the exact same greedy stream as a cold admission."""
+    import jax.numpy as jnp
+
+    params = init_random_params(CFG, seed=3, scale=0.08)
+    prompt = rng.integers(0, CFG.vocab_size, (17,))  # 2 full pages + 1
+
+    cold = PagedBatchingEngine(CFG, params, max_batch=2, page_size=8,
+                               total_pages=32, pages_per_seq=5,
+                               method="jnp", dtype=jnp.float32,
+                               prefix_cache=False)
+    cold.add_request("r", prompt, 6)
+    ref = cold.run()["r"]
+
+    eng = PagedBatchingEngine(CFG, params, max_batch=2, page_size=8,
+                              total_pages=32, pages_per_seq=5,
+                              method="jnp", dtype=jnp.float32)
+    eng.add_request("first", prompt, 6)
+    assert eng.run()["first"] == ref
+    assert eng.prefix_hits == 0  # cold: nothing cached yet
+    eng.add_request("second", prompt, 6)
+    assert eng.run()["second"] == ref
+    assert eng.prefix_hits == 1
+    assert eng.prefix_pages_reused == 2  # (17-1)//8 full pages
+
+
+def test_prefix_cache_shared_while_owner_active(rng):
+    """A request sharing cached pages with a STILL-DECODING owner must not
+    corrupt either stream (shared pages are read-only: decode writes land
+    past the prompt)."""
+    import jax.numpy as jnp
+
+    params = init_random_params(CFG, seed=4, scale=0.08)
+    prompt = rng.integers(0, CFG.vocab_size, (16,))
+
+    def solo(p, n):
+        e = PagedBatchingEngine(CFG, params, max_batch=1, page_size=8,
+                                total_pages=32, pages_per_seq=5,
+                                method="jnp", dtype=jnp.float32,
+                                prefix_cache=False)
+        e.add_request("s", p, n)
+        return e.run()["s"]
+
+    eng = PagedBatchingEngine(CFG, params, max_batch=2, page_size=8,
+                              total_pages=32, pages_per_seq=5,
+                              method="jnp", dtype=jnp.float32)
+    eng.add_request("a", prompt, 10)
+    eng.step()  # admit a, decode 1 — a still active
+    eng.add_request("b", prompt, 4)  # shares a's prompt pages mid-flight
+    res = eng.run()
+    assert eng.prefix_hits == 1
+    assert res["a"] == solo(prompt, 10)
+    assert res["b"] == solo(prompt, 4)
+
+
+def test_prefix_cache_eviction_under_pressure(rng):
+    """When the free pool runs dry, unreferenced cached pages are evicted
+    and admission proceeds."""
+    import jax.numpy as jnp
+
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    # pool sized so cached pages MUST be evicted for the second request
+    eng = PagedBatchingEngine(CFG, params, max_batch=1, page_size=8,
+                              total_pages=9, pages_per_seq=4,
+                              method="jnp", dtype=jnp.float32)
+    p1 = rng.integers(0, CFG.vocab_size, (16,))
+    p2 = rng.integers(0, CFG.vocab_size, (16,))
+    eng.add_request("a", p1, 6)
+    out_a = eng.run()["a"]
+    assert out_a and eng.prefix_cache  # a's page cached
+    eng.add_request("b", p2, 6)  # different prompt: needs eviction
+    out_b = eng.run()["b"]
+    assert len(out_b) == 6
