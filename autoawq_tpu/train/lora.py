@@ -130,3 +130,32 @@ def lora_train_step(cfg: ModelConfig, lora, base, tokens, lr: float = 1e-4,
         lora, grads,
     )
     return loss, new_lora
+
+
+def make_optimizer(name: str = "adamw", lr: float = 1e-4,
+                   weight_decay: float = 0.0):
+    """An optax transform for adapter training. The reference trains LoRA
+    through HF Trainer, whose default is AdamW (examples/train.py) —
+    ``adamw`` here matches that; ``sgd`` matches lora_train_step."""
+    import optax
+
+    if name == "adamw":
+        return optax.adamw(lr, weight_decay=weight_decay)
+    if name == "sgd":
+        return optax.sgd(lr)
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
+def lora_train_step_optax(cfg: ModelConfig, lora, base, opt_state, tokens,
+                          tx, method: str = "jnp"):
+    """One optax step on adapter params only (jit with ``tx`` closed
+    over or static). Returns (loss, new_lora, new_opt_state)."""
+
+    def loss_fn(lora):
+        return causal_lm_loss(cfg, merge_lora(lora, base), tokens, method)
+
+    loss, grads = jax.value_and_grad(loss_fn)(lora)
+    updates, opt_state = tx.update(grads, opt_state, lora)
+    new_lora = jax.tree_util.tree_map(
+        lambda p, u: p + u.astype(p.dtype), lora, updates)
+    return loss, new_lora, opt_state

@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--seq-len", type=int, default=512)
     ap.add_argument("--rank", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--optimizer", choices=["adamw", "sgd"], default="adamw",
+                    help="adamw matches the reference's HF-Trainer default")
+    ap.add_argument("--weight-decay", type=float, default=0.0)
     ap.add_argument("--out", default="lora_adapters.npz")
     args = ap.parse_args()
 
@@ -45,14 +48,16 @@ def main():
     params = lora_mod.add_lora(cfg, model.params, rank=args.rank)
     lora, base = lora_mod.split_lora(jax.device_put(params))
 
+    tx = lora_mod.make_optimizer(args.optimizer, args.lr, args.weight_decay)
+    opt_state = tx.init(lora)
     step_fn = jax.jit(
-        lambda lora, base, batch: lora_mod.lora_train_step(
-            cfg, lora, base, batch, lr=args.lr)
+        lambda lora, base, opt_state, batch: lora_mod.lora_train_step_optax(
+            cfg, lora, base, opt_state, batch, tx)
     )
     for step in range(args.steps):
         lo = (step * args.batch_size) % max(1, len(tokens) - args.batch_size)
         batch = jnp.asarray(tokens[lo : lo + args.batch_size])
-        loss, lora = step_fn(lora, base, batch)
+        loss, lora, opt_state = step_fn(lora, base, opt_state, batch)
         if step % 10 == 0:
             print(f"step {step:4d}  loss {float(loss):.4f}")
 

@@ -273,3 +273,39 @@ def test_data_parallel_calibration_matches_single(rng, requires_multidevice):
     chunked2 = AwqQuantizer(cfg, qcfg, params, calib, progress=False,
                             mesh=mesh2, n_parallel_calib_samples=4)
     assert chunked2._chunk_size(8) == 4
+
+
+def test_lora_adamw_training_reduces_loss(rng):
+    """optax AdamW on adapters only (reference trains LoRA via HF Trainer
+    whose default optimizer is AdamW): loss decreases, base untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from autoawq_tpu.train import lora as lora_mod
+    from autoawq_tpu.utils.synth import random_quantized_params
+
+    cfg = ModelConfig(
+        model_type="llama", vocab_size=128, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, max_position_embeddings=64)
+    params = lora_mod.add_lora(
+        cfg, random_quantized_params(cfg, seed=0, group_size=32,
+                                     fp_dtype=jnp.float32),
+        rank=4, dtype=jnp.float32)
+    lora, base = lora_mod.split_lora(params)
+    tokens = jnp.asarray(rng.integers(0, 128, (4, 16)))
+
+    tx = lora_mod.make_optimizer("adamw", lr=5e-3)
+    opt_state = tx.init(lora)
+    step = jax.jit(lambda l, b, s, t: lora_mod.lora_train_step_optax(
+        cfg, l, b, s, t, tx))
+    base_leaf = np.asarray(
+        base["layers"][0]["self_attn"]["q_proj"]["qweight"]).copy()
+    losses = []
+    for _ in range(8):
+        loss, lora, opt_state = step(lora, base, opt_state, tokens)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.01, losses
+    np.testing.assert_array_equal(
+        base_leaf,
+        np.asarray(base["layers"][0]["self_attn"]["q_proj"]["qweight"]))
