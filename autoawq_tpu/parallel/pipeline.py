@@ -41,7 +41,6 @@ def stack_layers(layers) -> Dict[str, Any]:
     (absent biases) must be None in every layer. Heterogeneous stacks
     (e.g. deepseek first-k-dense vs MoE layers) are rejected — split
     those models at the structure boundary before pipelining."""
-    first = layers[0]
 
     def rec(subtrees, path=""):
         t0 = subtrees[0]
@@ -95,7 +94,6 @@ def to_pipeline(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh,
     out = {k: jax.tree_util.tree_map(lambda x: put(x, P()), v)
            for k, v in params.items() if k != "layers"}
     out["layers_stacked"] = put_stacked(stacked)
-    out["_n_layers"] = len(layers)
     return out
 
 

@@ -178,6 +178,13 @@ class AwqQuantizer:
         export_compatible=True leaves scaled+clipped fp weights in place
         (reference base.py:156-161); call :meth:`pack` afterwards.
         """
+        if not export_compatible and self.qcfg.w_bit != 4:
+            # fail FAST: without this the error would only surface from
+            # quantize_linear_params after layer 0's full calibration +
+            # grid search — minutes to hours wasted on a big model
+            raise ValueError(
+                f"packed kernels are 4-bit only (w_bit={self.qcfg.w_bit}); "
+                "use quantize(export_compatible=True) and pack externally")
         cfg = self.cfg
         if self.calib_inputs is not None:
             # precomputed (e.g. vision-spliced) input embeds

@@ -168,6 +168,53 @@ def sample_batched(
     return jnp.where(temp <= 0.0, greedy, sampled)
 
 
+class SamplingSlots:
+    """Per-slot sampling state + token selection, shared by both batching
+    engines (contiguous and paged). Greedy pools skip the sort/softmax
+    machinery entirely — the all-greedy default costs one argmax per step,
+    exactly as before sampling existed."""
+
+    def _init_sampling(self, max_batch: int, vocab_size: int, seed: int):
+        self.temp = np.zeros((max_batch,), np.float32)
+        self.topk = np.full((max_batch,), vocab_size, np.int32)
+        self.topp = np.ones((max_batch,), np.float32)
+        self._vocab = vocab_size
+        self._key = jax.random.PRNGKey(seed)
+        self._steps = 0
+
+    def _set_sampling(self, slot: int, req: "Request") -> None:
+        v = self._vocab
+        self.temp[slot] = req.temperature
+        self.topk[slot] = (req.top_k if req.top_k and 0 < req.top_k < v
+                           else v)
+        self.topp[slot] = (req.top_p if req.top_p is not None
+                           and req.top_p < 1.0 else 1.0)
+
+    def _clear_sampling(self, slot: int) -> None:
+        self.temp[slot] = 0.0  # freed slot: back to (discarded) greedy
+
+    def _next_key(self):
+        self._steps += 1
+        return jax.random.fold_in(self._key, self._steps)
+
+    def _sample_pool(self, logits: jax.Array) -> np.ndarray:
+        """Pool-step token per slot ([B, V] logits -> [B] ids)."""
+        if not np.any(self.temp > 0.0):  # all-greedy fast path
+            return np.asarray(jnp.argmax(logits, axis=-1))
+        return np.asarray(sample_batched(
+            logits, jnp.asarray(self.temp), jnp.asarray(self.topk),
+            jnp.asarray(self.topp), self._next_key()))
+
+    def _sample_slot(self, slot: int, logits_row: jax.Array) -> int:
+        """Admission-time first token for one slot ([1, V] logits)."""
+        if self.temp[slot] == 0.0:
+            return int(jnp.argmax(logits_row[0]))
+        return int(sample_batched(
+            logits_row, jnp.asarray(self.temp[slot : slot + 1]),
+            jnp.asarray(self.topk[slot : slot + 1]),
+            jnp.asarray(self.topp[slot : slot + 1]), self._next_key())[0])
+
+
 class Request:
     def __init__(self, req_id: Any, prompt: np.ndarray,
                  max_new_tokens: int = 128, temperature: float = 0.0,
@@ -182,7 +229,7 @@ class Request:
         self.done = False
 
 
-class BatchingEngine:
+class BatchingEngine(SamplingSlots):
     """FIFO continuous-batching scheduler over a fixed slot pool."""
 
     def __init__(self, cfg: ModelConfig, params: Dict[str, Any],
@@ -224,12 +271,7 @@ class BatchingEngine:
         self.inflight: Dict[int, Dict[str, Any]] = {}  # slot -> prefill state
         self.queue: deque[Request] = deque()
         self.finished: List[Request] = []
-        # per-slot sampling params (greedy defaults; see sample_batched)
-        self.temp = np.zeros((max_batch,), np.float32)
-        self.topk = np.full((max_batch,), cfg.vocab_size, np.int32)
-        self.topp = np.ones((max_batch,), np.float32)
-        self._key = jax.random.PRNGKey(seed)
-        self._steps = 0
+        self._init_sampling(max_batch, cfg.vocab_size, seed)
 
     # -------------------------------------------------------- scheduling
     def add_request(self, req_id: Any, prompt, max_new_tokens: int = 128,
@@ -267,25 +309,10 @@ class BatchingEngine:
                     "done": 0,
                 }
 
-    def _set_sampling(self, slot: int, req: Request):
-        v = self.cfg.vocab_size
-        self.temp[slot] = req.temperature
-        self.topk[slot] = (req.top_k if req.top_k and 0 < req.top_k < v
-                           else v)
-        self.topp[slot] = (req.top_p if req.top_p is not None
-                           and req.top_p < 1.0 else 1.0)
-
-    def _next_key(self):
-        self._steps += 1
-        return jax.random.fold_in(self._key, self._steps)
-
     def _activate(self, slot: int, req: Request, row, logits):
         self.caches = _install_slot(self.caches, row, slot)
         self._set_sampling(slot, req)
-        tok = int(sample_batched(
-            logits[:1], jnp.asarray(self.temp[slot : slot + 1]),
-            jnp.asarray(self.topk[slot : slot + 1]),
-            jnp.asarray(self.topp[slot : slot + 1]), self._next_key())[0])
+        tok = self._sample_slot(slot, logits[:1])
         req.output.append(tok)
         self.slots[slot] = req
         self.pos[slot] = len(req.prompt)
@@ -321,7 +348,7 @@ class BatchingEngine:
             self.finished.append(req)
             self.slots[slot] = None
             self.pos[slot] = 0
-            self.temp[slot] = 0.0  # freed slot: back to (discarded) greedy
+            self._clear_sampling(slot)
 
     # ------------------------------------------------------------- steps
     def step(self) -> List[Tuple[Any, int]]:
@@ -337,9 +364,7 @@ class BatchingEngine:
         logits, self.caches = batched_decode_step(
             self.cfg, self.params, jnp.asarray(self.last_token[:, None]),
             self.caches, jnp.asarray(self.pos), self.method, self.dtype)
-        toks = np.asarray(sample_batched(
-            logits, jnp.asarray(self.temp), jnp.asarray(self.topk),
-            jnp.asarray(self.topp), self._next_key()))
+        toks = self._sample_pool(logits)
         emitted = []
         for slot in active:
             tok = int(toks[slot])

@@ -47,7 +47,8 @@ import numpy as np
 from autoawq_tpu.models.config import ModelConfig
 from autoawq_tpu.nn import modules
 from autoawq_tpu.serve import generate as gen
-from autoawq_tpu.serve.batching import Request, prefill_chunk, sample_batched
+from autoawq_tpu.serve.batching import (Request, SamplingSlots,
+                                         prefill_chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "method", "dtype"),
@@ -121,7 +122,7 @@ def _gather_pages(page_caches, row_caches, page_ids: jax.Array,
     return out
 
 
-class PagedBatchingEngine:
+class PagedBatchingEngine(SamplingSlots):
     """FIFO continuous batching over a shared KV page pool."""
 
     def __init__(self, cfg: ModelConfig, params: Dict[str, Any],
@@ -155,13 +156,7 @@ class PagedBatchingEngine:
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.queue: deque[Request] = deque()
         self.finished: List[Request] = []
-        # per-slot sampling params (greedy defaults; see
-        # batching.sample_batched)
-        self.temp = np.zeros((max_batch,), np.float32)
-        self.topk = np.full((max_batch,), cfg.vocab_size, np.int32)
-        self.topp = np.ones((max_batch,), np.float32)
-        self._key = jax.random.PRNGKey(seed)
-        self._steps = 0
+        self._init_sampling(max_batch, cfg.vocab_size, seed)
         # ---- prefix cache (vLLM-style hash-chained full prompt pages).
         # chain hash h_i = hash(h_{i-1}, tokens of page i) -> page id; a
         # hit reuses the page's KV (gather + suffix-only prefill) instead
@@ -172,6 +167,7 @@ class PagedBatchingEngine:
         self.page_ref = np.zeros((total_pages,), np.int64)
         self.prefix_cache: Dict[int, int] = {}   # chain hash -> page id
         self.page_chain: Dict[int, int] = {}     # page id -> chain hash
+        self.chain_next: Dict[int, set] = {}     # chain hash -> child hashes
         self.prefix_hits = 0
         self.prefix_pages_reused = 0
 
@@ -188,10 +184,6 @@ class PagedBatchingEngine:
         self.queue.append(Request(req_id, prompt, max_new_tokens,
                                   temperature, top_k, top_p))
 
-    def _next_key(self):
-        self._steps += 1
-        return jax.random.fold_in(self._key, self._steps)
-
     # ------------------------------------------------------ prefix cache
     @staticmethod
     def _page_chain_hashes(prompt: np.ndarray, ps: int,
@@ -203,18 +195,41 @@ class PagedBatchingEngine:
             out.append(h)
         return out
 
+    def _drop_chain_entry(self, h: int) -> None:
+        """Remove a cached chain entry AND its descendants (a lookup walks
+        hashes from the chain root, so children of an evicted entry are
+        unreachable — leaving them cached would hold pool pages hostage).
+        Pages free immediately at refcount 0; pinned pages free at their
+        owner's retirement (their cache entry is gone, so no new sharer
+        can pin them again)."""
+        pid = self.prefix_cache.pop(h, None)
+        for child in self.chain_next.pop(h, ()):
+            self._drop_chain_entry(child)
+        if pid is not None:
+            del self.page_chain[pid]
+            if self.page_ref[pid] == 0:
+                self.free.append(pid)
+
     def _evict_until(self, need: int) -> bool:
-        """Evict unreferenced cached pages (LRU = insertion order) until
-        ``need`` pages are free. Returns success."""
+        """Make ``need`` pages free by evicting unreferenced cached pages
+        (LRU = insertion order). TWO-PHASE: nothing is evicted unless the
+        need can actually be met — a failed admission must not destroy
+        cached prefixes (the head request retries next step and would
+        otherwise have lost its own matched pages). Callers must pin
+        (refcount) any pages they matched BEFORE calling, so eviction can
+        never free a page that is about to be used as shared."""
         if len(self.free) >= need:
             return True
-        for h, pid in list(self.prefix_cache.items()):
-            if self.page_ref[pid] == 0:
-                del self.prefix_cache[h]
-                del self.page_chain[pid]
-                self.free.append(pid)
-                if len(self.free) >= need:
-                    return True
+        evictable = sum(
+            1 for pid in self.page_chain if self.page_ref[pid] == 0)
+        if len(self.free) + evictable < need:
+            return False
+        for h in list(self.prefix_cache):
+            if len(self.free) >= need:
+                break
+            pid = self.prefix_cache.get(h)
+            if pid is not None and self.page_ref[pid] == 0:
+                self._drop_chain_entry(h)
         return len(self.free) >= need
 
     @property
@@ -245,12 +260,19 @@ class PagedBatchingEngine:
                         break
                     shared.append(pid)
             n_shared = len(shared)
+            # pin the matched pages FIRST: eviction must never free a page
+            # about to be used as shared (same-page double-allocation
+            # corrupts the prefix KV and poisons the cache)
+            for pid in shared:
+                self.page_ref[pid] += 1
             if not self._evict_until(need - n_shared):
+                for pid in shared:  # unpin; head retries next step
+                    self.page_ref[pid] -= 1
                 return  # FIFO: wait for pages rather than starve the head
             self.queue.popleft()
             fresh = [self.free.pop() for _ in range(need - n_shared)]
             pages = shared + fresh
-            for pid in pages:
+            for pid in fresh:
                 self.page_ref[pid] += 1
             self.owned[slot] = pages
             self.table[slot] = 0
@@ -268,10 +290,17 @@ class PagedBatchingEngine:
                 row = _gather_pages(self.pages, row, jnp.asarray(shared),
                                     n_shared)
                 suffix = req.prompt[n_shared * self.ps:]
+                real = len(suffix)
+                # pad to a page multiple so jit sees one shape per suffix
+                # page count (padded tail rows are dead: decode overwrites
+                # them before they are ever unmasked — see prefill_chunk)
+                pad_to = -(-real // self.ps) * self.ps
+                if pad_to > real:
+                    suffix = np.pad(suffix, (0, pad_to - real))
                 logits, row = prefill_chunk(
                     self.cfg, self.params, jnp.asarray(suffix[None]), row,
                     jnp.int32(n_shared * self.ps), self.method, self.dtype)
-                logits = logits[:, len(suffix) - 1]
+                logits = logits[:, real - 1]
             else:
                 logits, row = gen.prefill(
                     self.cfg, self.params, jnp.asarray(req.prompt[None]),
@@ -281,25 +310,22 @@ class PagedBatchingEngine:
                     self.pages, row,
                     jnp.asarray(pages[n_shared:n_prompt_pages]),
                     n_prompt_pages - n_shared, start_page=n_shared)
-            # register this prompt's full pages for future admissions
+            # register this prompt's full pages for future admissions,
+            # recording parent->child chain links so eviction can drop
+            # unreachable descendants
             if self.prefix_enabled:
+                prev_h = None
                 for h, pid in zip(chain, pages):
                     if h not in self.prefix_cache \
                             and pid not in self.page_chain:
                         self.prefix_cache[h] = pid
                         self.page_chain[pid] = h
+                    if prev_h is not None:
+                        self.chain_next.setdefault(prev_h, set()).add(h)
+                    prev_h = h
 
-            v = self.cfg.vocab_size
-            self.temp[slot] = req.temperature
-            self.topk[slot] = (req.top_k if req.top_k
-                               and 0 < req.top_k < v else v)
-            self.topp[slot] = (req.top_p if req.top_p is not None
-                               and req.top_p < 1.0 else 1.0)
-            tok = int(sample_batched(
-                logits[:1], jnp.asarray(self.temp[slot : slot + 1]),
-                jnp.asarray(self.topk[slot : slot + 1]),
-                jnp.asarray(self.topp[slot : slot + 1]),
-                self._next_key())[0])
+            self._set_sampling(slot, req)
+            tok = self._sample_slot(slot, logits[:1])
             req.output.append(tok)
             self.slots[slot] = req
             self.pos[slot] = len(req.prompt)
@@ -324,7 +350,7 @@ class PagedBatchingEngine:
             self.owned[slot] = []
             self.table[slot] = 0  # trash page: decode writes go nowhere
             self.pos[slot] = 0
-            self.temp[slot] = 0.0  # freed slot: back to (discarded) greedy
+            self._clear_sampling(slot)
 
     # ------------------------------------------------------------- steps
     def step(self) -> List[Tuple[Any, int]]:
@@ -337,9 +363,7 @@ class PagedBatchingEngine:
             self.cfg, self.params, jnp.asarray(self.last_token[:, None]),
             self.pages, jnp.asarray(self.table), jnp.asarray(self.pos),
             self.method, self.dtype)
-        toks = np.asarray(sample_batched(
-            logits, jnp.asarray(self.temp), jnp.asarray(self.topk),
-            jnp.asarray(self.topp), self._next_key()))
+        toks = self._sample_pool(logits)
         emitted = []
         for slot in active:
             tok = int(toks[slot])

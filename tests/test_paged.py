@@ -166,3 +166,42 @@ def test_prefix_cache_eviction_under_pressure(rng):
     eng.add_request("b", p2, 6)  # different prompt: needs eviction
     out_b = eng.run()["b"]
     assert len(out_b) == 6
+
+
+def test_prefix_cache_eviction_never_frees_matched_pages(rng):
+    """Regression: under pool pressure, eviction must not free the pages
+    just matched as `shared` for the incoming request — the old code could
+    evict the matched page and immediately re-allocate it as fresh, mapping
+    two logical prompt pages onto one physical page (silent corruption +
+    a poisoned cache entry)."""
+    import jax.numpy as jnp
+
+    params = init_random_params(CFG, seed=6, scale=0.08)
+    prompt = rng.integers(0, CFG.vocab_size, (16,))  # 1 sharable page
+    other = rng.integers(0, CFG.vocab_size, (16,))
+
+    def solo(p, n):
+        e = PagedBatchingEngine(CFG, params, max_batch=1, page_size=8,
+                                total_pages=16, pages_per_seq=4,
+                                method="jnp", dtype=jnp.float32,
+                                prefix_cache=False)
+        e.add_request("s", p, n)
+        return e.run()["s"]
+
+    # usable pages: 6 (7 minus trash). A(3 pages) retires -> 1 cached,
+    # free=5. C(4 pages) stays active -> free=1. B shares A's cached page,
+    # needs 2 fresh with only 1 free + the matched page as the only
+    # eviction candidate: B must WAIT (not corrupt), then admit after C.
+    eng = PagedBatchingEngine(CFG, params, max_batch=2, page_size=8,
+                              total_pages=7, pages_per_seq=4,
+                              method="jnp", dtype=jnp.float32)
+    eng.add_request("a", prompt, 6)
+    out_a = eng.run()["a"]
+    assert len(eng.prefix_cache) == 1
+    eng.add_request("c", other, 9)   # 16+9+1 = 26 -> 4 pages, active
+    eng.step()
+    eng.add_request("b", prompt, 6)  # same prompt as a: 1 shared page
+    res = eng.run()
+    assert res["b"] == out_a == solo(prompt, 6)
+    assert res["c"] == solo(other, 9)
+    assert eng.prefix_hits == 1  # b actually reused a's page
