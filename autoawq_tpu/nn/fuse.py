@@ -106,6 +106,83 @@ def fuse_model(cfg: ModelConfig, params: Dict[str, Any],
     return params
 
 
+def _slice_cols_quant(lin: Dict[str, Any], n: int, lo: int,
+                      hi: int) -> Dict[str, Any]:
+    """Unpack a quant LIN and keep logical output columns [lo, hi)."""
+    out = {
+        "qweight": packing.unpack_planar(
+            np.asarray(lin["qweight"]), n)[:, lo:hi],
+        "scales": np.asarray(lin["scales"])[:, lo:hi],
+    }
+    g = np.asarray(lin["scales"]).shape[0]
+    out["qzeros"] = (
+        packing.unpack_planar(np.asarray(lin["qzeros"]), n,
+                              rows=g)[:, lo:hi]
+        if "qzeros" in lin else np.full((g, hi - lo), 8, np.int32))
+    if lin.get("bias") is not None:
+        out["bias"] = np.asarray(lin["bias"])[lo:hi]
+    else:
+        out["bias"] = None
+    return out
+
+
+def tp_stack_qkv(cfg: ModelConfig, params: Dict[str, Any],
+                 tp: int) -> Dict[str, Any]:
+    """In-place: add ``qkv_proj_tp`` — a [tp, ...]-stacked PER-CHIP fused
+    qkv layout — to every attention block with unfused quantized q/k/v.
+
+    The plain fused ``qkv_proj`` layout ([q|k|v] concatenated then packed)
+    cannot be column-sharded: a contiguous 1/tp lane slice mixes one
+    chip's q columns with another's k. Re-fusing per chip sidesteps the
+    packing granularity entirely — chip i's slice is
+    [q_i | k_i | v_i] for ITS nh/tp query and nkv/tp kv heads, packed
+    independently (identical padded widths, so the stack is rectangular).
+    Sharded on the ``tensor`` axis (parallel/specs.py), this feeds the
+    fused attention-step megakernel per chip (ops/tp_attn.py) — the
+    TP-capable counterpart of the single-chip ``qkv_proj`` path.
+
+    Requires nh % tp == 0 and nkv % tp == 0 (head-aligned shards).
+    """
+    hd, nh, nkv = (cfg.head_dim_, cfg.num_attention_heads,
+                   cfg.num_key_value_heads)
+    if nh % tp or nkv % tp:
+        raise ValueError(f"heads ({nh}/{nkv}) not divisible by tp={tp}")
+    pq, pk = nh * hd // tp, nkv * hd // tp
+    for lp in params["layers"]:
+        attn = lp["self_attn"]
+        if cfg.is_mla or "q_proj" not in attn \
+                or "qweight" not in attn["q_proj"]:
+            continue
+        q, k, v = attn["q_proj"], attn["k_proj"], attn["v_proj"]
+        chips = []
+        for i in range(tp):
+            sq = _slice_cols_quant(q, nh * hd, i * pq, (i + 1) * pq)
+            sk = _slice_cols_quant(k, nkv * hd, i * pk, (i + 1) * pk)
+            sv = _slice_cols_quant(v, nkv * hd, i * pk, (i + 1) * pk)
+            grid = np.concatenate(
+                [sq["qweight"], sk["qweight"], sv["qweight"]], axis=1)
+            sc = np.concatenate(
+                [sq["scales"], sk["scales"], sv["scales"]], axis=1)
+            zc = np.concatenate(
+                [sq["qzeros"], sk["qzeros"], sv["qzeros"]], axis=1)
+            entry = {
+                "qweight": packing.pack_planar(grid),
+                "scales": packing.pad_scales_planar(sc),
+            }
+            if any("qzeros" in lin for lin in (q, k, v)):
+                entry["qzeros"] = packing.pack_planar(zc)
+            if any(lin.get("bias") is not None for lin in (q, k, v)):
+                entry["bias"] = np.concatenate([
+                    s["bias"] if s["bias"] is not None
+                    else np.zeros(w, np.float32)
+                    for s, w in ((sq, pq), (sk, pk), (sv, pk))])
+            chips.append(entry)
+        attn["qkv_proj_tp"] = {
+            key: np.stack([c[key] for c in chips]) for key in chips[0]
+        }
+    return params
+
+
 def _stack_expert_lins(lins: List[Dict[str, Any]]) -> Dict[str, Any]:
     """Stack per-expert quant LINs into [E, ...] tensors. Symmetric experts
     (no qzeros) stack zeros-free; a mixed symmetric/asymmetric population

@@ -435,6 +435,36 @@ def attention(
 
     if (taps is None and s == 1 and kv_cache is not None
             and getattr(kv_cache["pos"], "ndim", 0) == 0
+            and _tp_fused_attn_ok(cfg, p, x, method, kv_cache)):
+        # TP fused attention step: the same megakernel per chip over the
+        # [tp, ...]-stacked per-chip re-fused qkv layout
+        # (nn/fuse.tp_stack_qkv -> ops/tp_attn.py custom_partitioning);
+        # psum finishes the row-parallel o projection. Lifts the
+        # device_count==1 gate below.
+        from autoawq_tpu.ops import tp_attn
+
+        pos = kv_cache["pos"]
+        scale = cfg.attn_scale if cfg.attn_scale is not None else hd**-0.5
+        cs = jnp.broadcast_to(cos[:, 0], (b, cos.shape[-1]))
+        sn = jnp.broadcast_to(sin[:, 0], (b, sin.shape[-1]))
+        y, k_new, v_new = tp_attn.fused_attention_step_tp(
+            x[:, 0], p["qkv_proj_tp"], p["o_proj"], kv_cache["k"],
+            kv_cache["v"], cs, sn, pos, nh=nh, nkv=nkv, hd=hd,
+            scale=scale, window=cfg.sliding_window,
+            interpret=jax.default_backend() != "tpu")
+        kc = jax.lax.dynamic_update_slice(
+            kv_cache["k"], k_new[:, :, None, :].astype(kv_cache["k"].dtype),
+            (0, 0, pos, 0))
+        vc = jax.lax.dynamic_update_slice(
+            kv_cache["v"], v_new[:, :, None, :].astype(kv_cache["v"].dtype),
+            (0, 0, pos, 0))
+        y = y[:, None, : cfg.hidden_size].astype(x.dtype)
+        if p["o_proj"].get("bias") is not None:
+            y = y + p["o_proj"]["bias"].astype(y.dtype)
+        return y, {"k": kc, "v": vc, "pos": pos + 1}
+
+    if (taps is None and s == 1 and kv_cache is not None
+            and getattr(kv_cache["pos"], "ndim", 0) == 0
             and _fused_attn_ok(cfg, p, x, method, kv_cache)):
         # whole attention step in one kernel: int4 qkv GEMM + rope + softmax
         # over the cache + int4 o GEMM (ops/fused_attn_step.py). Replaces
@@ -802,6 +832,51 @@ def _fused_attn_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
     from autoawq_tpu.ops import fused_attn_step
 
     return fused_attn_step.supported(cfg, p, x, k_cache)
+
+
+def _tp_fused_attn_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
+                      method: str, kv_cache) -> bool:
+    """TP fused attention-step eligibility (ops/tp_attn.py): requires the
+    [tp, ...]-stacked per-chip fused layout (nn/fuse.tp_stack_qkv). Same
+    model-level gates and B*T auto threshold as _fused_attn_ok, but no
+    device_count==1 gate — this path partitions over the tensor axis."""
+    if method == "jnp" or "qkv_proj_tp" not in p:
+        return False
+    flag = _os.environ.get("AWQ_TPU_FUSED_ATTN", "auto")
+    if flag == "0" or "k_s" in kv_cache:
+        return False
+    if flag != "force" and jax.default_backend() != "tpu":
+        return False
+    if (cfg.pos_embed != "rope" or cfg.rope_style != "neox"
+            or cfg.qk_norm or cfg.attn_softcap or cfg.is_mla):
+        return False
+    nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim_)
+    if cfg.rotary_dim != hd:
+        return False
+    o = p.get("o_proj")
+    if o is None or "qweight" not in o or "lora_a" in o \
+            or "lora_a" in p["qkv_proj_tp"]:
+        return False
+    k_cache = kv_cache["k"]
+    b, t = k_cache.shape[0], k_cache.shape[2]
+    if x.shape[0] * x.shape[1] != b:
+        return False
+    bt_floor = int(_os.environ.get("AWQ_TPU_FUSED_ATTN_BT", "2048"))
+    if flag == "auto" and b * t < bt_floor:
+        return False
+    st = p["qkv_proj_tp"]
+    tp = st["qweight"].shape[0]
+    if nh % tp or nkv % tp:
+        return False
+    from autoawq_tpu.ops import tp_attn
+
+    entry = {"qweight": st["qweight"][0], "scales": st["scales"][0]}
+    o_local = {"qweight": o["qweight"][: o["qweight"].shape[0] // tp],
+               "scales": o["scales"][: o["scales"].shape[0] // tp]}
+    return tp_attn._entry_shapes_ok(
+        b, t, nh // tp, nkv // tp, hd, x.shape[-1], entry, o_local,
+        k_cache.dtype.itemsize)
 
 
 def _fused_mlp_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,

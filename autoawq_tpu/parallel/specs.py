@@ -124,6 +124,18 @@ def param_specs(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
     def walk(tree, path=""):
         if isinstance(tree, dict):
+            if "qweight" in tree and path.endswith("qkv_proj_tp"):
+                # per-chip re-fused qkv stack [tp, ...] (nn/fuse.
+                # tp_stack_qkv): dim 0 is one entry per tensor-axis chip
+                tp_dim = np.shape(tree["qweight"])[0]
+                spec_ok = tensor_size > 1 and tp_dim == tensor_size
+                return {
+                    k: (None if v is None else NamedSharding(
+                        mesh,
+                        P("tensor", *([None] * (np.ndim(v) - 1)))
+                        if spec_ok else P()))
+                    for k, v in tree.items()
+                }
             if "qweight" in tree and np.ndim(tree["qweight"]) == 3:
                 # stacked-expert LIN [E, ...]: expert-parallel on dim 0
                 e = np.shape(tree["qweight"])[0]
