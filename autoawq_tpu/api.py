@@ -136,6 +136,31 @@ class AwqCausalLM:
         )
         return np.asarray(out)
 
+    def shard(self, mesh, dtype=jnp.bfloat16, tp_attention: bool = True):
+        """Shard params over a ``jax.sharding.Mesh`` for TP/EP serving:
+        Megatron column/row-parallel packed-int4 shardings on the
+        ``tensor`` axis, stacked-expert sharding on ``expert``
+        (parallel/specs.py). ``tp_attention=True`` additionally builds the
+        per-chip re-fused qkv stack (nn/fuse.tp_stack_qkv) when the
+        checkpoint still carries unfused quantized q/k/v and the head
+        counts divide the tensor axis — enabling the fused attention-step
+        megakernel under TP (ops/tp_attn.py). Replaces the reference's
+        accelerate layer-pipeline multi-GPU story (SURVEY §2.6)."""
+        from autoawq_tpu.nn.fuse import tp_stack_qkv
+        from autoawq_tpu.parallel.specs import shard_params
+
+        tensor = mesh.shape.get("tensor", 1)
+        if tp_attention and tensor > 1 and not self.cfg.is_mla:
+            nh = self.cfg.num_attention_heads
+            nkv = self.cfg.num_key_value_heads
+            first = self.params["layers"][0]["self_attn"]
+            if (nh % tensor == 0 and nkv % tensor == 0
+                    and "qweight" in first.get("q_proj", {})):
+                tp_stack_qkv(self.cfg, self.params, tensor)
+        self.params = shard_params(self.params, mesh, dtype=dtype)
+        self.mesh = mesh
+        return self
+
     def to_device(self, dtype=jnp.bfloat16):
         """Move params to the default device, casting fp leaves.
 

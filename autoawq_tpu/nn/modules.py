@@ -869,6 +869,9 @@ def _tp_fused_attn_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
     tp = st["qweight"].shape[0]
     if nh % tp or nkv % tp:
         return False
+    if o["qweight"].shape[0] % tp or o["scales"].shape[0] % tp \
+            or (o["scales"].shape[0] // tp) % 2:
+        return False  # o cannot row-shard at these group boundaries
     from autoawq_tpu.ops import tp_attn
 
     entry = {"qweight": st["qweight"][0], "scales": st["scales"][0]}

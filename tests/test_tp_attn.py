@@ -128,3 +128,32 @@ def test_tp_path_actually_engages(monkeypatch):
     params = _params(tp=2)
     _decode_logits(params, "auto")
     assert calls, "TP fused attention path was never taken"
+
+
+def test_api_shard_builds_tp_stack(monkeypatch):
+    """AwqCausalLM.shard(mesh) builds the stacked layout and generation on
+    the mesh matches the unsharded stream."""
+    if jax.device_count() < 4:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    from autoawq_tpu.api import AwqCausalLM
+    from autoawq_tpu.config import AwqConfig
+
+    monkeypatch.setenv("AWQ_TPU_FUSED_ATTN", "force")
+    params = random_quantized_params(CFG, seed=0, group_size=64,
+                                     fp_dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    prompt = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 8)))
+    ref = np.asarray(gen.generate_compiled(CFG, params, prompt, 12,
+                                           method="jnp",
+                                           dtype=jnp.float32))
+    model = AwqCausalLM(CFG, params, AwqConfig())
+    mesh = build_mesh(tensor=2, data=jax.device_count() // 2)
+    model.shard(mesh, dtype=jnp.float32)
+    st = model.params["layers"][0]["self_attn"]["qkv_proj_tp"]
+    assert st["qweight"].sharding.spec == jax.sharding.PartitionSpec(
+        "tensor", None, None)
+    with mesh:
+        got = np.asarray(gen.generate_compiled(
+            CFG, model.params, prompt, 12, method="auto",
+            dtype=jnp.float32))
+    np.testing.assert_array_equal(ref, got)
