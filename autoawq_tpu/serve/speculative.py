@@ -73,6 +73,24 @@ def _chunk_step(
     return modules.logits_fn(cfg, params, x, method), caches
 
 
+def self_draft(cfg: ModelConfig, params: Dict[str, Any],
+               n_layers: int) -> Tuple[ModelConfig, Dict[str, Any]]:
+    """Derive a draft model from the target's own FIRST ``n_layers``
+    decoder layers plus its embedding/norm/lm_head (early-exit
+    self-speculation — Draft&Verify-style, no second checkpoint needed;
+    the layers are shared by reference, so the draft costs no extra HBM).
+    Acceptance depends on how predictive the truncated stack is; the
+    verify pass guarantees outputs regardless."""
+    import dataclasses
+
+    if not 0 < n_layers < cfg.num_hidden_layers:
+        raise ValueError(f"n_layers must be in (0, {cfg.num_hidden_layers})")
+    dcfg = dataclasses.replace(cfg, num_hidden_layers=n_layers)
+    dparams = {k: v for k, v in params.items() if k != "layers"}
+    dparams["layers"] = list(params["layers"][:n_layers])
+    return dcfg, dparams
+
+
 def accept_resample(p: np.ndarray, q: np.ndarray, drafts, key):
     """Speculative-sampling acceptance (Leviathan et al. 2023, alg. 1).
 

@@ -121,3 +121,24 @@ def test_sampled_deterministic_per_seed(rng):
 
     assert run(2) == run(2)
     assert run(2) != run(9)  # different seeds explore different streams
+
+
+def test_self_draft_helper(rng):
+    """Early-exit self-speculation: draft = target's first n layers; output
+    still bit-matches the target's greedy stream."""
+    from autoawq_tpu.serve.speculative import self_draft
+
+    params = init_random_params(TARGET, seed=3)
+    dcfg, dparams = self_draft(TARGET, params, 1)
+    assert dcfg.num_hidden_layers == 1
+    assert dparams["layers"][0] is params["layers"][0]  # shared, no copy
+    prompt = jnp.asarray(rng.integers(0, TARGET.vocab_size, (1, 5)))
+    ref = np.asarray(gen.generate_compiled(
+        TARGET, params, prompt, 14, method="jnp", dtype=jnp.float32))
+    out, stats = generate_speculative(
+        TARGET, params, dcfg, dparams, prompt, 14, k=3,
+        method="jnp", dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+    with pytest.raises(ValueError, match="n_layers"):
+        self_draft(TARGET, params, TARGET.num_hidden_layers)
