@@ -1,0 +1,219 @@
+"""Minimal OpenAI-compatible HTTP front-end over the batching engines.
+
+Stdlib-only (http.server + threading): one engine thread owns the
+BatchingEngine/PagedBatchingEngine (they are not thread-safe) and drives
+``step()`` whenever work exists; HTTP handlers enqueue requests and wait
+on per-request events. Endpoints:
+
+* ``POST /v1/completions`` — {"prompt": str|[ids], "max_tokens": N,
+  "temperature": t, "top_k": k, "top_p": p, "stream": bool}. Non-stream
+  returns an OpenAI-shaped completion object; ``stream=true`` sends SSE
+  chunks, one per generated token, then ``data: [DONE]``.
+* ``GET /v1/models`` — single-entry model list.
+* ``GET /health`` — liveness.
+
+The reference has no serving front-end at all (its generate() is a
+blocking HF call); vLLM is the ecosystem reference point for this shape.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from queue import Empty, Queue
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+class _Pending:
+    def __init__(self, prompt_ids, max_tokens, temperature, top_k, top_p,
+                 stream):
+        self.prompt_ids = prompt_ids
+        self.max_tokens = max_tokens
+        self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
+        self.stream = stream
+        self.tokens: "Queue[Optional[int]]" = Queue()  # None = finished
+        self.sent = 0  # prefix of req.output already pushed
+        self.done = threading.Event()
+
+
+class EngineServer:
+    """Engine thread + HTTP server. ``tokenizer`` needs encode(str)->ids
+    and decode(ids)->str; pass None to speak raw token-id lists."""
+
+    def __init__(self, engine, tokenizer=None, model_name: str = "model"):
+        self.engine = engine
+        self.tok = tokenizer
+        self.model_name = model_name
+        self._pending: "Queue[_Pending]" = Queue()
+        self._live: Dict[Any, _Pending] = {}
+        self._next_id = 0
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------ engine thread
+    def _loop(self):
+        while not self._stop:
+            admitted = False
+            while True:
+                try:
+                    p = self._pending.get_nowait()
+                except Empty:
+                    break
+                with self._lock:
+                    rid = self._next_id
+                    self._next_id += 1
+                    self._live[rid] = p
+                self.engine.add_request(
+                    rid, np.asarray(p.prompt_ids), p.max_tokens,
+                    temperature=p.temperature, top_k=p.top_k, top_p=p.top_p)
+                admitted = True
+            if not (admitted or self.engine.has_work):
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            self.engine.step()
+            # route tokens by OUTPUT GROWTH, not step()'s return — the
+            # first token of every request is appended at admission
+            # (prefill logits) and never passes through step()
+            for req in self.engine.slots:
+                if req is not None:
+                    self._flush(req)
+            for req in list(self.engine.finished):
+                self._flush(req)
+                live = self._live.pop(req.id, None)
+                if live is not None:
+                    live.tokens.put(None)
+                    live.done.set()
+            self.engine.finished.clear()
+
+    def _flush(self, req):
+        live = self._live.get(req.id)
+        if live is None:
+            return
+        while live.sent < len(req.output):
+            live.tokens.put(int(req.output[live.sent]))
+            live.sent += 1
+
+    def submit(self, p: _Pending):
+        self._pending.put(p)
+        self._wake.set()
+
+    def shutdown(self):
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=5)
+
+    # --------------------------------------------------------------- http
+    def make_handler(server):  # noqa: N805 — closure over the EngineServer
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code: int, obj: Dict):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    return self._json(200, {"status": "ok"})
+                if self.path == "/v1/models":
+                    return self._json(200, {"object": "list", "data": [
+                        {"id": server.model_name, "object": "model"}]})
+                return self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/v1/completions":
+                    return self._json(404, {"error": "not found"})
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    prompt = req["prompt"]
+                    ids = (server.tok.encode(prompt)
+                           if isinstance(prompt, str) else list(prompt))
+                    if isinstance(prompt, str) and server.tok is None:
+                        raise ValueError("no tokenizer: send token ids")
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    return self._json(400, {"error": str(e)})
+                p = _Pending(
+                    ids, int(req.get("max_tokens", 16)),
+                    float(req.get("temperature", 0.0)),
+                    req.get("top_k"), req.get("top_p"),
+                    bool(req.get("stream", False)))
+                server.submit(p)
+                if p.stream:
+                    return self._stream(p)
+                p.done.wait()
+                out: List[int] = []
+                while True:
+                    t = p.tokens.get()
+                    if t is None:
+                        break
+                    out.append(t)
+                text = (server.tok.decode(out) if server.tok is not None
+                        else None)
+                self._json(200, {
+                    "id": "cmpl-0", "object": "text_completion",
+                    "created": int(time.time()), "model": server.model_name,
+                    "choices": [{"index": 0, "text": text,
+                                 "token_ids": out,
+                                 "finish_reason": "stop"}],
+                    "usage": {"prompt_tokens": len(ids),
+                              "completion_tokens": len(out),
+                              "total_tokens": len(ids) + len(out)},
+                })
+
+            def _stream(self, p: _Pending):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.end_headers()
+                while True:
+                    t = p.tokens.get()
+                    if t is None:
+                        self.wfile.write(b"data: [DONE]\n\n")
+                        self.wfile.flush()
+                        return
+                    piece = (server.tok.decode([t])
+                             if server.tok is not None else None)
+                    chunk = {"object": "text_completion.chunk",
+                             "choices": [{"index": 0, "text": piece,
+                                          "token_ids": [t]}]}
+                    self.wfile.write(
+                        b"data: " + json.dumps(chunk).encode() + b"\n\n")
+                    self.wfile.flush()
+
+        return Handler
+
+
+def serve_http(engine, tokenizer=None, host: str = "127.0.0.1",
+               port: int = 8000, model_name: str = "model"):
+    """Blocking: serve the engine over HTTP. Returns (never) — use
+    start_server for a background instance."""
+    es, httpd = start_server(engine, tokenizer, host, port, model_name)
+    try:
+        httpd.serve_forever()
+    finally:
+        es.shutdown()
+
+
+def start_server(engine, tokenizer=None, host: str = "127.0.0.1",
+                 port: int = 0, model_name: str = "model"):
+    """Non-blocking: returns (EngineServer, ThreadingHTTPServer) with the
+    HTTP loop on a daemon thread. port=0 picks a free port
+    (httpd.server_address[1])."""
+    es = EngineServer(engine, tokenizer, model_name)
+    httpd = ThreadingHTTPServer((host, port), es.make_handler())
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return es, httpd

@@ -1,0 +1,92 @@
+"""OpenAI-compatible HTTP front-end (serve/server.py) over the batching
+engine: completions (greedy + sampled + streaming) round-trip over
+localhost, greedy output matching direct engine use."""
+
+import json
+import urllib.request
+
+import jax.numpy as jnp
+import numpy as np
+
+from autoawq_tpu.io.hf import init_random_params
+from autoawq_tpu.models.config import ModelConfig
+from autoawq_tpu.serve.batching import BatchingEngine
+from autoawq_tpu.serve.server import start_server
+
+CFG = ModelConfig(
+    model_type="llama", vocab_size=64, hidden_size=64,
+    intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+    num_key_value_heads=2, head_dim=16, max_position_embeddings=64)
+
+
+def _post(port, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/completions",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.read()
+
+
+def test_http_completions_roundtrip(rng):
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    prompt = [int(t) for t in rng.integers(0, 64, (5,))]
+
+    ref_eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                             method="jnp", dtype=jnp.float32)
+    ref_eng.add_request("r", np.asarray(prompt), 6)
+    ref = ref_eng.run()["r"]
+
+    eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32, seed=3)
+    es, httpd = start_server(eng, tokenizer=None)
+    port = httpd.server_address[1]
+    try:
+        # health + models
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        status, body = _post(port, {"prompt": prompt, "max_tokens": 6})
+        assert status == 200
+        out = json.loads(body)
+        assert out["choices"][0]["token_ids"] == ref
+        assert out["usage"]["completion_tokens"] == 6
+
+        # sampled request (different params per request through the pool)
+        status, body = _post(port, {"prompt": prompt, "max_tokens": 6,
+                                    "temperature": 1.0, "top_k": 8})
+        assert status == 200
+        samp = json.loads(body)["choices"][0]["token_ids"]
+        assert len(samp) == 6 and all(0 <= t < 64 for t in samp)
+
+        # streaming: one SSE chunk per token, then [DONE]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=json.dumps({"prompt": prompt, "max_tokens": 6,
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        toks = []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            for line in r:
+                line = line.decode().strip()
+                if not line.startswith("data: "):
+                    continue
+                if line == "data: [DONE]":
+                    break
+                toks.extend(json.loads(line[6:])["choices"][0]["token_ids"])
+        assert toks == ref
+
+        # malformed request -> 400, server stays alive
+        try:
+            _post(port, {"max_tokens": 4})
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        status, _ = _post(port, {"prompt": prompt, "max_tokens": 2})
+        assert status == 200
+    finally:
+        httpd.shutdown()
+        es.shutdown()
+
+
+import urllib.error  # noqa: E402  (used in the 400 check above)
