@@ -744,9 +744,15 @@ def mla_attention(
         pos = kv_cache["pos"]
         dc_rank = cfg.kv_lora_rank
         ce = jnp.concatenate([c, k_pe[:, :, 0, :]], axis=-1)  # [B, S, dc+dr]
-        cc = jax.lax.dynamic_update_slice(
-            kv_cache["c"], ce[:, None].astype(kv_cache["c"].dtype),
-            (0, 0, pos, 0))
+        if getattr(pos, "ndim", 0) == 1:
+            # per-slot write offsets (continuous batching)
+            cc = jax.vmap(lambda cache, u, p_: jax.lax.dynamic_update_slice(
+                cache, u.astype(cache.dtype), (0, p_, 0)))(
+                kv_cache["c"], ce[:, None], pos)
+        else:
+            cc = jax.lax.dynamic_update_slice(
+                kv_cache["c"], ce[:, None].astype(kv_cache["c"].dtype),
+                (0, 0, pos, 0))
         kv_cache = {"c": cc, "pos": pos + s}
         if not causal_prefill:
             wkv = _dense_weight(p["kv_b_proj"], nh * (dn + dv))
@@ -772,12 +778,20 @@ def mla_attention(
     elif kv_cache is not None:
         # materialized cache layout [B, heads, T, head_dim]
         pos = kv_cache["pos"]
-        kc = jax.lax.dynamic_update_slice(
-            kv_cache["k"], k.swapaxes(1, 2).astype(kv_cache["k"].dtype),
-            (0, 0, pos, 0))
-        vc = jax.lax.dynamic_update_slice(
-            kv_cache["v"], v.swapaxes(1, 2).astype(kv_cache["v"].dtype),
-            (0, 0, pos, 0))
+        if getattr(pos, "ndim", 0) == 1:
+            def _upd(cache, u, p_):
+                return jax.lax.dynamic_update_slice(
+                    cache, u.astype(cache.dtype), (0, p_, 0))
+
+            kc = jax.vmap(_upd)(kv_cache["k"], k.swapaxes(1, 2), pos)
+            vc = jax.vmap(_upd)(kv_cache["v"], v.swapaxes(1, 2), pos)
+        else:
+            kc = jax.lax.dynamic_update_slice(
+                kv_cache["k"], k.swapaxes(1, 2).astype(kv_cache["k"].dtype),
+                (0, 0, pos, 0))
+            vc = jax.lax.dynamic_update_slice(
+                kv_cache["v"], v.swapaxes(1, 2).astype(kv_cache["v"].dtype),
+                (0, 0, pos, 0))
         kv_cache = {"k": kc, "v": vc, "pos": pos + s}
         if not causal_prefill:
             k = kc.swapaxes(1, 2).astype(x.dtype)

@@ -52,7 +52,7 @@ def batched_decode_step(
     dtype=jnp.bfloat16,
 ) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
     """One decode token for every slot; returns ([B, V] logits, caches)."""
-    max_t = caches[0]["k"].shape[2]
+    max_t = gen._cache_len(caches)
     positions = pos[:, None]  # [B, 1]
     x = modules.embed(cfg, params, tokens, dtype, positions)
     ki = jnp.arange(max_t)[None, :]
@@ -94,7 +94,7 @@ def prefill_chunk(
     tail positions write cache rows that decode overwrites before they are
     ever unmasked)."""
     _, c = tokens.shape
-    max_t = row_caches[0]["k"].shape[2]
+    max_t = gen._cache_len(row_caches)
     positions = pos0 + jnp.arange(c)[None, :]
     x = modules.embed(cfg, params, tokens, dtype, positions)
     ki = jnp.arange(max_t)[None, :]
@@ -243,9 +243,9 @@ class BatchingEngine(SamplingSlots):
         steps, so running requests never stall behind a 100k-token arrival
         (the continuous-batching "chunked prefill" discipline). ``None``
         prefills each prompt whole at admission."""
-        if cfg.is_mla:
-            raise NotImplementedError(
-                "MLA caches need the latent layout; use serve.generate")
+        if cfg.is_mla and kv_quant:
+            raise NotImplementedError("int8 KV not supported for the MLA "
+                                      "latent cache")
         self.cfg, self.params = cfg, params
         self.max_batch, self.max_seq = max_batch, max_seq_len
         self.eos = eos_token_id

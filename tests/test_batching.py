@@ -198,3 +198,34 @@ def test_sampling_deterministic_per_seed(rng):
     assert run(3) == run(3)
     outs = {tuple(run(s)) for s in (3, 4, 5, 6)}
     assert len(outs) > 1  # different seeds explore different tokens
+
+
+def test_mla_batched_matches_solo(rng):
+    """DeepSeek-style MLA (latent cache) in the continuous-batching
+    engine: per-request streams match solo generation (absorbed
+    latent-cache decode with per-slot write offsets)."""
+    mla_cfg = ModelConfig(
+        model_type="deepseek_v2", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, max_position_embeddings=64,
+        q_lora_rank=32, kv_lora_rank=16, qk_rope_head_dim=8,
+        qk_nope_head_dim=16, v_head_dim=16)
+    params = init_random_params(mla_cfg, seed=7, scale=0.08)
+
+    def solo_mla(prompt, n):
+        out = gen.generate(mla_cfg, params, jnp.asarray(prompt[None]), n,
+                           method="jnp", dtype=jnp.float32, max_seq_len=48)
+        return list(np.asarray(out)[0][len(prompt):])
+
+    eng = BatchingEngine(mla_cfg, params, max_batch=2, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32)
+    prompts = {f"m{i}": rng.integers(0, 64, (l,))
+               for i, l in enumerate([5, 8, 4])}
+    budgets = {"m0": 6, "m1": 5, "m2": 7}
+    eng.add_request("m0", prompts["m0"], budgets["m0"])
+    eng.add_request("m1", prompts["m1"], budgets["m1"])
+    eng.step()
+    eng.add_request("m2", prompts["m2"], budgets["m2"])
+    results = eng.run()
+    for rid, toks in results.items():
+        assert toks == solo_mla(prompts[rid], budgets[rid]), rid
