@@ -130,12 +130,20 @@ class PagedBatchingEngine(SamplingSlots):
                  total_pages: int = 512, pages_per_seq: int = 32,
                  eos_token_id: Optional[int] = None, method: str = "auto",
                  dtype=jnp.bfloat16, seed: int = 0,
-                 prefix_cache: bool = True):
+                 prefix_cache: bool = True,
+                 prefill_chunk_size: Optional[int] = None):
         if cfg.is_mla:
             raise NotImplementedError("MLA uses the latent layout")
         if cfg.pos_embed == "alibi" or cfg.sliding_window:
             raise NotImplementedError(
                 "ALiBi / sliding-window models use serve.batching")
+        if prefill_chunk_size is not None \
+                and prefill_chunk_size % page_size:
+            # chunk boundaries must land on page boundaries so the scratch
+            # row (a page multiple) can never clamp a chunk write
+            raise ValueError(
+                f"prefill_chunk_size ({prefill_chunk_size}) must be a "
+                f"multiple of page_size ({page_size})")
         self.cfg, self.params = cfg, params
         self.max_batch, self.ps = max_batch, page_size
         self.pps = pages_per_seq
@@ -156,6 +164,8 @@ class PagedBatchingEngine(SamplingSlots):
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.queue: deque[Request] = deque()
         self.finished: List[Request] = []
+        self.chunk = prefill_chunk_size
+        self.inflight: Dict[int, Dict[str, Any]] = {}  # slot -> prefill st
         self._init_sampling(max_batch, cfg.vocab_size, seed)
         # ---- prefix cache (vLLM-style hash-chained full prompt pages).
         # chain hash h_i = hash(h_{i-1}, tokens of page i) -> page id; a
@@ -234,11 +244,13 @@ class PagedBatchingEngine(SamplingSlots):
 
     @property
     def has_work(self) -> bool:
-        return bool(self.queue) or any(s is not None for s in self.slots)
+        return (bool(self.queue) or bool(self.inflight)
+                or any(s is not None for s in self.slots))
 
     def _admit(self):
         for slot in range(self.max_batch):
-            if self.slots[slot] is not None or not self.queue:
+            if (self.slots[slot] is not None or slot in self.inflight
+                    or not self.queue):
                 continue
             req = self.queue[0]
             budget = len(req.prompt) + req.max_new_tokens + 1
@@ -278,15 +290,35 @@ class PagedBatchingEngine(SamplingSlots):
             self.table[slot] = 0
             self.table[slot, :need] = pages
 
-            # prefill the non-shared suffix against a contiguous row whose
-            # prefix KV is gathered from the shared pages, then scatter the
-            # new full pages back into the pool
+            if n_shared:
+                self.prefix_hits += 1
+                self.prefix_pages_reused += n_shared
+
+            if self.chunk is not None:
+                # chunked admission: reserve now, advance one chunk per
+                # engine step so running requests never stall behind a
+                # long arrival (same discipline as serve/batching.py).
+                # Row capacity rounds up to a chunk multiple so the final
+                # padded chunk write can never clamp.
+                t_row = max(-(-len(req.prompt) // self.chunk) * self.chunk,
+                            self.ps)
+                row = gen.init_kv_cache(self.cfg, 1, t_row, self.dtype)
+                if n_shared:
+                    row = _gather_pages(self.pages, row,
+                                        jnp.asarray(shared), n_shared)
+                self.inflight[slot] = {
+                    "req": req, "row": row, "done": n_shared * self.ps,
+                    "pages": pages, "chain": chain, "n_shared": n_shared,
+                }
+                continue
+
+            # whole-prompt admission: prefill the non-shared suffix
+            # against a contiguous row whose prefix KV is gathered from
+            # the shared pages
             n_prompt_pages = -(-len(req.prompt) // self.ps)
             t_row = n_prompt_pages * self.ps
             row = gen.init_kv_cache(self.cfg, 1, t_row, self.dtype)
             if n_shared:
-                self.prefix_hits += 1
-                self.prefix_pages_reused += n_shared
                 row = _gather_pages(self.pages, row, jnp.asarray(shared),
                                     n_shared)
                 suffix = req.prompt[n_shared * self.ps:]
@@ -305,32 +337,61 @@ class PagedBatchingEngine(SamplingSlots):
                 logits, row = gen.prefill(
                     self.cfg, self.params, jnp.asarray(req.prompt[None]),
                     row, self.method, self.dtype)
-            if n_prompt_pages > n_shared:
-                self.pages = _install_pages(
-                    self.pages, row,
-                    jnp.asarray(pages[n_shared:n_prompt_pages]),
-                    n_prompt_pages - n_shared, start_page=n_shared)
-            # register this prompt's full pages for future admissions,
-            # recording parent->child chain links so eviction can drop
-            # unreachable descendants
-            if self.prefix_enabled:
-                prev_h = None
-                for h, pid in zip(chain, pages):
-                    if h not in self.prefix_cache \
-                            and pid not in self.page_chain:
-                        self.prefix_cache[h] = pid
-                        self.page_chain[pid] = h
-                    if prev_h is not None:
-                        self.chain_next.setdefault(prev_h, set()).add(h)
-                    prev_h = h
+            self._finish_admission(slot, req, row, logits, pages, chain,
+                                   n_shared)
 
-            self._set_sampling(slot, req)
-            tok = self._sample_slot(slot, logits[:1])
-            req.output.append(tok)
-            self.slots[slot] = req
-            self.pos[slot] = len(req.prompt)
-            self.last_token[slot] = tok
-            self._retire_if_done(slot)
+    def _advance_prefill(self):
+        """One chunk for every in-flight admission (padded to chunk size
+        so jit sees one shape; padded tail rows are dead)."""
+        for slot, st in list(self.inflight.items()):
+            req, c = st["req"], self.chunk
+            lo = st["done"]
+            chunk = req.prompt[lo : lo + c]
+            real = len(chunk)
+            if real < c:
+                chunk = np.pad(chunk, (0, c - real))
+            logits, st["row"] = prefill_chunk(
+                self.cfg, self.params, jnp.asarray(chunk[None]), st["row"],
+                jnp.int32(lo), self.method, self.dtype)
+            st["done"] += real
+            if st["done"] >= len(req.prompt):
+                del self.inflight[slot]
+                self._finish_admission(
+                    slot, req, st["row"], logits[:, real - 1], st["pages"],
+                    st["chain"], st["n_shared"])
+
+    def _finish_admission(self, slot: int, req: Request, row, logits,
+                          pages: List[int], chain: List[int],
+                          n_shared: int):
+        """Scatter the freshly prefilled prompt pages into the pool,
+        register the prefix chain, and activate the slot."""
+        n_prompt_pages = -(-len(req.prompt) // self.ps)
+        if n_prompt_pages > n_shared:
+            self.pages = _install_pages(
+                self.pages, row,
+                jnp.asarray(pages[n_shared:n_prompt_pages]),
+                n_prompt_pages - n_shared, start_page=n_shared)
+        # register this prompt's full pages for future admissions,
+        # recording parent->child chain links so eviction can drop
+        # unreachable descendants
+        if self.prefix_enabled:
+            prev_h = None
+            for h, pid in zip(chain, pages):
+                if h not in self.prefix_cache \
+                        and pid not in self.page_chain:
+                    self.prefix_cache[h] = pid
+                    self.page_chain[pid] = h
+                if prev_h is not None:
+                    self.chain_next.setdefault(prev_h, set()).add(h)
+                prev_h = h
+
+        self._set_sampling(slot, req)
+        tok = self._sample_slot(slot, logits[:1])
+        req.output.append(tok)
+        self.slots[slot] = req
+        self.pos[slot] = len(req.prompt)
+        self.last_token[slot] = tok
+        self._retire_if_done(slot)
 
     def _retire_if_done(self, slot: int):
         req = self.slots[slot]
@@ -354,8 +415,11 @@ class PagedBatchingEngine(SamplingSlots):
 
     # ------------------------------------------------------------- steps
     def step(self) -> List[Tuple[Any, int]]:
-        """Admit, then one decode token for every active slot."""
+        """Admit, advance in-flight chunked prefills, then one decode
+        token for every active slot."""
         self._admit()
+        if self.inflight:
+            self._advance_prefill()
         active = [i for i, s in enumerate(self.slots) if s is not None]
         if not active:
             return []

@@ -205,3 +205,45 @@ def test_prefix_cache_eviction_never_frees_matched_pages(rng):
     assert res["b"] == out_a == solo(prompt, 6)
     assert res["c"] == solo(other, 9)
     assert eng.prefix_hits == 1  # b actually reused a's page
+
+
+def test_paged_chunked_prefill_matches_whole(rng):
+    """Chunked paged admission (prefill advanced one chunk per engine
+    step) yields identical streams to whole-prompt admission, including
+    with a prefix-cache hit mid-chunking."""
+    import jax.numpy as jnp
+
+    params = init_random_params(CFG, seed=4, scale=0.08)
+    long_prompt = rng.integers(0, CFG.vocab_size, (21,))
+    short = rng.integers(0, CFG.vocab_size, (4,))
+
+    def run(chunk):
+        eng = PagedBatchingEngine(CFG, params, max_batch=2, page_size=8,
+                                  total_pages=32, pages_per_seq=5,
+                                  method="jnp", dtype=jnp.float32,
+                                  prefill_chunk_size=chunk)
+        eng.add_request("long", long_prompt, 6)
+        eng.add_request("short", short, 8)
+        res = eng.run()
+        # repeat the long prompt: prefix hit path under chunking too
+        eng.add_request("again", long_prompt, 6)
+        res.update(eng.run())
+        return res, eng.prefix_hits
+
+    whole, _ = run(None)
+    chunked, hits = run(8)
+    assert chunked == whole
+    assert hits == 1  # the repeat reused cached pages
+    assert chunked["long"] == chunked["again"]
+
+
+def test_paged_chunk_must_divide_page():
+    import jax.numpy as jnp
+
+    params = init_random_params(CFG, seed=4, scale=0.08)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of page_size"):
+        PagedBatchingEngine(CFG, params, page_size=8,
+                            prefill_chunk_size=12, method="jnp",
+                            dtype=jnp.float32)
