@@ -127,7 +127,21 @@ class AwqCausalLM:
                  eos_token_id: Optional[int] = None,
                  dtype=jnp.float32, method: str = "auto",
                  kv_quant: bool = False,
+                 num_beams: int = 1, length_penalty: float = 1.0,
+                 early_stopping=False,
                  stream_callback=None) -> np.ndarray:
+        if num_beams > 1:
+            # HF-semantics-exact beam search (serve/beam.py) — the
+            # reference inherits this surface from GenerationMixin
+            from autoawq_tpu.serve.beam import generate_beam
+
+            out, _ = generate_beam(
+                self.cfg, self.params, jnp.asarray(input_ids),
+                max_new_tokens, num_beams=num_beams,
+                length_penalty=length_penalty,
+                early_stopping=early_stopping, eos_token_id=eos_token_id,
+                method=method, dtype=dtype)
+            return np.asarray(out)
         out = gen.generate(
             self.cfg, self.params, jnp.asarray(input_ids), max_new_tokens,
             temperature=temperature, seed=seed, eos_token_id=eos_token_id,
