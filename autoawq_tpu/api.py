@@ -133,6 +133,14 @@ class AwqCausalLM:
         if num_beams > 1:
             # HF-semantics-exact beam search (serve/beam.py) — the
             # reference inherits this surface from GenerationMixin
+            if temperature and temperature > 0.0:
+                raise NotImplementedError(
+                    "beam-sample is not implemented: num_beams > 1 runs "
+                    "deterministic beam search (set temperature=0)")
+            if kv_quant or stream_callback is not None:
+                raise NotImplementedError(
+                    "num_beams > 1 does not support kv_quant or "
+                    "stream_callback")
             from autoawq_tpu.serve.beam import generate_beam
 
             out, _ = generate_beam(

@@ -106,24 +106,29 @@ def fuse_model(cfg: ModelConfig, params: Dict[str, Any],
     return params
 
 
-def _slice_cols_quant(lin: Dict[str, Any], n: int, lo: int,
-                      hi: int) -> Dict[str, Any]:
-    """Unpack a quant LIN and keep logical output columns [lo, hi)."""
-    out = {
-        "qweight": packing.unpack_planar(
-            np.asarray(lin["qweight"]), n)[:, lo:hi],
-        "scales": np.asarray(lin["scales"])[:, lo:hi],
-    }
+def _unpack_lin(lin: Dict[str, Any], n: int) -> Dict[str, Any]:
+    """Unpack a quant LIN to its logical integer grid ONCE (per-chip
+    slicing then costs nothing — unpacking inside the tp loop would
+    multiply host-side shard() time by tp)."""
     g = np.asarray(lin["scales"]).shape[0]
-    out["qzeros"] = (
-        packing.unpack_planar(np.asarray(lin["qzeros"]), n,
-                              rows=g)[:, lo:hi]
-        if "qzeros" in lin else np.full((g, hi - lo), 8, np.int32))
-    if lin.get("bias") is not None:
-        out["bias"] = np.asarray(lin["bias"])[lo:hi]
-    else:
-        out["bias"] = None
-    return out
+    return {
+        "qweight": packing.unpack_planar(np.asarray(lin["qweight"]), n),
+        "scales": np.asarray(lin["scales"])[:, :n],
+        "qzeros": (packing.unpack_planar(np.asarray(lin["qzeros"]), n,
+                                         rows=g)
+                   if "qzeros" in lin else np.full((g, n), 8, np.int32)),
+        "bias": (np.asarray(lin["bias"])
+                 if lin.get("bias") is not None else None),
+    }
+
+
+def _slice_cols(u: Dict[str, Any], lo: int, hi: int) -> Dict[str, Any]:
+    return {
+        "qweight": u["qweight"][:, lo:hi],
+        "scales": u["scales"][:, lo:hi],
+        "qzeros": u["qzeros"][:, lo:hi],
+        "bias": None if u["bias"] is None else u["bias"][lo:hi],
+    }
 
 
 def tp_stack_qkv(cfg: ModelConfig, params: Dict[str, Any],
@@ -154,11 +159,20 @@ def tp_stack_qkv(cfg: ModelConfig, params: Dict[str, Any],
                 or "qweight" not in attn["q_proj"]:
             continue
         q, k, v = attn["q_proj"], attn["k_proj"], attn["v_proj"]
+        if any("lora_a" in lin for lin in (q, k, v)):
+            # the stack is built from base weights only; baking it would
+            # silently DROP the adapters on the TP fused path. Skip —
+            # decode falls back to the per-linear sharded kernels, where
+            # LoRA applies (same policy as _fuse / fused_attn_step).
+            continue
+        uq = _unpack_lin(q, nh * hd)
+        uk = _unpack_lin(k, nkv * hd)
+        uv = _unpack_lin(v, nkv * hd)
         chips = []
         for i in range(tp):
-            sq = _slice_cols_quant(q, nh * hd, i * pq, (i + 1) * pq)
-            sk = _slice_cols_quant(k, nkv * hd, i * pk, (i + 1) * pk)
-            sv = _slice_cols_quant(v, nkv * hd, i * pk, (i + 1) * pk)
+            sq = _slice_cols(uq, i * pq, (i + 1) * pq)
+            sk = _slice_cols(uk, i * pk, (i + 1) * pk)
+            sv = _slice_cols(uv, i * pk, (i + 1) * pk)
             grid = np.concatenate(
                 [sq["qweight"], sk["qweight"], sv["qweight"]], axis=1)
             sc = np.concatenate(

@@ -116,6 +116,27 @@ def prefill_chunk(
     return logits, new_caches
 
 
+def advance_one_chunk(cfg, params, st, chunk_size: int, method, dtype):
+    """Advance one in-flight chunked admission by one (padded) chunk.
+    ``st`` is the engine's inflight dict ({"req", "row", "done"}); returns
+    the tail [1, V] logits when the prompt completed, else None. Shared by
+    the contiguous and paged engines so the pad/clamp discipline lives in
+    ONE place."""
+    req = st["req"]
+    lo = st["done"]
+    chunk = req.prompt[lo : lo + chunk_size]
+    real = len(chunk)
+    if real < chunk_size:
+        chunk = np.pad(chunk, (0, chunk_size - real))
+    logits, st["row"] = prefill_chunk(
+        cfg, params, jnp.asarray(chunk[None]), st["row"], jnp.int32(lo),
+        method, dtype)
+    st["done"] += real
+    if st["done"] >= len(req.prompt):
+        return logits[:, real - 1]
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("slot",), donate_argnums=(0,))
 def _install_slot(caches, row_caches, slot: int):
     """Copy a single-request prefill cache row into pool slot ``slot``."""
@@ -323,19 +344,11 @@ class BatchingEngine(SamplingSlots):
         """One chunk for every in-flight admission (padded to chunk size so
         jit sees one shape; padded tail rows are dead — see prefill_chunk)."""
         for slot, st in list(self.inflight.items()):
-            req, c = st["req"], self.chunk
-            lo = st["done"]
-            chunk = req.prompt[lo : lo + c]
-            real = len(chunk)
-            if real < c:
-                chunk = np.pad(chunk, (0, c - real))
-            logits, st["row"] = prefill_chunk(
-                self.cfg, self.params, jnp.asarray(chunk[None]), st["row"],
-                jnp.int32(lo), self.method, self.dtype)
-            st["done"] += real
-            if st["done"] >= len(req.prompt):
+            tail = advance_one_chunk(self.cfg, self.params, st, self.chunk,
+                                     self.method, self.dtype)
+            if tail is not None:
                 del self.inflight[slot]
-                self._activate(slot, req, st["row"], logits[:, real - 1])
+                self._activate(slot, st["req"], st["row"], tail)
 
     def _retire_if_done(self, slot: int):
         req = self.slots[slot]

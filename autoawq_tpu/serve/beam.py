@@ -107,6 +107,9 @@ def generate_beam(
     exactly as transformers pads it — and its sequence score)."""
     if prompt.shape[0] != 1:
         raise NotImplementedError("beam search serves one prompt at a time")
+    if max_new_tokens < 1:
+        raise ValueError("max_new_tokens must be >= 1 (a zero-length "
+                         "generation has no hypothesis to score)")
     s = prompt.shape[1]
     w = num_beams
     total = max_seq_len or (s + max_new_tokens)

@@ -48,7 +48,7 @@ from autoawq_tpu.models.config import ModelConfig
 from autoawq_tpu.nn import modules
 from autoawq_tpu.serve import generate as gen
 from autoawq_tpu.serve.batching import (Request, SamplingSlots,
-                                         prefill_chunk)
+                                         advance_one_chunk, prefill_chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "method", "dtype"),
@@ -287,8 +287,12 @@ class PagedBatchingEngine(SamplingSlots):
             for pid in fresh:
                 self.page_ref[pid] += 1
             self.owned[slot] = pages
+            # the table stays at the trash page until the slot ACTIVATES
+            # (_finish_admission): the pool decode step writes every
+            # slot's K/V at table[slot, pos//ps] each step, and an
+            # inflight slot (pos=0) would trash offset 0 of pages[0] —
+            # which can be a SHARED prefix page other live requests read
             self.table[slot] = 0
-            self.table[slot, :need] = pages
 
             if n_shared:
                 self.prefix_hits += 1
@@ -298,10 +302,15 @@ class PagedBatchingEngine(SamplingSlots):
                 # chunked admission: reserve now, advance one chunk per
                 # engine step so running requests never stall behind a
                 # long arrival (same discipline as serve/batching.py).
-                # Row capacity rounds up to a chunk multiple so the final
-                # padded chunk write can never clamp.
-                t_row = max(-(-len(req.prompt) // self.chunk) * self.chunk,
-                            self.ps)
+                # Chunking starts at the shared-prefix boundary
+                # (n_shared*ps — a page multiple but NOT necessarily a
+                # chunk multiple), so round the row capacity up from the
+                # LAST chunk's end or the final padded write would clamp
+                # and overwrite valid KV.
+                lo0 = n_shared * self.ps
+                suffix_len = len(req.prompt) - lo0
+                t_row = lo0 + max(
+                    -(-suffix_len // self.chunk) * self.chunk, self.ps)
                 row = gen.init_kv_cache(self.cfg, 1, t_row, self.dtype)
                 if n_shared:
                     row = _gather_pages(self.pages, row,
@@ -344,27 +353,22 @@ class PagedBatchingEngine(SamplingSlots):
         """One chunk for every in-flight admission (padded to chunk size
         so jit sees one shape; padded tail rows are dead)."""
         for slot, st in list(self.inflight.items()):
-            req, c = st["req"], self.chunk
-            lo = st["done"]
-            chunk = req.prompt[lo : lo + c]
-            real = len(chunk)
-            if real < c:
-                chunk = np.pad(chunk, (0, c - real))
-            logits, st["row"] = prefill_chunk(
-                self.cfg, self.params, jnp.asarray(chunk[None]), st["row"],
-                jnp.int32(lo), self.method, self.dtype)
-            st["done"] += real
-            if st["done"] >= len(req.prompt):
+            tail = advance_one_chunk(self.cfg, self.params, st, self.chunk,
+                                     self.method, self.dtype)
+            if tail is not None:
                 del self.inflight[slot]
                 self._finish_admission(
-                    slot, req, st["row"], logits[:, real - 1], st["pages"],
+                    slot, st["req"], st["row"], tail, st["pages"],
                     st["chain"], st["n_shared"])
 
     def _finish_admission(self, slot: int, req: Request, row, logits,
                           pages: List[int], chain: List[int],
                           n_shared: int):
         """Scatter the freshly prefilled prompt pages into the pool,
-        register the prefix chain, and activate the slot."""
+        register the prefix chain, and activate the slot (the page table
+        only points at real pages from here — see _admit)."""
+        self.table[slot] = 0
+        self.table[slot, : len(pages)] = pages
         n_prompt_pages = -(-len(req.prompt) // self.ps)
         if n_prompt_pages > n_shared:
             self.pages = _install_pages(

@@ -39,6 +39,7 @@ class _Pending:
         self.stream = stream
         self.tokens: "Queue[Optional[int]]" = Queue()  # None = finished
         self.sent = 0  # prefix of req.output already pushed
+        self.error: Optional[str] = None
         self.done = threading.Event()
 
 
@@ -71,16 +72,33 @@ class EngineServer:
                 with self._lock:
                     rid = self._next_id
                     self._next_id += 1
-                    self._live[rid] = p
-                self.engine.add_request(
-                    rid, np.asarray(p.prompt_ids), p.max_tokens,
-                    temperature=p.temperature, top_k=p.top_k, top_p=p.top_p)
+                try:
+                    self.engine.add_request(
+                        rid, np.asarray(p.prompt_ids), p.max_tokens,
+                        temperature=p.temperature, top_k=p.top_k,
+                        top_p=p.top_p)
+                except (ValueError, NotImplementedError) as e:
+                    # reject THIS request; the engine thread must survive
+                    # (an unhandled raise here bricks every other client)
+                    p.error = str(e)
+                    p.tokens.put(None)
+                    p.done.set()
+                    continue
+                self._live[rid] = p
                 admitted = True
             if not (admitted or self.engine.has_work):
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
-            self.engine.step()
+            try:
+                self.engine.step()
+            except Exception as e:  # fail loudly but keep serving
+                for live in self._live.values():
+                    live.error = f"engine step failed: {e}"
+                    live.tokens.put(None)
+                    live.done.set()
+                self._live.clear()
+                continue
             # route tokens by OUTPUT GROWTH, not step()'s return — the
             # first token of every request is appended at admission
             # (prefill logits) and never passes through step()
@@ -141,11 +159,14 @@ class EngineServer:
                 try:
                     req = json.loads(self.rfile.read(n) or b"{}")
                     prompt = req["prompt"]
-                    ids = (server.tok.encode(prompt)
-                           if isinstance(prompt, str) else list(prompt))
-                    if isinstance(prompt, str) and server.tok is None:
-                        raise ValueError("no tokenizer: send token ids")
-                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    if isinstance(prompt, str):
+                        if server.tok is None:
+                            raise ValueError("no tokenizer: send token ids")
+                        ids = server.tok.encode(prompt)
+                    else:
+                        ids = [int(t) for t in prompt]
+                except (KeyError, ValueError, TypeError,
+                        json.JSONDecodeError) as e:
                     return self._json(400, {"error": str(e)})
                 p = _Pending(
                     ids, int(req.get("max_tokens", 16)),
@@ -156,6 +177,8 @@ class EngineServer:
                 if p.stream:
                     return self._stream(p)
                 p.done.wait()
+                if p.error is not None:
+                    return self._json(400, {"error": p.error})
                 out: List[int] = []
                 while True:
                     t = p.tokens.get()

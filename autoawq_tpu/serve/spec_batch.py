@@ -140,8 +140,18 @@ class SpeculativeBatchingEngine(BatchingEngine):
         k = self.k
         # capacity guard: a full round needs k+1 cache rows past pos
         if int(self.pos[active].max()) + k + 2 >= self.max_seq:
-            # fall back to plain single-token pool decode near the end
-            return super().step()
+            # fall back to plain single-token pool decode near the end —
+            # and MIRROR the consumed token into the draft cache, or the
+            # draft stream desyncs for every slot and acceptance collapses
+            # to ~0 once speculative rounds resume
+            tok0 = self.last_token.copy()
+            pos0 = self.dpos.copy()
+            emitted = super().step()
+            _, self.dcaches = batched_decode_step(
+                self.dcfg, self.dparams, jnp.asarray(tok0[:, None]),
+                self.dcaches, jnp.asarray(pos0), self.method, self.dtype)
+            self.dpos = self.pos.copy()
+            return emitted
 
         # ---- draft: k proposals per slot + one catch-up step (the last
         # proposal's own row, so a fully-accepted round leaves no hole —

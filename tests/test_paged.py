@@ -247,3 +247,75 @@ def test_paged_chunk_must_divide_page():
         PagedBatchingEngine(CFG, params, page_size=8,
                             prefill_chunk_size=12, method="jnp",
                             dtype=jnp.float32)
+
+
+def test_inflight_chunked_admission_never_corrupts_shared_pages(rng):
+    """Regression: while a chunked admission is in flight, the pool decode
+    step (running for OTHER active slots) must not write into the inflight
+    slot's reserved/shared pages — the table points at trash until
+    activation. Under the bug, the concurrent decode trashed offset 0 of
+    the SHARED prefix page every step."""
+    import jax.numpy as jnp
+
+    params = init_random_params(CFG, seed=3, scale=0.08)
+    base = rng.integers(0, CFG.vocab_size, (16,))
+    long_b = np.concatenate([base, rng.integers(0, CFG.vocab_size, (24,))])
+    other = rng.integers(0, CFG.vocab_size, (5,))
+
+    def solo(p, n):
+        e = PagedBatchingEngine(CFG, params, max_batch=1, page_size=8,
+                                total_pages=64, pages_per_seq=8,
+                                method="jnp", dtype=jnp.float32,
+                                prefix_cache=False)
+        e.add_request("s", p, n)
+        return e.run()["s"]
+
+    eng = PagedBatchingEngine(CFG, params, max_batch=2, page_size=8,
+                              total_pages=64, pages_per_seq=8,
+                              method="jnp", dtype=jnp.float32,
+                              prefill_chunk_size=8)
+    eng.add_request("a", base, 4)
+    out_a = eng.run()["a"]        # registers base's prefix page(s)
+    eng.add_request("c", other, 20)   # keeps decoding while b admits
+    eng.step(); eng.step()
+    eng.add_request("b", long_b, 5)   # prefix hit + 4 inflight chunks
+    res = eng.run()
+    assert eng.prefix_hits == 1
+    assert res["b"] == solo(long_b, 5)
+    assert res["c"] == solo(other, 20)
+    # and the shared page survived for future hits
+    eng.add_request("d", base, 4)
+    assert eng.run()["d"] == out_a == solo(base, 4)
+    assert eng.prefix_hits >= 2
+
+
+def test_chunked_prefix_hit_unaligned_chunk_no_clamp(rng):
+    """Regression: chunking starts at the shared-prefix boundary (a page
+    multiple, not necessarily a chunk multiple); the scratch row must be
+    sized from the LAST chunk's end or the final padded write clamps and
+    overwrites valid KV."""
+    import jax.numpy as jnp
+
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    base = rng.integers(0, CFG.vocab_size, (16,))
+    long_b = np.concatenate([base[:8], rng.integers(0, CFG.vocab_size,
+                                                    (23,))])  # len 31
+
+    def solo(p, n):
+        e = PagedBatchingEngine(CFG, params, max_batch=1, page_size=8,
+                                total_pages=64, pages_per_seq=8,
+                                method="jnp", dtype=jnp.float32,
+                                prefix_cache=False)
+        e.add_request("s", p, n)
+        return e.run()["s"]
+
+    eng = PagedBatchingEngine(CFG, params, max_batch=2, page_size=8,
+                              total_pages=64, pages_per_seq=8,
+                              method="jnp", dtype=jnp.float32,
+                              prefill_chunk_size=16)
+    eng.add_request("a", base, 4)   # caches base's first page
+    eng.run()
+    eng.add_request("b", long_b, 6)  # shared=1 page, suffix 23, chunk 16
+    res = eng.run()
+    assert eng.prefix_hits == 1
+    assert res["b"] == solo(long_b, 6)

@@ -90,3 +90,41 @@ def test_http_completions_roundtrip(rng):
 
 
 import urllib.error  # noqa: E402  (used in the 400 check above)
+
+
+def test_bad_request_does_not_brick_the_engine_thread(rng):
+    """Regression: an oversized request raises inside the engine thread;
+    the request must fail with a 400-style error and the NEXT request must
+    still be served (the thread survives)."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=32,
+                         method="jnp", dtype=jnp.float32)
+    from autoawq_tpu.serve.server import start_server as _start
+
+    es, httpd = _start(eng, tokenizer=None)
+    port = httpd.server_address[1]
+    try:
+        # prompt longer than max_seq_len -> engine.add_request raises
+        too_long = [int(t) for t in rng.integers(0, 64, (40,))]
+        try:
+            _post(port, {"prompt": too_long, "max_tokens": 4})
+            raise AssertionError("oversized prompt was accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "max_seq_len" in json.loads(e.read())["error"]
+        ok = [int(t) for t in rng.integers(0, 64, (5,))]
+        status, body = _post(port, {"prompt": ok, "max_tokens": 4})
+        assert status == 200
+        assert json.loads(body)["usage"]["completion_tokens"] == 4
+        # string prompt without tokenizer -> clean 400, not a 500
+        try:
+            _post(port, {"prompt": "hello", "max_tokens": 2})
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = True
+            assert e.code == 400
+            assert "tokenizer" in json.loads(e.read())["error"]
+        assert raised
+    finally:
+        httpd.shutdown()
+        es.shutdown()

@@ -83,3 +83,23 @@ def test_spec_pool_rejects_sampling(rng):
         method="jnp", dtype=jnp.float32)
     with pytest.raises(NotImplementedError, match="greedy"):
         eng.add_request("s", rng.integers(0, 64, (4,)), 4, temperature=0.7)
+
+
+def test_fallback_rounds_keep_draft_cache_aligned(rng):
+    """Regression: single-token fallback rounds (near cache capacity) must
+    mirror the consumed token into the draft cache; otherwise the draft
+    stream desyncs and self-draft acceptance collapses once speculative
+    rounds resume."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    work = [("big", rng.integers(0, 64, (5,)), 20),
+            ("small", rng.integers(0, 64, (4,)), 30)]
+    eng = SpeculativeBatchingEngine(
+        CFG, params, CFG, params, k=3, max_batch=2, max_seq_len=36,
+        method="jnp", dtype=jnp.float32)
+    for rid, prompt, n in work:
+        eng.add_request(rid, prompt, n)
+    got = eng.run()
+    assert got == _plain(params, work, max_seq=36)
+    # self-draft: every speculative proposal (incl. post-fallback rounds)
+    # must have been accepted
+    assert eng.proposed > 0 and eng.accept_rate == 1.0

@@ -157,3 +157,17 @@ def test_api_shard_builds_tp_stack(monkeypatch):
             CFG, model.params, prompt, 12, method="auto",
             dtype=jnp.float32))
     np.testing.assert_array_equal(ref, got)
+
+
+def test_tp_stack_skips_lora_layers(rng):
+    """Regression: the stack is built from base weights only; with LoRA
+    adapters present it must NOT be built (decode falls back to the
+    per-linear sharded kernels where the adapters apply)."""
+    from autoawq_tpu.train import lora as lora_mod
+
+    params = random_quantized_params(CFG, seed=0, group_size=64,
+                                     fp_dtype=jnp.float32)
+    params = lora_mod.add_lora(CFG, params, rank=2, dtype=jnp.float32)
+    out = fuse_mod.tp_stack_qkv(CFG, params, 2)
+    for lp in out["layers"]:
+        assert "qkv_proj_tp" not in lp["self_attn"]
