@@ -171,3 +171,32 @@ def test_tp_stack_skips_lora_layers(rng):
     out = fuse_mod.tp_stack_qkv(CFG, params, 2)
     for lp in out["layers"]:
         assert "qkv_proj_tp" not in lp["self_attn"]
+
+
+def test_batching_engine_over_tp_sharded_params(rng, monkeypatch):
+    """TP serving through the continuous-batching engine: the pool runs
+    over Megatron-sharded params (per-linear sharded kernels at vector-pos
+    decode; TP fused attention at admission prefill) and streams bit-match
+    the unsharded engine."""
+    if jax.device_count() < 4:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    from autoawq_tpu.serve.batching import BatchingEngine
+
+    monkeypatch.setenv("AWQ_TPU_FUSED_ATTN", "force")
+    params = _params(tp=2)
+    work = [(i, rng.integers(0, CFG.vocab_size, (4 + i,)), 6)
+            for i in range(3)]
+
+    def run(p, method):
+        eng = BatchingEngine(CFG, p, max_batch=2, max_seq_len=64,
+                             method=method, dtype=jnp.float32)
+        for rid, pr, n in work:
+            eng.add_request(rid, pr, n)
+        return eng.run()
+
+    ref = run(params, "jnp")
+    mesh = build_mesh(tensor=2, data=jax.device_count() // 2)
+    with mesh:
+        sharded = shard_params(params, mesh, dtype=jnp.float32)
+        got = run(sharded, "auto")
+    assert got == ref
