@@ -185,6 +185,42 @@ def main():
             pallas_gemm.awq_matmul_pallas.clear_cache()
         _flush()
     pallas_gemm.WS_MIN_M = 1024
+
+    # 6. serving-engine A/B: slot pool vs paged pool, 8 concurrent
+    # requests on the tinyllama shape (paged pays a block-table gather;
+    # measure the tax/win at bs8 decode)
+    from autoawq_tpu.serve.batching import BatchingEngine
+    from autoawq_tpu.serve.paged import PagedBatchingEngine
+
+    def engine_tok_s(make):
+        rng = np.random.default_rng(0)
+        eng = make()
+        for i in range(8):
+            eng.add_request(i, rng.integers(0, 32000, (64,)), 128)
+        # admit + warm the compiled step
+        for _ in range(3):
+            eng.step()
+        n0 = sum(len(r.output) for r in eng.slots if r is not None)
+        t0 = time.perf_counter()
+        steps = 0
+        while eng.has_work and steps < 100:
+            eng.step()
+            steps += 1
+        dt = time.perf_counter() - t0
+        n1 = (sum(len(r.output) for r in eng.slots if r is not None)
+              + sum(len(r.output) for r in eng.finished))
+        return (n1 - n0) / dt
+
+    r = engine_tok_s(lambda: BatchingEngine(
+        tiny, tparams, max_batch=8, max_seq_len=256))
+    RESULTS["engine_slot_bs8"] = round(r, 1)
+    print(f"slot engine bs8: {r:.1f} tok/s", flush=True)
+    r = engine_tok_s(lambda: PagedBatchingEngine(
+        tiny, tparams, max_batch=8, page_size=32, total_pages=128,
+        pages_per_seq=8))
+    RESULTS["engine_paged_bs8"] = round(r, 1)
+    print(f"paged engine bs8: {r:.1f} tok/s", flush=True)
+    _flush()
     print(json.dumps(RESULTS, indent=1))
 
 
