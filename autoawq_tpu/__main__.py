@@ -30,6 +30,8 @@ def cmd_quantize(args):
         max_calib_seq_len=args.max_calib_seq_len,
         apply_clip=not args.no_clip,
         duo_scaling=not args.no_duo_scaling,
+        quantize_lm_head=args.quantize_lm_head,
+        export_compatible=args.export_compatible,
     )
     model.save_quantized(args.out)
     tokenizer.save_pretrained(args.out)
@@ -48,7 +50,8 @@ def cmd_generate(args):
     ).to_device()
     ids = np.asarray([tokenizer(args.prompt)["input_ids"]])
     out = model.generate(ids, max_new_tokens=args.max_new_tokens,
-                         temperature=args.temperature,
+                         temperature=args.temperature, top_k=args.top_k,
+                         top_p=args.top_p, num_beams=args.num_beams,
                          eos_token_id=tokenizer.eos_token_id)
     print(tokenizer.decode(out[0]))
 
@@ -115,6 +118,10 @@ def main(argv=None):
     q.add_argument("--no-duo-scaling", action="store_true")
     q.add_argument("--max-calib-samples", type=int, default=128)
     q.add_argument("--max-calib-seq-len", type=int, default=512)
+    q.add_argument("--quantize-lm-head", action="store_true",
+                   help="opt-in clip-searched int4 lm_head")
+    q.add_argument("--export-compatible", action="store_true",
+                   help="leave scaled fp weights (required for w_bit != 4)")
     q.set_defaults(fn=cmd_quantize)
 
     g = sub.add_parser("generate")
@@ -122,6 +129,9 @@ def main(argv=None):
     g.add_argument("--prompt", default="The meaning of life is")
     g.add_argument("--max-new-tokens", type=int, default=64)
     g.add_argument("--temperature", type=float, default=0.0)
+    g.add_argument("--top-k", type=int, default=None)
+    g.add_argument("--top-p", type=float, default=None)
+    g.add_argument("--num-beams", type=int, default=1)
     g.add_argument("--no-fuse", action="store_true")
     g.set_defaults(fn=cmd_generate)
 

@@ -123,7 +123,9 @@ class AwqCausalLM:
                                method=method)
 
     def generate(self, input_ids, max_new_tokens: int = 64,
-                 temperature: float = 0.0, seed: int = 0,
+                 temperature: float = 0.0, top_k: Optional[int] = None,
+                 top_p: Optional[float] = None,
+                 repetition_penalty: float = 1.0, seed: int = 0,
                  eos_token_id: Optional[int] = None,
                  dtype=jnp.float32, method: str = "auto",
                  kv_quant: bool = False,
@@ -152,9 +154,10 @@ class AwqCausalLM:
             return np.asarray(out)
         out = gen.generate(
             self.cfg, self.params, jnp.asarray(input_ids), max_new_tokens,
-            temperature=temperature, seed=seed, eos_token_id=eos_token_id,
-            dtype=dtype, method=method, kv_quant=kv_quant,
-            stream_callback=stream_callback,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty, seed=seed,
+            eos_token_id=eos_token_id, dtype=dtype, method=method,
+            kv_quant=kv_quant, stream_callback=stream_callback,
         )
         return np.asarray(out)
 
