@@ -270,6 +270,9 @@ class PagedBatchingEngine(SamplingSlots):
                     pid = self.prefix_cache.get(h)
                     if pid is None:
                         break
+                    # refresh recency: eviction walks insertion order, so
+                    # a hit re-inserts at the end (true LRU, not FIFO)
+                    self.prefix_cache[h] = self.prefix_cache.pop(h)
                     shared.append(pid)
             n_shared = len(shared)
             # pin the matched pages FIRST: eviction must never free a page
