@@ -303,6 +303,38 @@ class BatchingEngine(SamplingSlots):
         self.queue.append(Request(req_id, prompt, max_new_tokens,
                                   temperature, top_k, top_p))
 
+    def cancel(self, req_id) -> bool:
+        """Abort a request wherever it lives: queued (dropped), in chunked
+        prefill (slot + scratch released), or active (slot freed, cache
+        rows left stale — masked by pos, overwritten on reuse). Returns
+        whether anything was cancelled; the request does NOT join
+        ``finished``."""
+        for i, req in enumerate(self.queue):
+            if req.id == req_id:
+                del self.queue[i]
+                return True
+        for slot, st in list(self.inflight.items()):
+            if st["req"].id == req_id:
+                del self.inflight[slot]
+                return True
+        for slot, req in enumerate(self.slots):
+            if req is not None and req.id == req_id:
+                self.slots[slot] = None
+                self.pos[slot] = 0
+                self._clear_sampling(slot)
+                return True
+        return False
+
+    def stats(self) -> Dict[str, Any]:
+        """Operational snapshot (the HTTP /metrics payload)."""
+        return {
+            "slots_busy": sum(s is not None for s in self.slots),
+            "slots_total": self.max_batch,
+            "queued": len(self.queue),
+            "prefilling": len(self.inflight),
+            "finished": len(self.finished),
+        }
+
     @property
     def has_work(self) -> bool:
         return (bool(self.queue) or bool(self.inflight)

@@ -400,6 +400,56 @@ class PagedBatchingEngine(SamplingSlots):
         self.last_token[slot] = tok
         self._retire_if_done(slot)
 
+    def _release_pages(self, pages: List[int]) -> None:
+        """Drop one reference per page; uncached pages at refcount 0
+        return to the free pool (cached ones stay resident for future
+        prefix hits until eviction)."""
+        for pid in reversed(pages):
+            self.page_ref[pid] -= 1
+            if self.page_ref[pid] == 0 and pid not in self.page_chain:
+                self.free.append(pid)
+
+    def _free_slot(self, slot: int) -> None:
+        self._release_pages(self.owned[slot])
+        self.owned[slot] = []
+        self.table[slot] = 0  # trash page: decode writes go nowhere
+        self.pos[slot] = 0
+        self._clear_sampling(slot)
+
+    def cancel(self, req_id) -> bool:
+        """Abort a request: queued (dropped), prefilling (slot + pinned
+        pages released), or active (slot freed, pages released; cached
+        prompt pages stay in the prefix cache). Returns whether anything
+        was cancelled."""
+        for i, req in enumerate(self.queue):
+            if req.id == req_id:
+                del self.queue[i]
+                return True
+        for slot, st in list(self.inflight.items()):
+            if st["req"].id == req_id:
+                del self.inflight[slot]
+                self._free_slot(slot)
+                return True
+        for slot, req in enumerate(self.slots):
+            if req is not None and req.id == req_id:
+                self.slots[slot] = None
+                self._free_slot(slot)
+                return True
+        return False
+
+    def stats(self) -> Dict[str, Any]:
+        return {
+            "slots_busy": sum(s is not None for s in self.slots),
+            "slots_total": self.max_batch,
+            "queued": len(self.queue),
+            "prefilling": len(self.inflight),
+            "finished": len(self.finished),
+            "free_pages": len(self.free),
+            "cached_pages": len(self.page_chain),
+            "prefix_hits": self.prefix_hits,
+            "prefix_pages_reused": self.prefix_pages_reused,
+        }
+
     def _retire_if_done(self, slot: int):
         req = self.slots[slot]
         if req is None:
@@ -409,16 +459,7 @@ class PagedBatchingEngine(SamplingSlots):
             req.done = True
             self.finished.append(req)
             self.slots[slot] = None
-            for pid in reversed(self.owned[slot]):
-                self.page_ref[pid] -= 1
-                # cached pages stay resident at refcount 0 (future prefix
-                # hits); only uncached pages return to the free pool
-                if self.page_ref[pid] == 0 and pid not in self.page_chain:
-                    self.free.append(pid)
-            self.owned[slot] = []
-            self.table[slot] = 0  # trash page: decode writes go nowhere
-            self.pos[slot] = 0
-            self._clear_sampling(slot)
+            self._free_slot(slot)
 
     # ------------------------------------------------------------- steps
     def step(self) -> List[Tuple[Any, int]]:

@@ -47,10 +47,12 @@ class EngineServer:
     """Engine thread + HTTP server. ``tokenizer`` needs encode(str)->ids
     and decode(ids)->str; pass None to speak raw token-id lists."""
 
-    def __init__(self, engine, tokenizer=None, model_name: str = "model"):
+    def __init__(self, engine, tokenizer=None, model_name: str = "model",
+                 max_queue: int = 256):
         self.engine = engine
         self.tok = tokenizer
         self.model_name = model_name
+        self.max_queue = max_queue
         self._pending: "Queue[_Pending]" = Queue()
         self._live: Dict[Any, _Pending] = {}
         self._next_id = 0
@@ -150,6 +152,11 @@ class EngineServer:
                 if self.path == "/v1/models":
                     return self._json(200, {"object": "list", "data": [
                         {"id": server.model_name, "object": "model"}]})
+                if self.path == "/metrics":
+                    st = (server.engine.stats()
+                          if hasattr(server.engine, "stats") else {})
+                    st["pending_http"] = server._pending.qsize()
+                    return self._json(200, st)
                 return self._json(404, {"error": "not found"})
 
             def do_POST(self):
@@ -168,6 +175,9 @@ class EngineServer:
                 except (KeyError, ValueError, TypeError,
                         json.JSONDecodeError) as e:
                     return self._json(400, {"error": str(e)})
+                if (server._pending.qsize() + len(server.engine.queue)
+                        >= server.max_queue):
+                    return self._json(429, {"error": "queue full"})
                 p = _Pending(
                     ids, int(req.get("max_tokens", 16)),
                     float(req.get("temperature", 0.0)),
@@ -232,11 +242,12 @@ def serve_http(engine, tokenizer=None, host: str = "127.0.0.1",
 
 
 def start_server(engine, tokenizer=None, host: str = "127.0.0.1",
-                 port: int = 0, model_name: str = "model"):
+                 port: int = 0, model_name: str = "model",
+                 max_queue: int = 256):
     """Non-blocking: returns (EngineServer, ThreadingHTTPServer) with the
     HTTP loop on a daemon thread. port=0 picks a free port
     (httpd.server_address[1])."""
-    es = EngineServer(engine, tokenizer, model_name)
+    es = EngineServer(engine, tokenizer, model_name, max_queue)
     httpd = ThreadingHTTPServer((host, port), es.make_handler())
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     return es, httpd

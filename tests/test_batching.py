@@ -229,3 +229,29 @@ def test_mla_batched_matches_solo(rng):
     results = eng.run()
     for rid, toks in results.items():
         assert toks == solo_mla(prompts[rid], budgets[rid]), rid
+
+
+def test_cancel_in_every_state(rng):
+    """cancel() aborts queued, prefilling, and active requests; survivors
+    are unaffected (streams still match solo)."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    eng = BatchingEngine(CFG, params, max_batch=3, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32,
+                         prefill_chunk_size=4)
+    keep_prompt = rng.integers(0, 64, (5,))
+    eng.add_request("keep", keep_prompt, 6)
+    eng.add_request("kill_active", rng.integers(0, 64, (4,)), 20)
+    eng.step(); eng.step()  # both prefill (chunked) and start
+    eng.add_request("kill_queued", rng.integers(0, 64, (4,)), 6)
+    assert eng.cancel("kill_queued")
+    eng.add_request("kill_prefilling", rng.integers(0, 64, (8,)), 6)
+    eng.step()  # admitted into inflight (chunk=4 < prompt len 8)
+    assert any(st["req"].id == "kill_prefilling"
+               for st in eng.inflight.values())
+    assert eng.cancel("kill_prefilling")
+    assert eng.cancel("kill_active")
+    assert not eng.cancel("nonexistent")
+    results = eng.run()
+    assert set(results) == {"keep"}
+    assert results["keep"] == solo(params, keep_prompt, 6)
+    assert eng.stats()["slots_busy"] == 0

@@ -319,3 +319,25 @@ def test_chunked_prefix_hit_unaligned_chunk_no_clamp(rng):
     res = eng.run()
     assert eng.prefix_hits == 1
     assert res["b"] == solo(long_b, 6)
+
+
+def test_paged_cancel_releases_pages(rng):
+    """cancel() on the paged engine returns the request's pages to the
+    pool (cached prefix pages stay cached) and survivors are unaffected."""
+    import jax.numpy as jnp
+
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    eng = PagedBatchingEngine(CFG, params, max_batch=2, page_size=8,
+                              total_pages=16, pages_per_seq=4,
+                              method="jnp", dtype=jnp.float32)
+    free0 = len(eng.free)
+    keep = rng.integers(0, CFG.vocab_size, (4,))
+    eng.add_request("keep", keep, 6)
+    eng.add_request("kill", rng.integers(0, CFG.vocab_size, (9,)), 12)
+    eng.step()
+    assert eng.cancel("kill")
+    res = eng.run()
+    assert set(res) == {"keep"}
+    # all pages released except those retained by the prefix cache
+    assert len(eng.free) + len(eng.page_chain) == free0
+    assert eng.stats()["slots_busy"] == 0
