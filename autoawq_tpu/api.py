@@ -143,6 +143,11 @@ class AwqCausalLM:
                 raise NotImplementedError(
                     "num_beams > 1 does not support kv_quant or "
                     "stream_callback")
+            if repetition_penalty != 1.0:
+                raise NotImplementedError(
+                    "repetition_penalty under beam search is not "
+                    "implemented (it would silently diverge from the HF "
+                    "beam surface otherwise)")
             from autoawq_tpu.serve.beam import generate_beam
 
             out, _ = generate_beam(

@@ -235,6 +235,40 @@ class SamplingSlots:
             jnp.asarray(self.topk[slot : slot + 1]),
             jnp.asarray(self.topp[slot : slot + 1]), self._next_key())[0])
 
+    # ------------------------------------------------- shared engine ops
+    def cancel(self, req_id) -> bool:
+        """Abort a request wherever it lives: queued (dropped), in chunked
+        prefill (slot + resources released), or active (slot freed; cache
+        rows left stale — masked by pos, overwritten on reuse). Returns
+        whether anything was cancelled; the request does NOT join
+        ``finished``. NOT thread-safe: call from the thread that owns the
+        engine (serve/server.py routes it through the engine thread)."""
+        for i, req in enumerate(self.queue):
+            if req.id == req_id:
+                del self.queue[i]
+                return True
+        for slot, st in list(self.inflight.items()):
+            if st["req"].id == req_id:
+                del self.inflight[slot]
+                self._free_slot(slot)
+                return True
+        for slot, req in enumerate(self.slots):
+            if req is not None and req.id == req_id:
+                self.slots[slot] = None
+                self._free_slot(slot)
+                return True
+        return False
+
+    def stats(self) -> Dict[str, Any]:
+        """Operational snapshot (the HTTP /metrics payload)."""
+        return {
+            "slots_busy": sum(r is not None for r in self.slots),
+            "slots_total": self.max_batch,
+            "queued": len(self.queue),
+            "prefilling": len(self.inflight),
+            "finished": len(self.finished),
+        }
+
 
 class Request:
     def __init__(self, req_id: Any, prompt: np.ndarray,
@@ -303,37 +337,9 @@ class BatchingEngine(SamplingSlots):
         self.queue.append(Request(req_id, prompt, max_new_tokens,
                                   temperature, top_k, top_p))
 
-    def cancel(self, req_id) -> bool:
-        """Abort a request wherever it lives: queued (dropped), in chunked
-        prefill (slot + scratch released), or active (slot freed, cache
-        rows left stale — masked by pos, overwritten on reuse). Returns
-        whether anything was cancelled; the request does NOT join
-        ``finished``."""
-        for i, req in enumerate(self.queue):
-            if req.id == req_id:
-                del self.queue[i]
-                return True
-        for slot, st in list(self.inflight.items()):
-            if st["req"].id == req_id:
-                del self.inflight[slot]
-                return True
-        for slot, req in enumerate(self.slots):
-            if req is not None and req.id == req_id:
-                self.slots[slot] = None
-                self.pos[slot] = 0
-                self._clear_sampling(slot)
-                return True
-        return False
-
-    def stats(self) -> Dict[str, Any]:
-        """Operational snapshot (the HTTP /metrics payload)."""
-        return {
-            "slots_busy": sum(s is not None for s in self.slots),
-            "slots_total": self.max_batch,
-            "queued": len(self.queue),
-            "prefilling": len(self.inflight),
-            "finished": len(self.finished),
-        }
+    def _free_slot(self, slot: int) -> None:
+        self.pos[slot] = 0
+        self._clear_sampling(slot)
 
     @property
     def has_work(self) -> bool:
@@ -392,8 +398,7 @@ class BatchingEngine(SamplingSlots):
             req.done = True
             self.finished.append(req)
             self.slots[slot] = None
-            self.pos[slot] = 0
-            self._clear_sampling(slot)
+            self._free_slot(slot)
 
     # ------------------------------------------------------------- steps
     def step(self) -> List[Tuple[Any, int]]:

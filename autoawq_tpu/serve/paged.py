@@ -416,39 +416,15 @@ class PagedBatchingEngine(SamplingSlots):
         self.pos[slot] = 0
         self._clear_sampling(slot)
 
-    def cancel(self, req_id) -> bool:
-        """Abort a request: queued (dropped), prefilling (slot + pinned
-        pages released), or active (slot freed, pages released; cached
-        prompt pages stay in the prefix cache). Returns whether anything
-        was cancelled."""
-        for i, req in enumerate(self.queue):
-            if req.id == req_id:
-                del self.queue[i]
-                return True
-        for slot, st in list(self.inflight.items()):
-            if st["req"].id == req_id:
-                del self.inflight[slot]
-                self._free_slot(slot)
-                return True
-        for slot, req in enumerate(self.slots):
-            if req is not None and req.id == req_id:
-                self.slots[slot] = None
-                self._free_slot(slot)
-                return True
-        return False
-
     def stats(self) -> Dict[str, Any]:
-        return {
-            "slots_busy": sum(s is not None for s in self.slots),
-            "slots_total": self.max_batch,
-            "queued": len(self.queue),
-            "prefilling": len(self.inflight),
-            "finished": len(self.finished),
-            "free_pages": len(self.free),
-            "cached_pages": len(self.page_chain),
-            "prefix_hits": self.prefix_hits,
-            "prefix_pages_reused": self.prefix_pages_reused,
-        }
+        out = super().stats()
+        out.update(
+            free_pages=len(self.free),
+            cached_pages=len(self.page_chain),
+            prefix_hits=self.prefix_hits,
+            prefix_pages_reused=self.prefix_pages_reused,
+        )
+        return out
 
     def _retire_if_done(self, slot: int):
         req = self.slots[slot]

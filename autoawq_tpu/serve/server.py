@@ -30,13 +30,14 @@ import numpy as np
 
 class _Pending:
     def __init__(self, prompt_ids, max_tokens, temperature, top_k, top_p,
-                 stream):
+                 stream, client_id=None):
         self.prompt_ids = prompt_ids
         self.max_tokens = max_tokens
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
         self.stream = stream
+        self.client_id = client_id
         self.tokens: "Queue[Optional[int]]" = Queue()  # None = finished
         self.sent = 0  # prefix of req.output already pushed
         self.error: Optional[str] = None
@@ -54,7 +55,9 @@ class EngineServer:
         self.model_name = model_name
         self.max_queue = max_queue
         self._pending: "Queue[_Pending]" = Queue()
+        self._cancel_q: "Queue[Any]" = Queue()
         self._live: Dict[Any, _Pending] = {}
+        self._by_client: Dict[Any, Any] = {}  # client_id -> engine rid
         self._next_id = 0
         self._lock = threading.Lock()
         self._wake = threading.Event()
@@ -65,6 +68,22 @@ class EngineServer:
     # ------------------------------------------------------ engine thread
     def _loop(self):
         while not self._stop:
+            # cancellations route through THIS thread (the engines are not
+            # thread-safe; a cancel racing step() could kill live slots)
+            while True:
+                try:
+                    cid = self._cancel_q.get_nowait()
+                except Empty:
+                    break
+                rid = self._by_client.pop(cid, None)
+                if rid is None:
+                    continue
+                self.engine.cancel(rid)
+                live = self._live.pop(rid, None)
+                if live is not None:
+                    live.error = "cancelled"
+                    live.tokens.put(None)
+                    live.done.set()
             admitted = False
             while True:
                 try:
@@ -87,6 +106,8 @@ class EngineServer:
                     p.done.set()
                     continue
                 self._live[rid] = p
+                if p.client_id is not None:
+                    self._by_client[p.client_id] = rid
                 admitted = True
             if not (admitted or self.engine.has_work):
                 self._wake.wait(timeout=0.05)
@@ -111,6 +132,8 @@ class EngineServer:
                 self._flush(req)
                 live = self._live.pop(req.id, None)
                 if live is not None:
+                    if live.client_id is not None:
+                        self._by_client.pop(live.client_id, None)
                     live.tokens.put(None)
                     live.done.set()
             self.engine.finished.clear()
@@ -125,6 +148,12 @@ class EngineServer:
 
     def submit(self, p: _Pending):
         self._pending.put(p)
+        self._wake.set()
+
+    def cancel(self, client_id) -> None:
+        """Thread-safe: enqueue a cancellation; the engine thread applies
+        it before its next admission round."""
+        self._cancel_q.put(client_id)
         self._wake.set()
 
     def shutdown(self):
@@ -160,6 +189,14 @@ class EngineServer:
                 return self._json(404, {"error": "not found"})
 
             def do_POST(self):
+                if self.path == "/v1/cancel":
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        body = json.loads(self.rfile.read(n) or b"{}")
+                        server.cancel(body["request_id"])
+                    except (KeyError, json.JSONDecodeError) as e:
+                        return self._json(400, {"error": str(e)})
+                    return self._json(200, {"status": "cancelling"})
                 if self.path != "/v1/completions":
                     return self._json(404, {"error": "not found"})
                 n = int(self.headers.get("Content-Length", 0))
@@ -172,18 +209,28 @@ class EngineServer:
                         ids = server.tok.encode(prompt)
                     else:
                         ids = [int(t) for t in prompt]
+                    # cast EVERY body field here: uncast values would
+                    # raise inside the engine thread and take down every
+                    # live request
+                    max_tokens = int(req.get("max_tokens") or 16)
+                    temperature = float(req.get("temperature") or 0.0)
+                    top_k = (None if req.get("top_k") is None
+                             else int(req["top_k"]))
+                    top_p = (None if req.get("top_p") is None
+                             else float(req["top_p"]))
                 except (KeyError, ValueError, TypeError,
                         json.JSONDecodeError) as e:
                     return self._json(400, {"error": str(e)})
-                if (server._pending.qsize() + len(server.engine.queue)
-                        >= server.max_queue):
-                    return self._json(429, {"error": "queue full"})
-                p = _Pending(
-                    ids, int(req.get("max_tokens", 16)),
-                    float(req.get("temperature", 0.0)),
-                    req.get("top_k"), req.get("top_p"),
-                    bool(req.get("stream", False)))
-                server.submit(p)
+                with server._lock:  # atomic check+put (burst-safe cap)
+                    if (server._pending.qsize()
+                            + len(server.engine.queue)
+                            >= server.max_queue):
+                        return self._json(429, {"error": "queue full"})
+                    p = _Pending(ids, max_tokens, temperature, top_k,
+                                 top_p, bool(req.get("stream", False)),
+                                 client_id=req.get("request_id"))
+                    server._pending.put(p)
+                server._wake.set()
                 if p.stream:
                     return self._stream(p)
                 p.done.wait()

@@ -128,3 +128,46 @@ def test_bad_request_does_not_brick_the_engine_thread(rng):
     finally:
         httpd.shutdown()
         es.shutdown()
+
+
+def test_http_cancel_via_engine_thread(rng):
+    """POST /v1/cancel aborts a long streaming request thread-safely (the
+    engine thread applies it) and the waiting client unblocks with an
+    error rather than hanging."""
+    import threading
+
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=512,
+                         method="jnp", dtype=jnp.float32)
+    from autoawq_tpu.serve.server import start_server as _start
+
+    es, httpd = _start(eng, tokenizer=None)
+    port = httpd.server_address[1]
+    try:
+        result = {}
+
+        def long_req():
+            try:
+                _post(port, {"prompt": [1, 2, 3], "max_tokens": 4000,
+                             "request_id": "victim"})
+                result["r"] = "completed"
+            except urllib.error.HTTPError as e:
+                result["r"] = json.loads(e.read()).get("error")
+
+        t = threading.Thread(target=long_req)
+        t.start()
+        import time as _t
+
+        _t.sleep(1.0)  # let it admit and start decoding
+        creq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/cancel",
+            data=json.dumps({"request_id": "victim"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(creq, timeout=30) as r:
+            assert json.loads(r.read())["status"] == "cancelling"
+        t.join(timeout=60)
+        assert not t.is_alive()
+        assert result["r"] == "cancelled"
+    finally:
+        httpd.shutdown()
+        es.shutdown()
