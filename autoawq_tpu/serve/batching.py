@@ -152,6 +152,14 @@ def _install_slot(caches, row_caches, slot: int):
 
 
 @functools.partial(jax.jit, donate_argnums=())
+def _token_logprobs(logits: jax.Array, toks: jax.Array) -> jax.Array:
+    """log p(tok) per row of [B, V] logits (the UNWARPED model
+    distribution — what OpenAI's logprobs field reports)."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lp, toks[:, None], axis=-1)[:, 0]
+
+
+@functools.partial(jax.jit, donate_argnums=())
 def sample_batched(
     logits: jax.Array,  # [B, V]
     temp: jax.Array,    # [B] f32; 0 = greedy
@@ -235,6 +243,17 @@ class SamplingSlots:
             jnp.asarray(self.topk[slot : slot + 1]),
             jnp.asarray(self.topp[slot : slot + 1]), self._next_key())[0])
 
+    def _record_logprobs(self, logits, toks, slots) -> None:
+        """Append each ACTIVE slot's chosen-token logprob (no-op unless
+        the engine was built with return_logprobs=True)."""
+        if not getattr(self, "return_logprobs", False):
+            return
+        lp = np.asarray(_token_logprobs(logits, jnp.asarray(toks)))
+        for slot in slots:
+            req = self.slots[slot]
+            if req is not None:
+                req.logprobs.append(float(lp[slot]))
+
     # ------------------------------------------------- shared engine ops
     def cancel(self, req_id) -> bool:
         """Abort a request wherever it lives: queued (dropped), in chunked
@@ -281,6 +300,8 @@ class Request:
         self.top_k = top_k
         self.top_p = top_p
         self.output: List[int] = []
+        self.logprobs: List[float] = []  # filled when the engine has
+        # return_logprobs=True (one log p(token | prefix) per output token)
         self.done = False
 
 
@@ -292,7 +313,8 @@ class BatchingEngine(SamplingSlots):
                  eos_token_id: Optional[int] = None, method: str = "auto",
                  dtype=jnp.bfloat16,
                  prefill_chunk_size: Optional[int] = None,
-                 kv_quant: bool = False, seed: int = 0):
+                 kv_quant: bool = False, seed: int = 0,
+                 return_logprobs: bool = False):
         """``prefill_chunk_size`` bounds per-step admission work: long
         prompts prefill in fixed-size chunks interleaved with pool decode
         steps, so running requests never stall behind a 100k-token arrival
@@ -317,6 +339,7 @@ class BatchingEngine(SamplingSlots):
                 f"prefill_chunk_size ({prefill_chunk_size})")
         self.chunk = prefill_chunk_size
         self.kv_quant = kv_quant
+        self.return_logprobs = return_logprobs
         gen._check_rope_capacity(cfg, max_seq_len)
         self.caches = gen.init_kv_cache(cfg, max_batch, max_seq_len, dtype,
                                         kv_quant=kv_quant)
@@ -372,6 +395,9 @@ class BatchingEngine(SamplingSlots):
         self.caches = _install_slot(self.caches, row, slot)
         self._set_sampling(slot, req)
         tok = self._sample_slot(slot, logits[:1])
+        if self.return_logprobs:
+            req.logprobs.append(float(np.asarray(
+                _token_logprobs(logits[:1], jnp.asarray([tok])))[0]))
         req.output.append(tok)
         self.slots[slot] = req
         self.pos[slot] = len(req.prompt)
@@ -415,6 +441,7 @@ class BatchingEngine(SamplingSlots):
             self.cfg, self.params, jnp.asarray(self.last_token[:, None]),
             self.caches, jnp.asarray(self.pos), self.method, self.dtype)
         toks = self._sample_pool(logits)
+        self._record_logprobs(logits, toks, active)
         emitted = []
         for slot in active:
             tok = int(toks[slot])

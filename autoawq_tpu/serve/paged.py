@@ -131,7 +131,8 @@ class PagedBatchingEngine(SamplingSlots):
                  eos_token_id: Optional[int] = None, method: str = "auto",
                  dtype=jnp.bfloat16, seed: int = 0,
                  prefix_cache: bool = True,
-                 prefill_chunk_size: Optional[int] = None):
+                 prefill_chunk_size: Optional[int] = None,
+                 return_logprobs: bool = False):
         if cfg.is_mla:
             raise NotImplementedError("MLA uses the latent layout")
         if cfg.pos_embed == "alibi" or cfg.sliding_window:
@@ -166,6 +167,7 @@ class PagedBatchingEngine(SamplingSlots):
         self.finished: List[Request] = []
         self.chunk = prefill_chunk_size
         self.inflight: Dict[int, Dict[str, Any]] = {}  # slot -> prefill st
+        self.return_logprobs = return_logprobs
         self._init_sampling(max_batch, cfg.vocab_size, seed)
         # ---- prefix cache (vLLM-style hash-chained full prompt pages).
         # chain hash h_i = hash(h_{i-1}, tokens of page i) -> page id; a
@@ -394,6 +396,11 @@ class PagedBatchingEngine(SamplingSlots):
 
         self._set_sampling(slot, req)
         tok = self._sample_slot(slot, logits[:1])
+        if self.return_logprobs:
+            from autoawq_tpu.serve.batching import _token_logprobs
+
+            req.logprobs.append(float(np.asarray(
+                _token_logprobs(logits[:1], jnp.asarray([tok])))[0]))
         req.output.append(tok)
         self.slots[slot] = req
         self.pos[slot] = len(req.prompt)
@@ -452,6 +459,7 @@ class PagedBatchingEngine(SamplingSlots):
             self.pages, jnp.asarray(self.table), jnp.asarray(self.pos),
             self.method, self.dtype)
         toks = self._sample_pool(logits)
+        self._record_logprobs(logits, toks, active)
         emitted = []
         for slot in active:
             tok = int(toks[slot])

@@ -41,6 +41,8 @@ class _Pending:
         self.tokens: "Queue[Optional[int]]" = Queue()  # None = finished
         self.sent = 0  # prefix of req.output already pushed
         self.error: Optional[str] = None
+        self.logprobs: Optional[list] = None  # filled at finish when the
+        # engine was built with return_logprobs=True
         self.done = threading.Event()
 
 
@@ -134,6 +136,8 @@ class EngineServer:
                 if live is not None:
                     if live.client_id is not None:
                         self._by_client.pop(live.client_id, None)
+                    if req.logprobs:
+                        live.logprobs = list(req.logprobs)
                     live.tokens.put(None)
                     live.done.set()
             self.engine.finished.clear()
@@ -244,12 +248,14 @@ class EngineServer:
                     out.append(t)
                 text = (server.tok.decode(out) if server.tok is not None
                         else None)
+                choice = {"index": 0, "text": text, "token_ids": out,
+                          "finish_reason": "stop"}
+                if p.logprobs is not None:
+                    choice["logprobs"] = {"token_logprobs": p.logprobs}
                 self._json(200, {
                     "id": "cmpl-0", "object": "text_completion",
                     "created": int(time.time()), "model": server.model_name,
-                    "choices": [{"index": 0, "text": text,
-                                 "token_ids": out,
-                                 "finish_reason": "stop"}],
+                    "choices": [choice],
                     "usage": {"prompt_tokens": len(ids),
                               "completion_tokens": len(out),
                               "total_tokens": len(ids) + len(out)},

@@ -255,3 +255,28 @@ def test_cancel_in_every_state(rng):
     assert set(results) == {"keep"}
     assert results["keep"] == solo(params, keep_prompt, 6)
     assert eng.stats()["slots_busy"] == 0
+
+
+def test_return_logprobs(rng):
+    """return_logprobs=True records log p(token|prefix) for every output
+    token (greedy: the max log-softmax of the step's logits)."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    prompt = rng.integers(0, 64, (5,))
+    eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32,
+                         return_logprobs=True)
+    eng.add_request("r", prompt, 6)
+    eng.run()
+    req = eng.finished[0]
+    assert len(req.logprobs) == len(req.output) == 6
+    assert all(lp <= 0.0 for lp in req.logprobs)
+
+    # oracle for the first token: log-softmax of the prefill logits
+    caches = gen.init_kv_cache(CFG, 1, 48, jnp.float32)
+    logits, _ = gen.prefill(CFG, params, jnp.asarray(prompt[None]), caches,
+                            "jnp", jnp.float32)
+    import jax
+
+    lp = np.asarray(jax.nn.log_softmax(np.asarray(logits[0],
+                                                  dtype=np.float32)))
+    assert abs(req.logprobs[0] - lp[req.output[0]]) < 1e-4
