@@ -159,17 +159,17 @@ def _token_logprobs(logits: jax.Array, toks: jax.Array) -> jax.Array:
     return jnp.take_along_axis(lp, toks[:, None], axis=-1)[:, 0]
 
 
-@functools.partial(jax.jit, donate_argnums=())
-def sample_batched(
+def warp_batched(
     logits: jax.Array,  # [B, V]
-    temp: jax.Array,    # [B] f32; 0 = greedy
+    temp: jax.Array,    # [B] f32 (clamped away from 0)
     top_k: jax.Array,   # [B] i32; V = disabled
     top_p: jax.Array,   # [B] f32; 1.0 = disabled
-    key: jax.Array,
 ) -> jax.Array:
-    """Per-slot sampling with TRACED per-request params (one compiled step
-    serves any mix of greedy/sampled requests — the slot pool analogue of
-    serve.generate.sample, HF warper order: temperature -> top_k -> top_p).
+    """Per-slot HF warper chain (temperature -> top_k -> top_p) with
+    TRACED per-request params; returns the warped logits (disallowed
+    entries at -inf). Shared by ``sample_batched`` (proposal) and the
+    pool speculative acceptance (serve/spec_batch.py), which must score
+    against EXACTLY the distribution tokens were proposed from.
 
     Per-slot k/p are values, not static shapes, so both warpers reduce to
     a value threshold against the slot's descending-sorted logits: top-k's
@@ -179,7 +179,6 @@ def sample_batched(
     exactly-equal logits at the nucleus edge.)
     """
     v = logits.shape[-1]
-    greedy = jnp.argmax(logits, axis=-1)
     scaled = logits / jnp.maximum(temp, 1e-6)[:, None]
     sv = -jnp.sort(-scaled, axis=-1)  # descending [B, V]
     # top-k threshold
@@ -192,7 +191,22 @@ def sample_batched(
     thr_p = jnp.take_along_axis(
         sv, jnp.clip(n_keep - 1, 0, v - 1)[:, None], axis=-1)
     thr = jnp.maximum(thr_k, thr_p)
-    masked = jnp.where(scaled < thr, -jnp.inf, scaled)
+    return jnp.where(scaled < thr, -jnp.inf, scaled)
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def sample_batched(
+    logits: jax.Array,  # [B, V]
+    temp: jax.Array,    # [B] f32; 0 = greedy
+    top_k: jax.Array,   # [B] i32; V = disabled
+    top_p: jax.Array,   # [B] f32; 1.0 = disabled
+    key: jax.Array,
+) -> jax.Array:
+    """Per-slot sampling with traced per-request params (one compiled step
+    serves any mix of greedy/sampled requests — the slot pool analogue of
+    serve.generate.sample; warper semantics in ``warp_batched``)."""
+    greedy = jnp.argmax(logits, axis=-1)
+    masked = warp_batched(logits, temp, top_k, top_p)
     sampled = jax.random.categorical(key, masked, axis=-1)
     return jnp.where(temp <= 0.0, greedy, sampled)
 

@@ -15,12 +15,22 @@ draft/verify scheme, pool-wide:
 * per-slot greedy prefix acceptance emits a VARIABLE number of tokens per
   slot per engine step — slots advance at their own acceptance rate.
 
-Greedy only (temperature must stay 0): per-request sampled acceptance
-needs per-slot rejection-resample bookkeeping that isn't worth the
-host-device traffic here; use serve/speculative.py for sampled B=1.
-Outputs bit-match the plain BatchingEngine (which bit-matches solo
-generation). The reference has neither speculative decoding nor
-continuous batching.
+Acceptance is per-slot and supports any mix of greedy and sampled
+requests in one pool:
+
+* greedy slots (temperature 0) accept the longest draft prefix matching
+  the target's argmax — outputs bit-match the plain BatchingEngine
+  (which bit-matches solo generation);
+* sampled slots run speculative SAMPLING (Leviathan et al. — same
+  scheme as serve/speculative.py's B=1 path) entirely on device
+  (``pool_accept``): the draft proposes from its per-slot-warped
+  distribution q via ``sample_batched``, the target accepts draft i
+  with prob min(1, p_i(d_i)/q_i(d_i)) and resamples the first rejection
+  from normalize(max(p - q, 0)). Proposal and acceptance share
+  ``warp_batched``, so q is EXACTLY the proposal distribution and the
+  emitted stream is distributed exactly as target-only pool sampling.
+
+The reference has neither speculative decoding nor continuous batching.
 """
 
 from __future__ import annotations
@@ -36,7 +46,8 @@ from autoawq_tpu.models.config import ModelConfig
 from autoawq_tpu.nn import modules
 from autoawq_tpu.serve import generate as gen
 from autoawq_tpu.serve.batching import (BatchingEngine, Request,
-                                        _install_slot, batched_decode_step)
+                                        _install_slot, batched_decode_step,
+                                        sample_batched, warp_batched)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "method", "dtype"),
@@ -76,9 +87,80 @@ def batched_chunk_step(
     return logits, new_caches
 
 
+@functools.partial(jax.jit, donate_argnums=())
+def pool_accept(
+    tlog: jax.Array,    # [B, k+1, V] target logits over the verify chunk
+    dlog: jax.Array,    # [B, k, V] draft logits the proposals came from
+    drafts: jax.Array,  # [B, k] proposed token ids
+    temp: jax.Array,    # [B] f32; 0 = greedy slot
+    top_k: jax.Array,   # [B] i32; V = disabled
+    top_p: jax.Array,   # [B] f32; 1.0 = disabled
+    key: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-slot speculative acceptance for the whole pool in one compiled
+    call; returns ([B] accepted counts, [B] next token).
+
+    Sampled slots (temp > 0) follow accept_resample's math (Leviathan
+    alg. 1) vectorized: accept draft i with prob min(1, p_i(d_i)/q_i(d_i)),
+    resample the first rejection from normalize(max(p - q, 0)); an
+    all-accepted slot samples fresh from p_k — expressed uniformly by
+    padding q with a zero row at index k, which makes the residual at
+    a == k exactly p_k. Greedy slots take longest-prefix argmax matching
+    (bit-identical to the host path sampled pools replace).
+    """
+    b, kp1, v = tlog.shape
+    k = kp1 - 1
+
+    def warped_probs(lg, n):
+        flat = lg.astype(jnp.float32).reshape(b * n, v)
+        w = warp_batched(flat, jnp.repeat(temp, n), jnp.repeat(top_k, n),
+                         jnp.repeat(top_p, n))
+        return jax.nn.softmax(w, axis=-1).reshape(b, n, v)
+
+    p = warped_probs(tlog, kp1)
+    q = warped_probs(dlog, k)
+    p_d = jnp.take_along_axis(p[:, :k], drafts[..., None], axis=-1)[..., 0]
+    q_d = jnp.take_along_axis(q, drafts[..., None], axis=-1)[..., 0]
+    key_u, key_r = jax.random.split(key)
+    u = jax.random.uniform(key_u, (b, k))
+    rej = u >= p_d / jnp.maximum(q_d, 1e-30)  # [B, k]
+    a_s = jnp.where(rej.any(-1), jnp.argmax(rej, -1), k)  # [B]
+    q_pad = jnp.concatenate([q, jnp.zeros((b, 1, v), q.dtype)], axis=1)
+    p_a = jnp.take_along_axis(p, a_s[:, None, None], axis=1)[:, 0]  # [B, V]
+    q_a = jnp.take_along_axis(q_pad, a_s[:, None, None], axis=1)[:, 0]
+    residual = jnp.maximum(p_a - q_a, 0.0)
+    tot = residual.sum(-1, keepdims=True)
+    residual = jnp.where(tot > 1e-12, residual, p_a)  # p == q: sample p
+    logr = jnp.where(residual > 0, jnp.log(residual), -jnp.inf)
+    nxt_s = jax.random.categorical(key_r, logr, axis=-1)
+    # greedy branch (temp == 0 slots)
+    g = jnp.argmax(tlog, axis=-1)  # [B, k+1]
+    match = drafts == g[:, :k]
+    a_g = jnp.where(match.all(-1), k, jnp.argmin(match, -1))
+    nxt_g = jnp.take_along_axis(g, a_g[:, None], axis=-1)[:, 0]
+    greedy_slot = temp <= 0.0
+    return (jnp.where(greedy_slot, a_g, a_s).astype(jnp.int32),
+            jnp.where(greedy_slot, nxt_g, nxt_s).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _spec_logprobs(tlog: jax.Array, drafts: jax.Array, a: jax.Array,
+                   nxt: jax.Array) -> jax.Array:
+    """[B, k+1] log p(emitted token) under the UNWARPED target chunk
+    logits: row i scores drafts[i] for i < a and the correction/resample
+    token at row a (entries past a are meaningless, never read)."""
+    b, kp1, _ = tlog.shape
+    toks = jnp.concatenate(
+        [drafts, jnp.zeros((b, 1), drafts.dtype)], axis=1)
+    toks = toks.at[jnp.arange(b), a].set(nxt)
+    lsm = jax.nn.log_softmax(tlog.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lsm, toks[..., None], axis=-1)[..., 0]
+
+
 class SpeculativeBatchingEngine(BatchingEngine):
     """Slot-pool serving where every decode round proposes with a draft
-    model and verifies with the target — per-slot acceptance, greedy."""
+    model and verifies with the target — per-slot acceptance, any mix of
+    greedy and sampled requests (see module docstring)."""
 
     def __init__(self, cfg: ModelConfig, params: Dict[str, Any],
                  draft_cfg: ModelConfig, draft_params: Dict[str, Any],
@@ -98,14 +180,6 @@ class SpeculativeBatchingEngine(BatchingEngine):
         self.dpos = np.zeros((self.max_batch,), np.int32)
         self.accepted = self.proposed = 0
 
-    def add_request(self, req_id, prompt, max_new_tokens: int = 128,
-                    temperature: float = 0.0, top_k=None, top_p=None):
-        if temperature and temperature > 0.0:
-            raise NotImplementedError(
-                "speculative pool serving is greedy-only; use "
-                "serve.speculative for sampled B=1")
-        super().add_request(req_id, prompt, max_new_tokens)
-
     def _activate(self, slot: int, req: Request, row, logits):
         # target slot install (base behavior) + draft prefill/install
         drow = gen.init_kv_cache(self.dcfg, 1, self.max_seq, self.dtype)
@@ -116,11 +190,13 @@ class SpeculativeBatchingEngine(BatchingEngine):
         self.dpos[slot] = len(req.prompt)
         super()._activate(slot, req, row, logits)
 
-    def _emit(self, slot: int, toks: List[int], emitted):
+    def _emit(self, slot: int, toks: List[int], emitted, lps=None):
         """Append accepted tokens, honoring EOS/budget mid-run."""
         req = self.slots[slot]
-        for t in toks:
+        for j, t in enumerate(toks):
             req.output.append(t)
+            if lps is not None:
+                req.logprobs.append(float(lps[j]))
             emitted.append((req.id, t))
             self.pos[slot] += 1
             self.last_token[slot] = t
@@ -157,7 +233,9 @@ class SpeculativeBatchingEngine(BatchingEngine):
         # proposal's own row, so a fully-accepted round leaves no hole —
         # see serve/speculative.py). Inactive slots compute garbage that
         # is never read (their pos stays 0 and rows get overwritten).
+        sampling = bool(np.any(self.temp > 0.0))
         drafts = np.zeros((self.max_batch, k), np.int64)
+        dlogs: List[jax.Array] = []
         tok = self.last_token.copy()
         for i in range(k + 1):
             dlog, self.dcaches = batched_decode_step(
@@ -165,7 +243,14 @@ class SpeculativeBatchingEngine(BatchingEngine):
                 self.dcaches, jnp.asarray(self.dpos + i), self.method,
                 self.dtype)
             if i < k:
-                tok = np.asarray(jnp.argmax(dlog, axis=-1))
+                if sampling:  # propose from each slot's warped q
+                    dlogs.append(dlog)
+                    tok = np.asarray(sample_batched(
+                        dlog, jnp.asarray(self.temp),
+                        jnp.asarray(self.topk), jnp.asarray(self.topp),
+                        self._next_key()))
+                else:
+                    tok = np.asarray(jnp.argmax(dlog, axis=-1))
                 drafts[:, i] = tok
 
         # ---- target: one verify pass for the whole pool
@@ -173,17 +258,31 @@ class SpeculativeBatchingEngine(BatchingEngine):
         tlog, self.caches = batched_chunk_step(
             self.cfg, self.params, jnp.asarray(chunk), self.caches,
             jnp.asarray(self.pos), self.method, self.dtype)
-        greedy = np.asarray(jnp.argmax(tlog, axis=-1))  # [B, k+1]
+        if sampling:
+            acc, nxt = pool_accept(
+                tlog, jnp.stack(dlogs, axis=1), jnp.asarray(drafts),
+                jnp.asarray(self.temp), jnp.asarray(self.topk),
+                jnp.asarray(self.topp), self._next_key())
+            acc, nxt = np.asarray(acc), np.asarray(nxt)
+        else:  # all-greedy pool: pure argmax prefix matching
+            greedy = np.asarray(jnp.argmax(tlog, axis=-1))  # [B, k+1]
+            match = drafts == greedy[:, :k]
+            acc = np.where(match.all(-1), k, np.argmin(match, axis=-1))
+            nxt = greedy[np.arange(self.max_batch), acc]
+        lp_mat = None
+        if self.return_logprobs:
+            lp_mat = np.asarray(_spec_logprobs(
+                tlog, jnp.asarray(drafts), jnp.asarray(acc),
+                jnp.asarray(nxt)))
 
         emitted: List[Tuple[Any, int]] = []
         for slot in active:
-            a = 0
-            while a < k and drafts[slot, a] == greedy[slot, a]:
-                a += 1
-            new = [int(t) for t in drafts[slot, :a]] + [int(greedy[slot, a])]
+            a = int(acc[slot])
+            new = [int(t) for t in drafts[slot, :a]] + [int(nxt[slot])]
             self.accepted += a
             self.proposed += k
-            self._emit(slot, new, emitted)
+            self._emit(slot, new, emitted,
+                       None if lp_mat is None else lp_mat[slot])
         return emitted
 
     @property

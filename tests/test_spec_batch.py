@@ -4,7 +4,6 @@ bit-match solo generation), at any draft quality."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from autoawq_tpu.io.hf import init_random_params
 from autoawq_tpu.models.config import ModelConfig
@@ -76,13 +75,75 @@ def test_spec_pool_capacity_fallback(rng):
     assert eng.run() == ref
 
 
-def test_spec_pool_rejects_sampling(rng):
+def test_spec_pool_mixed_sampling_keeps_greedy_exact(rng):
+    """A sampled request in the pool must not perturb greedy neighbors:
+    the greedy slot's stream still bit-matches the plain engine, and the
+    sampled slot completes with its full budget."""
     params = init_random_params(CFG, seed=5, scale=0.08)
+    greedy_work = [("g", rng.integers(0, 64, (6,)), 10)]
+    ref = _plain(params, greedy_work)
     eng = SpeculativeBatchingEngine(
-        CFG, params, CFG, params, max_batch=2, max_seq_len=64,
+        CFG, params, CFG, params, k=3, max_batch=2, max_seq_len=64,
         method="jnp", dtype=jnp.float32)
-    with pytest.raises(NotImplementedError, match="greedy"):
-        eng.add_request("s", rng.integers(0, 64, (4,)), 4, temperature=0.7)
+    eng.add_request(*greedy_work[0])
+    eng.add_request("s", rng.integers(0, 64, (4,)), 10, temperature=0.9,
+                    top_k=16)
+    got = eng.run()
+    assert got["g"] == ref["g"]
+    assert len(got["s"]) == 10
+
+
+def test_spec_pool_sampled_self_draft_accepts_everything(rng):
+    """Self-draft with temperature-only warping: p == q up to ULP, so the
+    sampled acceptance rate is ~1 (the pool analogue of the solo test in
+    test_speculative.py); per-seed determinism must hold."""
+    params = init_random_params(CFG, seed=4, scale=0.08)
+    rng_prompt = rng.integers(0, 64, (5,))
+
+    def run(seed):
+        eng = SpeculativeBatchingEngine(
+            CFG, params, CFG, params, k=3, max_batch=2, max_seq_len=64,
+            method="jnp", dtype=jnp.float32, seed=seed)
+        eng.add_request("a", rng_prompt, 12, temperature=0.8)
+        out = eng.run()
+        return out["a"], eng.accept_rate
+
+    out1, rate = run(3)
+    out2, _ = run(3)
+    out3, _ = run(8)
+    assert rate == 1.0
+    assert out1 == out2
+    assert out1 != out3  # different seeds explore different streams
+
+
+def test_pool_accept_marginal_matches_target():
+    """Speculative-sampling theorem, pool form: for ANY draft q, the first
+    emitted token is distributed exactly as the warped target p. One
+    pool_accept call over B=8192 identical rows = 8192 trials."""
+    import jax
+
+    from autoawq_tpu.serve.spec_batch import pool_accept
+
+    nprng = np.random.default_rng(7)
+    v, b, k = 8, 8192, 1
+    p = nprng.random((v,)); p /= p.sum()
+    q = nprng.random((v,)) ** 2; q /= q.sum()
+    tlog = jnp.asarray(np.broadcast_to(np.log(p), (b, k + 1, v)))
+    dlog = jnp.asarray(np.broadcast_to(np.log(q), (b, k, v)))
+    temp = jnp.ones((b,), jnp.float32)        # identity warp
+    topk = jnp.full((b,), v, jnp.int32)
+    topp = jnp.ones((b,), jnp.float32)
+    counts = np.zeros(v)
+    for s in range(3):
+        drafts = nprng.choice(v, size=(b, k), p=q)  # fresh proposals ~ q
+        a, nxt = pool_accept(tlog, dlog, jnp.asarray(drafts), temp, topk,
+                             topp, jax.random.PRNGKey(s))
+        a, nxt = np.asarray(a), np.asarray(nxt)
+        first = np.where(a >= 1, drafts[:, 0], nxt)
+        counts += np.bincount(first, minlength=v)
+    emp = counts / counts.sum()
+    # 24576 trials: per-bin std <= sqrt(p(1-p)/n) ~ 0.003; 4 sigma rail
+    assert np.abs(emp - p).max() < 0.013, (emp, p)
 
 
 def test_fallback_rounds_keep_draft_cache_aligned(rng):
