@@ -353,13 +353,15 @@ def _kv_quantize(u: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 def _paged_write(pages: jax.Array, new: jax.Array, table: jax.Array,
                  pos: jax.Array, page_size: int) -> jax.Array:
-    """Scatter one decode token's K or V into the page pool.
+    """Scatter one decode token's K or V (or their int8 scales) into the
+    page pool.
 
-    pages [nkv, P, ps, hd]; new [B, nkv, hd]; table [B, PPS]; pos [B].
-    Each slot b writes page table[b, pos//ps] at line pos%ps."""
+    pages [nkv, P, ps, hd] (or scales [nkv, P, ps]); new [B, nkv, hd]
+    (or [B, nkv]); table [B, PPS]; pos [B]. Each slot b writes page
+    table[b, pos//ps] at line pos%ps."""
     pg = jnp.take_along_axis(table, (pos // page_size)[:, None], 1)[:, 0]
     off = pos % page_size
-    return pages.at[:, pg, off, :].set(new.swapaxes(0, 1).astype(pages.dtype))
+    return pages.at[:, pg, off].set(new.swapaxes(0, 1).astype(pages.dtype))
 
 
 def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
@@ -370,22 +372,36 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
     contiguous per-batch preallocations, awq/modules/fused/cache.py).
 
     kv_cache: {"k_pages"/"v_pages": [nkv, P, page, hd], "page_table":
-    [B, PPS] int32, "pos": [B] int32}. s == 1 decode only; ALiBi and
-    sliding-window models stay on the contiguous path (serve/paged.py
-    gates admission). On TPU the stock Pallas paged-attention kernel
-    streams only the table's pages; elsewhere a gather + grouped-GQA
-    fallback keeps the math identical."""
+    [B, PPS] int32, "pos": [B] int32} — plus "k_page_s"/"v_page_s"
+    [nkv, P, page] f32 when the pool is int8-quantized (serve/paged.py
+    kv_quant=True). s == 1 decode only; ALiBi and sliding-window models
+    stay on the contiguous path (serve/paged.py gates admission). On TPU
+    the stock Pallas paged-attention kernel streams only the table's
+    pages; elsewhere — and for int8 pools, since the stock kernel is
+    bf16-only — a gather + grouped-GQA path keeps the math identical
+    (int8 halves the page-gather read bytes; the per-(head, token) absmax
+    scales fold into the score/prob matrices exactly as the contiguous
+    int8 branch in `attention`)."""
     b, s, nh, hd = q.shape
     nkv = k.shape[2]
     ps = kv_cache["k_pages"].shape[2]
     table, pos = kv_cache["page_table"], kv_cache["pos"]
-    kp = _paged_write(kv_cache["k_pages"], k[:, 0], table, pos, ps)
-    vp = _paged_write(kv_cache["v_pages"], v[:, 0], table, pos, ps)
+    quant = "k_page_s" in kv_cache
+    kt, vt = k[:, 0], v[:, 0]  # [B, nkv, hd]
+    new_cache = {"page_table": table, "pos": pos + 1}
+    kss = vss = None
+    if quant:
+        kt, ks_new = _kv_quantize(kt)
+        vt, vs_new = _kv_quantize(vt)
+        kss = _paged_write(kv_cache["k_page_s"], ks_new, table, pos, ps)
+        vss = _paged_write(kv_cache["v_page_s"], vs_new, table, pos, ps)
+        new_cache.update(k_page_s=kss, v_page_s=vss)
+    kp = _paged_write(kv_cache["k_pages"], kt, table, pos, ps)
+    vp = _paged_write(kv_cache["v_pages"], vt, table, pos, ps)
     lengths = pos + 1
-    new_cache = {"k_pages": kp, "v_pages": vp, "page_table": table,
-                 "pos": pos + 1}
+    new_cache.update(k_pages=kp, v_pages=vp)
 
-    if method != "jnp" and jax.default_backend() == "tpu":
+    if not quant and method != "jnp" and jax.default_backend() == "tpu":
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             paged_attention as _stock_paged)
 
@@ -403,11 +419,18 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
     qg = q[:, 0].reshape(b, nkv, rep, hd)
     scores = jnp.einsum("bgrd,bgtd->bgrt", qg, kb.astype(q.dtype),
                         preferred_element_type=jnp.float32) * scale
+    if quant:  # fold int8 K scales; dequantized pages never materialize
+        ksb = jnp.moveaxis(kss[:, table], 1, 0).reshape(b, nkv, -1)
+        scores = scores * ksb[:, :, None, :]
     if cfg.attn_softcap:
         scores = jnp.tanh(scores / cfg.attn_softcap) * cfg.attn_softcap
     valid = jnp.arange(kb.shape[2])[None, :] < lengths[:, None]  # [B, T]
     scores = jnp.where(valid[:, None, None, :], scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if quant:
+        vsb = jnp.moveaxis(vss[:, table], 1, 0).reshape(b, nkv, -1)
+        probs = probs * vsb[:, :, None, :]
+    probs = probs.astype(q.dtype)
     out = jnp.einsum("bgrt,bgtd->bgrd", probs,
                      vb.astype(q.dtype)).reshape(b, 1, nh * hd)
     return out, new_cache

@@ -30,6 +30,13 @@ ONE compiled decode step for the pool). Specifics:
   pages are read-only; decode writes land past the prompt) and
   retired-but-cached pages evict LRU under admission pressure.
 
+* int8 KV pages (``kv_quant=True``): pages store int8 K/V with
+  per-(head, token) absmax scales — half the pool bytes and half the
+  page-read traffic; dequant folds into the attention score/prob
+  matrices (modules._paged_decode), composing with prefix caching and
+  chunked prefill. The stock Pallas paged kernel is bf16-only, so int8
+  pools take the gather path on every backend.
+
 ALiBi / sliding-window / MLA models stay on the contiguous engines (the
 stock kernel supports neither bias nor windows; gated in __init__).
 """
@@ -71,14 +78,18 @@ def paged_decode_step(
     cos, sin = modules.rope_tables(cfg, positions, seq_len=cap)
     new_caches = []
     for lp, pc in zip(params["layers"], page_caches):
-        kv = {"k_pages": pc["k_pages"], "v_pages": pc["v_pages"],
-              "page_table": table, "pos": pos}
+        kv = {**pc, "page_table": table, "pos": pos}
         x, kv = modules.block(cfg, lp, x, cos, sin, None, kv_cache=kv,
                               method=method)
-        new_caches.append({"k_pages": kv["k_pages"],
-                           "v_pages": kv["v_pages"]})
+        new_caches.append({key: kv[key] for key in pc})
     logits = modules.logits_fn(cfg, params, x, method)
     return logits[:, 0, :], new_caches
+
+
+# pool key <-> contiguous-row key pairs; the scale entries exist only in
+# int8 pools (kv_quant=True) / int8 rows (init_kv_cache kv_quant=True)
+_PAGE_KEYS = (("k_pages", "k"), ("v_pages", "v"),
+              ("k_page_s", "k_s"), ("v_page_s", "v_s"))
 
 
 @functools.partial(jax.jit, static_argnames=("n_pages", "start_page"),
@@ -86,19 +97,21 @@ def paged_decode_step(
 def _install_pages(page_caches, row_caches, page_ids: jax.Array,
                    n_pages: int, start_page: int = 0):
     """Copy row positions [start_page*ps, (start_page+n_pages)*ps) of a
-    contiguous single-request prefill cache into pool pages ``page_ids``."""
+    contiguous single-request prefill cache into pool pages ``page_ids``
+    (K/V plus, for int8 pools, their per-token scales)."""
     out = []
     for pc, row in zip(page_caches, row_caches):
-        kp = pc["k_pages"]
-        nkv, _, ps, hd = kp.shape
+        ps = pc["k_pages"].shape[2]
         lo, hi = start_page * ps, (start_page + n_pages) * ps
-        k = row["k"][0, :, lo:hi].reshape(nkv, n_pages, ps, hd)
-        v = row["v"][0, :, lo:hi].reshape(nkv, n_pages, ps, hd)
-        out.append({
-            "k_pages": kp.at[:, page_ids].set(k.astype(kp.dtype)),
-            "v_pages": pc["v_pages"].at[:, page_ids].set(
-                v.astype(kp.dtype)),
-        })
+        new = {}
+        for pk, rk in _PAGE_KEYS:
+            if pk not in pc:
+                continue
+            dst = pc[pk]
+            src = row[rk][0, :, lo:hi]  # [nkv, n*ps(, hd)]
+            src = src.reshape(dst.shape[0], n_pages, ps, *src.shape[2:])
+            new[pk] = dst.at[:, page_ids].set(src.astype(dst.dtype))
+        out.append(new)
     return out
 
 
@@ -110,15 +123,16 @@ def _gather_pages(page_caches, row_caches, page_ids: jax.Array,
     prefix forward)."""
     out = []
     for pc, row in zip(page_caches, row_caches):
-        nkv, _, ps, hd = pc["k_pages"].shape
-        k = pc["k_pages"][:, page_ids].reshape(nkv, n_pages * ps, hd)
-        v = pc["v_pages"][:, page_ids].reshape(nkv, n_pages * ps, hd)
-        out.append({
-            "k": row["k"].at[0, :, : n_pages * ps].set(
-                k.astype(row["k"].dtype)),
-            "v": row["v"].at[0, :, : n_pages * ps].set(
-                v.astype(row["v"].dtype)),
-        })
+        ps = pc["k_pages"].shape[2]
+        new = {}
+        for pk, rk in _PAGE_KEYS:
+            if pk not in pc:
+                continue
+            g = pc[pk][:, page_ids]  # [nkv, n, ps(, hd)]
+            g = g.reshape(g.shape[0], n_pages * ps, *g.shape[3:])
+            new[rk] = row[rk].at[0, :, : n_pages * ps].set(
+                g.astype(row[rk].dtype))
+        out.append(new)
     return out
 
 
@@ -132,7 +146,8 @@ class PagedBatchingEngine(SamplingSlots):
                  dtype=jnp.bfloat16, seed: int = 0,
                  prefix_cache: bool = True,
                  prefill_chunk_size: Optional[int] = None,
-                 return_logprobs: bool = False):
+                 return_logprobs: bool = False,
+                 kv_quant: bool = False):
         if cfg.is_mla:
             raise NotImplementedError("MLA uses the latent layout")
         if cfg.pos_embed == "alibi" or cfg.sliding_window:
@@ -152,11 +167,31 @@ class PagedBatchingEngine(SamplingSlots):
         gen._check_rope_capacity(cfg, pages_per_seq * page_size)
         nkv = cfg.num_key_value_heads
         hd = cfg.head_dim_
-        self.pages = [
-            {"k_pages": jnp.zeros((nkv, total_pages, page_size, hd), dtype),
-             "v_pages": jnp.zeros((nkv, total_pages, page_size, hd), dtype)}
-            for _ in range(cfg.num_hidden_layers)
-        ]
+        self.kv_quant = kv_quant
+        if kv_quant:
+            # int8 pool + per-(head, page, line) absmax scales: half the
+            # page bytes; on-read dequant folds into the attention scores
+            # (modules._paged_decode). The stock Pallas paged kernel is
+            # bf16-only, so int8 pools always take the gather path.
+            self.pages = [
+                {"k_pages": jnp.zeros((nkv, total_pages, page_size, hd),
+                                      jnp.int8),
+                 "v_pages": jnp.zeros((nkv, total_pages, page_size, hd),
+                                      jnp.int8),
+                 "k_page_s": jnp.zeros((nkv, total_pages, page_size),
+                                       jnp.float32),
+                 "v_page_s": jnp.zeros((nkv, total_pages, page_size),
+                                       jnp.float32)}
+                for _ in range(cfg.num_hidden_layers)
+            ]
+        else:
+            self.pages = [
+                {"k_pages": jnp.zeros((nkv, total_pages, page_size, hd),
+                                      dtype),
+                 "v_pages": jnp.zeros((nkv, total_pages, page_size, hd),
+                                      dtype)}
+                for _ in range(cfg.num_hidden_layers)
+            ]
         self.free: List[int] = list(range(total_pages - 1, 0, -1))  # 0=trash
         self.table = np.zeros((max_batch, pages_per_seq), np.int32)
         self.owned: List[List[int]] = [[] for _ in range(max_batch)]
@@ -316,7 +351,8 @@ class PagedBatchingEngine(SamplingSlots):
                 suffix_len = len(req.prompt) - lo0
                 t_row = lo0 + max(
                     -(-suffix_len // self.chunk) * self.chunk, self.ps)
-                row = gen.init_kv_cache(self.cfg, 1, t_row, self.dtype)
+                row = gen.init_kv_cache(self.cfg, 1, t_row, self.dtype,
+                                        kv_quant=self.kv_quant)
                 if n_shared:
                     row = _gather_pages(self.pages, row,
                                         jnp.asarray(shared), n_shared)
@@ -331,7 +367,8 @@ class PagedBatchingEngine(SamplingSlots):
             # the shared pages
             n_prompt_pages = -(-len(req.prompt) // self.ps)
             t_row = n_prompt_pages * self.ps
-            row = gen.init_kv_cache(self.cfg, 1, t_row, self.dtype)
+            row = gen.init_kv_cache(self.cfg, 1, t_row, self.dtype,
+                                    kv_quant=self.kv_quant)
             if n_shared:
                 row = _gather_pages(self.pages, row, jnp.asarray(shared),
                                     n_shared)

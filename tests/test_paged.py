@@ -341,3 +341,82 @@ def test_paged_cancel_releases_pages(rng):
     # all pages released except those retained by the prefix cache
     assert len(eng.free) + len(eng.page_chain) == free0
     assert eng.stats()["slots_busy"] == 0
+
+
+def test_paged_decode_int8_matches_dequant_oracle(rng):
+    """modules._paged_decode on an int8 pool must equal the bf16/f32 path
+    run on the explicitly dequantized pages (the scale fold is pure
+    reassociation)."""
+    import jax
+
+    from autoawq_tpu.nn import modules
+
+    b, nkv, nh, hd, ps, npg, pps = 2, 2, 8, 8, 8, 16, 4
+    q = jnp.asarray(rng.standard_normal((b, 1, nh, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, 1, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, 1, nkv, hd)), jnp.float32)
+    kq, ks = modules._kv_quantize(
+        jnp.asarray(rng.standard_normal((nkv, npg, ps, hd)), jnp.float32))
+    vq, vs = modules._kv_quantize(
+        jnp.asarray(rng.standard_normal((nkv, npg, ps, hd)), jnp.float32))
+    table = jnp.asarray(rng.permutation(npg)[: b * pps].reshape(b, pps)
+                        .astype(np.int32))
+    pos = jnp.asarray([13, 21], jnp.int32)
+    cache8 = {"k_pages": kq, "v_pages": vq, "k_page_s": ks, "v_page_s": vs,
+              "page_table": table, "pos": pos}
+    out8, new8 = modules._paged_decode(CFG, {}, q, k, v, cache8,
+                                       hd ** -0.5, "jnp")
+    cache_f = {"k_pages": kq.astype(jnp.float32) * ks[..., None],
+               "v_pages": vq.astype(jnp.float32) * vs[..., None],
+               "page_table": table, "pos": pos}
+    outf, _ = modules._paged_decode(CFG, {}, q, k, v, cache_f,
+                                    hd ** -0.5, "jnp")
+    # identical math up to one quantization of the NEW token's K/V
+    assert np.allclose(np.asarray(out8), np.asarray(outf), atol=2e-2)
+    assert new8["k_pages"].dtype == jnp.int8
+    assert set(new8) == set(cache8)
+
+
+def test_paged_int8_engine_matches_contiguous_int8(rng):
+    """The paged int8 engine's greedy streams equal the contiguous int8
+    engine's (same per-token quantization at prefill; decode folds scales
+    instead of dequantizing — identical math, fixed seeds)."""
+    from autoawq_tpu.serve.batching import BatchingEngine
+
+    params = init_random_params(CFG, seed=3, scale=0.08)
+    prompts = [rng.integers(0, 128, (n,)) for n in (5, 11, 8)]
+    ref_eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=32,
+                             method="jnp", dtype=jnp.float32, kv_quant=True)
+    eng = PagedBatchingEngine(CFG, params, max_batch=2, page_size=8,
+                              total_pages=32, pages_per_seq=4,
+                              method="jnp", dtype=jnp.float32, kv_quant=True)
+    for i, p in enumerate(prompts):
+        ref_eng.add_request(i, p, max_new_tokens=6)
+        eng.add_request(i, p, max_new_tokens=6)
+    ref, got = ref_eng.run(), eng.run()
+    assert got == ref
+    # pool really is int8 and pages were recycled back
+    assert eng.pages[0]["k_pages"].dtype == jnp.int8
+
+
+def test_paged_int8_prefix_cache_shares_quantized_pages(rng):
+    """Prefix caching composes with int8 pools: a repeated system prompt
+    reuses the quantized pages (hit counted) and the suffix stream matches
+    a cold run."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    system = rng.integers(0, 128, (16,))
+    tails = [rng.integers(0, 128, (4,)) for _ in range(2)]
+
+    def run(prefix_cache):
+        eng = PagedBatchingEngine(CFG, params, max_batch=1, page_size=8,
+                                  total_pages=32, pages_per_seq=4,
+                                  method="jnp", dtype=jnp.float32,
+                                  kv_quant=True, prefix_cache=prefix_cache)
+        for i, t in enumerate(tails):
+            eng.add_request(i, np.concatenate([system, t]), 5)
+        return eng.run(), eng.prefix_hits
+
+    warm, hits = run(True)
+    cold, _ = run(False)
+    assert hits >= 1
+    assert warm == cold
