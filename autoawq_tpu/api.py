@@ -130,15 +130,15 @@ class AwqCausalLM:
                  dtype=jnp.float32, method: str = "auto",
                  kv_quant: bool = False,
                  num_beams: int = 1, length_penalty: float = 1.0,
-                 early_stopping=False,
+                 early_stopping=False, num_return_sequences: int = 1,
                  stream_callback=None) -> np.ndarray:
+        if num_return_sequences > 1 and num_beams <= 1:
+            raise ValueError("num_return_sequences > 1 needs num_beams > 1")
         if num_beams > 1:
             # HF-semantics-exact beam search (serve/beam.py) — the
-            # reference inherits this surface from GenerationMixin
-            if temperature and temperature > 0.0:
-                raise NotImplementedError(
-                    "beam-sample is not implemented: num_beams > 1 runs "
-                    "deterministic beam search (set temperature=0)")
+            # reference inherits this surface from GenerationMixin.
+            # temperature > 0 switches to stochastic beams (Gumbel-top-k
+            # beam sampling; see serve/beam.py docstring).
             if kv_quant or stream_callback is not None:
                 raise NotImplementedError(
                     "num_beams > 1 does not support kv_quant or "
@@ -148,15 +148,20 @@ class AwqCausalLM:
                     "repetition_penalty under beam search is not "
                     "implemented (it would silently diverge from the HF "
                     "beam surface otherwise)")
-            from autoawq_tpu.serve.beam import generate_beam
+            from autoawq_tpu.serve.beam import generate_beam_batched
 
-            out, _ = generate_beam(
-                self.cfg, self.params, jnp.asarray(input_ids),
+            ids = np.asarray(input_ids)
+            [(rows, _)] = generate_beam_batched(
+                self.cfg, self.params, [ids.reshape(-1)],
                 max_new_tokens, num_beams=num_beams,
                 length_penalty=length_penalty,
                 early_stopping=early_stopping, eos_token_id=eos_token_id,
-                method=method, dtype=dtype)
-            return np.asarray(out)
+                method=method, dtype=dtype,
+                num_return_sequences=num_return_sequences,
+                do_sample=bool(temperature and temperature > 0.0),
+                temperature=temperature or 1.0, top_k=top_k, top_p=top_p,
+                seed=seed)
+            return np.asarray(rows)
         out = gen.generate(
             self.cfg, self.params, jnp.asarray(input_ids), max_new_tokens,
             temperature=temperature, top_k=top_k, top_p=top_p,

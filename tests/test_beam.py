@@ -73,3 +73,77 @@ def test_beam_early_stopping_matches_transformers(rng):
     got = np.asarray(got)[0]
     want = ref[0].numpy()
     np.testing.assert_array_equal(got[: len(want)], want[: len(got)])
+
+
+def test_beam_batched_matches_transformers_per_prompt(rng):
+    """Ragged-length prompts beam-decoded in ONE beam-row pool must each
+    match transformers run solo (HF's own batching can't change per-prompt
+    beams; ours must not either)."""
+    from autoawq_tpu.serve.beam import generate_beam_batched
+
+    model, cfg, params = _hf_pair(seed=3)
+    prompts = [rng.integers(0, 128, (n,)) for n in (7, 4, 9)]
+    got = generate_beam_batched(
+        cfg, params, prompts, 8, num_beams=3, eos_token_id=5,
+        method="jnp", dtype=jnp.float32)
+    for p, (rows, scores) in zip(prompts, got):
+        with torch.no_grad():
+            ref = model.generate(
+                torch.tensor(p[None]), max_new_tokens=8, num_beams=3,
+                do_sample=False, eos_token_id=5, pad_token_id=0)
+        want = ref[0].numpy()
+        n = min(len(want), rows.shape[1])
+        np.testing.assert_array_equal(rows[0, :n], want[:n])
+        assert len(scores) == 1
+
+
+def test_beam_num_return_sequences_matches_transformers(rng):
+    """n-best returns: sequences AND their ranking must match
+    transformers' num_return_sequences output rows."""
+    from autoawq_tpu.serve.beam import generate_beam_batched
+
+    model, cfg, params = _hf_pair(seed=4)
+    p = rng.integers(0, 128, (6,))
+    [(rows, scores)] = generate_beam_batched(
+        cfg, params, [p], 7, num_beams=4, num_return_sequences=3,
+        eos_token_id=9, method="jnp", dtype=jnp.float32)
+    with torch.no_grad():
+        ref = model.generate(
+            torch.tensor(p[None]), max_new_tokens=7, num_beams=4,
+            num_return_sequences=3, do_sample=False, eos_token_id=9,
+            pad_token_id=9)
+    assert rows.shape[0] == 3
+    assert scores == sorted(scores, reverse=True)
+    for r in range(3):
+        want = ref[r].numpy()
+        n = min(len(want), rows.shape[1])
+        np.testing.assert_array_equal(rows[r, :n], want[:n])
+
+
+def test_beam_sample_structure(rng):
+    """Stochastic beams: deterministic per seed, different across seeds,
+    hypothesis scores are true log-prob sums (finite, <= 0 per token),
+    and temperature=0 is rejected."""
+    import pytest as _pytest
+
+    from autoawq_tpu.serve.beam import generate_beam_batched
+
+    _, cfg, params = _hf_pair(seed=5)
+    p = rng.integers(0, 128, (5,))
+
+    def run(seed):
+        [(rows, scores)] = generate_beam_batched(
+            cfg, params, [p], 8, num_beams=3, do_sample=True,
+            temperature=1.2, top_k=40, method="jnp", dtype=jnp.float32,
+            seed=seed)
+        return rows, scores
+
+    r1, s1 = run(0)
+    r2, _ = run(0)
+    r3, _ = run(123)
+    np.testing.assert_array_equal(r1, r2)
+    assert not np.array_equal(r1, r3)
+    assert all(np.isfinite(s) and s < 0 for s in s1)
+    with _pytest.raises(ValueError, match="temperature"):
+        generate_beam_batched(cfg, params, [p], 4, do_sample=True,
+                              temperature=0.0)
