@@ -47,22 +47,40 @@ def is_quantized(p: Dict[str, Any]) -> bool:
 def linear(p: Dict[str, Any], x: jax.Array, out_features: int,
            method: str = "auto") -> jax.Array:
     """Apply a (possibly quantized, possibly LoRA-adapted) linear.
-    x: [..., K] -> [..., N]."""
+    x: [..., K] -> [..., N].
+
+    Manual-TP markers (set at TRACE time by parallel/pipeline's stage
+    body — never part of the runtime pytree): ``tp_local`` routes the
+    quant matmul straight to the per-chip kernel (the GSPMD
+    custom_partitioning wrapper is ill-defined inside shard_map);
+    ``tp_psum`` names the mesh axis to psum a ROW-PARALLEL output over —
+    bias is added after the psum (each shard holds a K-shard partial
+    product; adding bias per shard would scale it by the axis size)."""
+    tp_axis = p.get("tp_psum")
+    bias = p.get("bias")
     if is_quantized(p):
+        m = method
+        if p.get("tp_local") and m != "jnp":
+            m = "pallas_direct"
         y = awq_matmul(
             x, p["qweight"], p["scales"], p.get("qzeros"),
-            out_features=out_features, bias=p.get("bias"), method=method,
+            out_features=out_features,
+            bias=None if tp_axis is not None else bias, method=m,
         )
     else:
         y = jnp.dot(x, p["kernel"].astype(x.dtype),
                     preferred_element_type=jnp.float32).astype(x.dtype)
-        if p.get("bias") is not None:
-            y = y + p["bias"].astype(x.dtype)
+        if bias is not None and tp_axis is None:
+            y = y + bias.astype(x.dtype)
     if "lora_a" in p:  # frozen-base adapter (reference: examples/train.py)
         y = y + jnp.dot(
             jnp.dot(x, p["lora_a"].astype(x.dtype)),
             p["lora_b"].astype(x.dtype),
         )
+    if tp_axis is not None:
+        y = jax.lax.psum(y, tp_axis)
+        if bias is not None:
+            y = y + bias.astype(x.dtype)
     return y
 
 
@@ -953,6 +971,8 @@ def _sharded_mlp_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
     TPU, "force" = interpret mode off-TPU for tests/dryrun, "0" off)."""
     if method == "jnp":
         return False
+    if p.get("down_proj", {}).get("tp_local"):
+        return False  # manual-TP stage body: no GSPMD wrapper in here
     flag = _os.environ.get("AWQ_TPU_FUSED_MLP", "1")
     if flag == "0":
         return False

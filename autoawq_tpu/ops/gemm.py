@@ -121,6 +121,17 @@ def _awq_matmul_impl(x, qweight, scales, qzeros, out_features, method):
         on_tpu = jax.default_backend() == "tpu"
         fits = pallas_gemm.supported(
             x, qweight, 2 * qweight.shape[0] // scales.shape[0])
+        if method == "pallas_direct":
+            # manual-parallel context (shard_map stage body, parallel/
+            # pipeline.py): operands are already per-chip local shards, so
+            # run the kernel directly — the custom_partitioning wrapper
+            # below is a GSPMD construct and is ill-defined here
+            if fits:
+                return pallas_gemm.awq_matmul_pallas(
+                    x, qweight, scales, qzeros, out_features=out_features,
+                    interpret=not on_tpu)
+            return awq_matmul_jnp(x, qweight, scales, qzeros,
+                                  out_features=out_features)
         if method == "pallas" or (method == "auto" and fits and on_tpu):
             if method == "auto" and jax.device_count() == 1:
                 # single chip: call the kernel directly — no partitioner

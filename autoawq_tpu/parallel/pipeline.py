@@ -15,8 +15,21 @@ Scope: prefill and training. Decode is latency-bound and single-token —
 pipelining it would serialize on ICI hops exactly like the reference;
 decode scaling belongs to the tensor axis (ops/sharded_gemm.py).
 
+PP x TP composition: a mesh with BOTH ``pipe`` and ``tensor`` axes runs
+Megatron tensor parallelism INSIDE every pipeline stage. Stage weights
+shard on tensor (column-parallel q/k/v/gate/up at the planar packing's
+superblock granularity, row-parallel o/down on K/groups — same layout
+contract as parallel/specs.py); the stage body runs each layer with a
+LOCAL head/intermediate config and trace-time ``tp_psum`` markers on the
+row-parallel linears, so nn/modules.linear psums partial products over
+``tensor`` (bias after the psum) while activations stay replicated on
+the tensor axis. Fused qkv/gate_up layouts, MoE layers, MLA, and ALiBi
+are rejected up front (their column splits don't align with a head
+slice); manual TP never silently falls back to replication — layouts
+that can't shard raise at ``to_pipeline``.
+
 Usage:
-    mesh = build_mesh(pipe=4, data=2)
+    mesh = build_mesh(pipe=4, data=2)            # or pipe=2, tensor=2, ...
     pp = to_pipeline(cfg, params, mesh)          # stack + shard layers
     logits = pipeline_forward(cfg, pp, tokens, mesh, n_microbatches=4)
     loss, lora2 = pipeline_lora_step(cfg, lora, base, tokens, mesh, ...)
@@ -24,6 +37,7 @@ Usage:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, Optional
 
 import jax
@@ -33,6 +47,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from autoawq_tpu.models.config import ModelConfig
 from autoawq_tpu.nn import modules
+from autoawq_tpu.parallel.specs import ROW_PARALLEL, _quant_lin_specs, _role
 
 
 def stack_layers(layers) -> Dict[str, Any]:
@@ -70,16 +85,152 @@ def unstack_layers(stacked: Dict[str, Any], n_layers: int):
     return [pick(i) for i in range(n_layers)]
 
 
+_TP_UNSUPPORTED = ("qkv_proj", "gate_up_proj", "experts", "experts_stacked")
+
+
+def _validate_tp(cfg: ModelConfig, layers, n_tensor: int) -> None:
+    """Reject model shapes manual stage-TP cannot split along heads."""
+    if n_tensor == 1:
+        return
+    if cfg.is_mla:
+        raise NotImplementedError("PPxTP: MLA attention not supported")
+    if cfg.pos_embed == "alibi":
+        raise NotImplementedError(
+            "PPxTP: ALiBi needs per-shard slope slices (not implemented)")
+    nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    if nh % n_tensor or nkv % n_tensor or \
+            cfg.intermediate_size % n_tensor:
+        raise ValueError(
+            f"PPxTP: heads ({nh}/{nkv}) and intermediate "
+            f"({cfg.intermediate_size}) must divide tensor={n_tensor}")
+    for lp in layers:
+        for sub in lp.values():
+            if isinstance(sub, dict):
+                for k in _TP_UNSUPPORTED:
+                    if k in sub:
+                        raise NotImplementedError(
+                            f"PPxTP: '{k}' layout cannot column-shard by "
+                            "heads — pipeline the unfused checkpoint")
+
+
+def _lin_tp_specs(path: str, lin: Dict[str, Any], n_tensor: int):
+    """Per-leaf specs for one STACKED LIN dict ([L, ...] leaves): pipe on
+    the stack dim plus the Megatron tensor dim. Raises where the layout
+    can't shard — manual TP has no replication fallback (the stage body's
+    local-head math REQUIRES the split)."""
+
+    def rep(leaf):
+        return None if leaf is None else \
+            P("pipe", *([None] * (np.ndim(leaf) - 1)))
+
+    role = _role(path)
+    out = {k: rep(v) for k, v in lin.items()}
+    if role is None or n_tensor == 1:
+        return out
+    if "qweight" in lin:
+        view = {k: (None if v is None else jax.ShapeDtypeStruct(
+            np.shape(v)[1:], getattr(v, "dtype", np.float32)))
+            for k, v in lin.items()}
+        spec2d = _quant_lin_specs(path, view, n_tensor)
+        if spec2d is None:
+            raise ValueError(
+                f"PPxTP: quant LIN '{path}' does not divide tensor="
+                f"{n_tensor} at the packing granularity "
+                "(see parallel/specs.py)")
+        if role == "col" and lin.get("bias") is not None \
+                and spec2d.get("bias") == P():
+            raise ValueError(
+                f"PPxTP: '{path}' bias [{np.shape(lin['bias'])[1]}] is "
+                "padded vs scales lanes and cannot column-shard")
+        for k, sp in spec2d.items():
+            out[k] = P("pipe", *sp)
+    elif "kernel" in lin:
+        kshape = np.shape(lin["kernel"])[1:]
+        if role == "col":
+            if kshape[1] % n_tensor:
+                raise ValueError(f"PPxTP: '{path}' N={kshape[1]} % "
+                                 f"tensor={n_tensor}")
+            out["kernel"] = P("pipe", None, "tensor")
+            if lin.get("bias") is not None:
+                out["bias"] = P("pipe", "tensor")
+        else:
+            if kshape[0] % n_tensor:
+                raise ValueError(f"PPxTP: '{path}' K={kshape[0]} % "
+                                 f"tensor={n_tensor}")
+            out["kernel"] = P("pipe", "tensor", None)
+    if "lora_a" in lin:
+        la, lb = np.shape(lin["lora_a"])[1:], np.shape(lin["lora_b"])[1:]
+        if role == "col":
+            if lb[1] % n_tensor:
+                raise ValueError(f"PPxTP: '{path}' lora_b N % tensor")
+            out["lora_b"] = P("pipe", None, "tensor")
+        else:
+            if la[0] % n_tensor:
+                raise ValueError(f"PPxTP: '{path}' lora_a K % tensor")
+            out["lora_a"] = P("pipe", "tensor", None)
+    return out
+
+
+def _stacked_specs(stacked: Dict[str, Any], n_tensor: int):
+    """Spec pytree for the stacked layer slab: pipe everywhere, tensor on
+    the Megatron dims when the mesh has a tensor axis."""
+
+    def rec(tree, path=""):
+        if isinstance(tree, dict):
+            if "qweight" in tree or "kernel" in tree:
+                return _lin_tp_specs(path, tree, n_tensor)
+            return {k: rec(v, f"{path}.{k}") for k, v in tree.items()}
+        if tree is None:
+            return None
+        return P("pipe", *([None] * (np.ndim(tree) - 1)))
+
+    return rec(stacked)
+
+
+def _mark_tp(lp: Dict[str, Any], axis: str) -> Dict[str, Any]:
+    """TRACE-TIME copy of one layer's param dict with manual-TP markers:
+    every quant LIN gets ``tp_local`` (kernel runs per-chip, no GSPMD
+    wrapper) and row-parallel LINs get ``tp_psum: axis`` (nn/modules.
+    linear psums the partial product, bias after). Called inside the
+    scan body so the markers never enter a jit/scan operand pytree."""
+    out = {}
+    for k, v in lp.items():
+        if isinstance(v, dict):
+            v = _mark_tp(v, axis)
+            if "qweight" in v:
+                v = {**v, "tp_local": True}
+            if k in ROW_PARALLEL and ("qweight" in v or "kernel" in v):
+                v = {**v, "tp_psum": axis}
+        out[k] = v
+    return out
+
+
+def _local_cfg(cfg: ModelConfig, n_tensor: int) -> ModelConfig:
+    """Per-shard view: each tensor shard owns nh/t query heads, nkv/t KV
+    heads and I/t MLP channels; hidden/replicated dims stay global."""
+    if n_tensor == 1:
+        return cfg
+    return dataclasses.replace(
+        cfg,
+        num_attention_heads=cfg.num_attention_heads // n_tensor,
+        num_key_value_heads=cfg.num_key_value_heads // n_tensor,
+        intermediate_size=cfg.intermediate_size // n_tensor)
+
+
 def to_pipeline(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh,
                 dtype=None) -> Dict[str, Any]:
     """Stack ``params['layers']`` and device_put: stacked leaves sharded
-    on ``pipe`` dim 0, everything else replicated."""
+    on ``pipe`` dim 0 (+ ``tensor`` on the Megatron dims when the mesh
+    composes PP x TP), everything else replicated."""
     n_pipe = mesh.shape.get("pipe", 1)
+    n_tensor = mesh.shape.get("tensor", 1)
     layers = params["layers"]
     if len(layers) % n_pipe:
         raise ValueError(
             f"{len(layers)} layers not divisible by pipe={n_pipe}")
+    _validate_tp(cfg, layers, n_tensor)
     stacked = stack_layers(layers)
+    specs = _stacked_specs(stacked, n_tensor)
 
     def put(x, spec):
         x = jnp.asarray(x)
@@ -87,22 +238,25 @@ def to_pipeline(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh,
             x = x.astype(dtype)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    def put_stacked(tree):
-        return jax.tree_util.tree_map(
-            lambda x: put(x, P("pipe", *([None] * (np.ndim(x) - 1)))), tree)
-
     out = {k: jax.tree_util.tree_map(lambda x: put(x, P()), v)
            for k, v in params.items() if k != "layers"}
-    out["layers_stacked"] = put_stacked(stacked)
+    out["layers_stacked"] = jax.tree_util.tree_map(
+        put, stacked, specs)
     return out
 
 
-def _stage_fn(cfg: ModelConfig, method: str, causal_prefill: bool):
-    """Per-device stage body: scan the local layer slab over x."""
+def _stage_fn(cfg: ModelConfig, method: str, causal_prefill: bool,
+              n_tensor: int = 1):
+    """Per-device stage body: scan the local layer slab over x. With a
+    tensor axis, each layer runs on its local head/channel shard (markers
+    make nn/modules.linear psum the row-parallel outputs)."""
+    lcfg = _local_cfg(cfg, n_tensor)
 
     def run(stage_params, x, cos, sin, mask):
         def body(h, lp):
-            h, _ = modules.block(cfg, lp, h, cos, sin, mask, None, None,
+            if n_tensor > 1:
+                lp = _mark_tp(lp, "tensor")
+            h, _ = modules.block(lcfg, lp, h, cos, sin, mask, None, None,
                                  method, causal_prefill)
             return h, None
 
@@ -131,7 +285,8 @@ def _pipeline_hidden(cfg: ModelConfig, stacked, x, cos, sin, mask,
             f"microbatch size {b // n_microbatches} not divisible by the "
             f"data axis ({n_data}) — lower n_microbatches or the dp degree")
     xm = x.reshape(n_microbatches, b // n_microbatches, *x.shape[1:])
-    run_stage = _stage_fn(cfg, method, causal_prefill)
+    n_tensor = mesh.shape.get("tensor", 1)
+    run_stage = _stage_fn(cfg, method, causal_prefill, n_tensor)
     m = n_microbatches
 
     def pipelined(stk, xm, cos, sin, mask):
@@ -165,8 +320,7 @@ def _pipeline_hidden(cfg: ModelConfig, stacked, x, cos, sin, mask,
 
     act_spec = (P(None, "data", None, None)
                 if "data" in mesh.axis_names else P(None, None, None, None))
-    stk_specs = jax.tree_util.tree_map(
-        lambda leaf: P("pipe", *([None] * (np.ndim(leaf) - 1))), stacked)
+    stk_specs = _stacked_specs(stacked, n_tensor)
     out = jax.shard_map(
         pipelined, mesh=mesh,
         in_specs=(stk_specs, act_spec, P(), P(), P()),

@@ -132,3 +132,100 @@ def test_sequence_parallel_forward_matches(rng):
             cfg, p, t, method="jnp", activation_spec=sp))(sharded, tk)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+# --------------------------------------------------------------- PP x TP
+def _tp_cfg():
+    return ModelConfig(
+        model_type="llama", vocab_size=256, hidden_size=128,
+        intermediate_size=256, num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=32, max_position_embeddings=64)
+
+
+def test_pipeline_tp_forward_matches_sequential(rng):
+    """pipe=2 x tensor=2 x data=2: Megatron TP inside every pipeline
+    stage (local heads + psum'd row-parallel linears) must reproduce the
+    sequential forward exactly."""
+    from autoawq_tpu.io.hf import init_random_params
+
+    cfg = _tp_cfg()
+    params = init_random_params(cfg, seed=3, scale=0.08)
+    mesh = build_mesh(pipe=2, tensor=2, data=2)
+    pparams = pp.to_pipeline(cfg, params, mesh)
+    tokens = jnp.asarray(rng.integers(0, 256, (4, 16)))
+    with mesh:
+        got = jax.jit(lambda p, t: pp.pipeline_forward(
+            cfg, p, t, mesh, n_microbatches=2))(pparams, tokens)
+    ref = modules.forward(cfg, params, tokens, method="jnp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_tp_quantized_forward(rng):
+    """Quantized PP x TP: packed-planar LINs shard at superblock/group
+    granularity inside the stage body (per-shard dequant matmul + psum)."""
+    cfg = ModelConfig(
+        model_type="llama", vocab_size=128, hidden_size=2048,
+        intermediate_size=2048, num_hidden_layers=2,
+        num_attention_heads=16, num_key_value_heads=16, head_dim=128,
+        max_position_embeddings=32)
+    params = random_quantized_params(cfg, seed=2, fp_dtype=jnp.float32)
+    mesh = build_mesh(pipe=2, tensor=2, data=2)
+    pparams = pp.to_pipeline(cfg, params, mesh)
+    tokens = jnp.asarray(rng.integers(0, 128, (4, 8)))
+    with mesh:
+        got = jax.jit(lambda p, t: pp.pipeline_forward(
+            cfg, p, t, mesh, n_microbatches=2))(pparams, tokens)
+    ref = modules.forward(cfg, params, tokens, method="jnp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_tp_lora_step_matches_sequential(rng):
+    """Pipelined + tensor-parallel LoRA training: loss and adapter
+    updates match the sequential step (col-sharded lora_b, row-sharded
+    lora_a partials ride the same psum)."""
+    cfg = _tp_cfg()
+    from autoawq_tpu.io.hf import init_random_params
+
+    params = lora_mod.add_lora(
+        cfg, init_random_params(cfg, seed=5, scale=0.08), rank=4,
+        targets=("q_proj", "v_proj", "o_proj", "down_proj"),
+        dtype=jnp.float32)
+    tokens = jnp.asarray(rng.integers(0, 256, (4, 16)))
+    lora0, base0 = lora_mod.split_lora(params)
+    loss_ref, new_ref = lora_mod.lora_train_step(
+        cfg, lora0, base0, tokens, lr=1e-2)
+
+    mesh = build_mesh(pipe=2, tensor=2, data=2)
+    pparams = pp.to_pipeline(cfg, params, mesh)
+    lora, base = lora_mod.split_lora(pparams)
+    with mesh:
+        loss, new_lora = jax.jit(lambda l, b, t: pp.pipeline_lora_step(
+            cfg, l, b, t, mesh, 2, lr=1e-2))(lora, base, tokens)
+    assert abs(float(loss) - float(loss_ref)) < 1e-4
+    for path, leaf in _walk(new_lora["layers_stacked"]):
+        ref = jnp.stack([_get(lp, path) for lp in new_ref["layers"]])
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=str(path))
+
+
+def test_pipeline_tp_rejects_unshardable(rng):
+    """Manual TP must refuse layouts it cannot split: odd KV heads and
+    ALiBi raise instead of silently replicating."""
+    from autoawq_tpu.io.hf import init_random_params
+
+    mesh = build_mesh(pipe=2, tensor=2, data=2)
+    bad = ModelConfig(
+        model_type="llama", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=2,
+        num_key_value_heads=1, head_dim=32, max_position_embeddings=32)
+    with pytest.raises(ValueError, match="divide tensor"):
+        pp.to_pipeline(bad, init_random_params(bad, seed=0), mesh)
+    alibi = ModelConfig(
+        model_type="bloom", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, head_dim=16, max_position_embeddings=32,
+        pos_embed="alibi")
+    with pytest.raises(NotImplementedError, match="ALiBi"):
+        pp.to_pipeline(alibi, init_random_params(alibi, seed=0), mesh)
