@@ -394,12 +394,12 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
     [nkv, P, page] f32 when the pool is int8-quantized (serve/paged.py
     kv_quant=True). s == 1 decode only; ALiBi and sliding-window models
     stay on the contiguous path (serve/paged.py gates admission). On TPU
-    the stock Pallas paged-attention kernel streams only the table's
-    pages; elsewhere — and for int8 pools, since the stock kernel is
-    bf16-only — a gather + grouped-GQA path keeps the math identical
-    (int8 halves the page-gather read bytes; the per-(head, token) absmax
-    scales fold into the score/prob matrices exactly as the contiguous
-    int8 branch in `attention`)."""
+    bf16 pools run the stock Pallas paged-attention kernel and int8
+    pools run the bespoke block-table kernel (ops/paged_attn.py — the
+    stock kernel can't fold the absmax scales); off-TPU a gather +
+    grouped-GQA path keeps the math identical (scales fold into the
+    score/prob matrices exactly as the contiguous int8 branch in
+    `attention`; no dequantized pages ever materialize)."""
     b, s, nh, hd = q.shape
     nkv = k.shape[2]
     ps = kv_cache["k_pages"].shape[2]
@@ -419,7 +419,26 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
     lengths = pos + 1
     new_cache.update(k_pages=kp, v_pages=vp)
 
-    if not quant and method != "jnp" and jax.default_backend() == "tpu":
+    # TPU kernel selection (AWQ_TPU_PAGED_ATTN): "1" (default) = stock
+    # Pallas kernel for bf16 pools, bespoke block-table kernel
+    # (ops/paged_attn.py) for int8 pools (the stock kernel can't fold
+    # scales); "bespoke" = bespoke for bf16 too (chip A/B); "force" =
+    # bespoke in interpret mode off-TPU (tests); "0" = gather fallback.
+    flag = _os.environ.get("AWQ_TPU_PAGED_ATTN", "1")
+    on_tpu = jax.default_backend() == "tpu"
+    if method != "jnp" and flag != "0" and (on_tpu or flag == "force"):
+        from autoawq_tpu.ops import paged_attn
+
+        if paged_attn.supported(nh, nkv, hd, ps) \
+                and (quant or flag in ("bespoke", "force")):
+            out = paged_attn.paged_decode_attention(
+                q[:, 0], kp, vp, table, lengths, scale=scale,
+                k_scales=kss, v_scales=vss,
+                softcap=cfg.attn_softcap or None,
+                interpret=not on_tpu)
+            return out.reshape(b, 1, nh * hd), new_cache
+
+    if not quant and method != "jnp" and on_tpu:
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             paged_attention as _stock_paged)
 

@@ -33,9 +33,9 @@ ONE compiled decode step for the pool). Specifics:
 * int8 KV pages (``kv_quant=True``): pages store int8 K/V with
   per-(head, token) absmax scales — half the pool bytes and half the
   page-read traffic; dequant folds into the attention score/prob
-  matrices (modules._paged_decode), composing with prefix caching and
-  chunked prefill. The stock Pallas paged kernel is bf16-only, so int8
-  pools take the gather path on every backend.
+  matrices, composing with prefix caching and chunked prefill. On TPU
+  int8 pools run the bespoke block-table Pallas kernel
+  (ops/paged_attn.py; the stock kernel is bf16-only).
 
 ALiBi / sliding-window / MLA models stay on the contiguous engines (the
 stock kernel supports neither bias nor windows; gated in __init__).
@@ -171,8 +171,7 @@ class PagedBatchingEngine(SamplingSlots):
         if kv_quant:
             # int8 pool + per-(head, page, line) absmax scales: half the
             # page bytes; on-read dequant folds into the attention scores
-            # (modules._paged_decode). The stock Pallas paged kernel is
-            # bf16-only, so int8 pools always take the gather path.
+            # (modules._paged_decode -> ops/paged_attn.py on TPU).
             self.pages = [
                 {"k_pages": jnp.zeros((nkv, total_pages, page_size, hd),
                                       jnp.int8),

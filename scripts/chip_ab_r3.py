@@ -220,6 +220,24 @@ def main():
         pages_per_seq=8))
     RESULTS["engine_paged_bs8"] = round(r, 1)
     print(f"paged engine bs8: {r:.1f} tok/s", flush=True)
+
+    # ---- paged attention kernel A/B: stock (bf16) vs bespoke (bf16) vs
+    # bespoke-int8 vs gather (ops/paged_attn.py selection flag)
+    for label, env, kv_quant in (
+        ("paged_stock_bf16", "1", False),
+        ("paged_bespoke_bf16", "bespoke", False),
+        ("paged_bespoke_int8", "1", True),
+        ("paged_gather_int8", "0", True),
+    ):
+        os.environ["AWQ_TPU_PAGED_ATTN"] = env
+        try:
+            r = engine_tok_s(lambda: PagedBatchingEngine(
+                tiny, tparams, max_batch=8, page_size=32, total_pages=128,
+                pages_per_seq=8, kv_quant=kv_quant))
+            RESULTS[f"engine_{label}_bs8"] = round(r, 1)
+            print(f"{label} bs8: {r:.1f} tok/s", flush=True)
+        finally:
+            os.environ.pop("AWQ_TPU_PAGED_ATTN", None)
     _flush()
     print(json.dumps(RESULTS, indent=1))
 
