@@ -9,6 +9,12 @@ on per-request events. Endpoints:
   "temperature": t, "top_k": k, "top_p": p, "stream": bool}. Non-stream
   returns an OpenAI-shaped completion object; ``stream=true`` sends SSE
   chunks, one per generated token, then ``data: [DONE]``.
+* ``POST /v1/chat/completions`` — {"messages": [{"role", "content"},
+  ...], same sampling fields}. The prompt renders through the
+  tokenizer's own chat template (``apply_chat_template`` with
+  ``add_generation_prompt=True``) when it has one, else a generic
+  ``<|role|>`` template; responses/chunks use the chat.completion
+  shapes (``message``/``delta``).
 * ``GET /v1/models`` — single-entry model list.
 * ``GET /health`` — liveness.
 
@@ -30,7 +36,8 @@ import numpy as np
 
 class _Pending:
     def __init__(self, prompt_ids, max_tokens, temperature, top_k, top_p,
-                 stream, client_id=None):
+                 stream, client_id=None, chat=False):
+        self.chat = chat  # shape the response as chat.completion
         self.prompt_ids = prompt_ids
         self.max_tokens = max_tokens
         self.temperature = temperature
@@ -165,6 +172,23 @@ class EngineServer:
         self._wake.set()
         self._thread.join(timeout=5)
 
+    def _chat_ids(self, messages) -> List[int]:
+        """Render a chat message list to prompt ids: the tokenizer's own
+        chat template when it carries one (HF tokenizers), else a generic
+        <|role|> framing."""
+        if self.tok is None:
+            raise ValueError("chat completions need a tokenizer")
+        msgs = [{"role": str(m["role"]), "content": str(m["content"])}
+                for m in messages]
+        if not msgs:
+            raise ValueError("messages must be non-empty")
+        if getattr(self.tok, "chat_template", None) is not None \
+                and hasattr(self.tok, "apply_chat_template"):
+            return [int(t) for t in self.tok.apply_chat_template(
+                msgs, add_generation_prompt=True, tokenize=True)]
+        text = "".join(f"<|{m['role']}|>\n{m['content']}\n" for m in msgs)
+        return self.tok.encode(text + "<|assistant|>\n")
+
     # --------------------------------------------------------------- http
     def make_handler(server):  # noqa: N805 — closure over the EngineServer
         class Handler(BaseHTTPRequestHandler):
@@ -201,18 +225,23 @@ class EngineServer:
                     except (KeyError, json.JSONDecodeError) as e:
                         return self._json(400, {"error": str(e)})
                     return self._json(200, {"status": "cancelling"})
-                if self.path != "/v1/completions":
+                chat = self.path == "/v1/chat/completions"
+                if self.path != "/v1/completions" and not chat:
                     return self._json(404, {"error": "not found"})
                 n = int(self.headers.get("Content-Length", 0))
                 try:
                     req = json.loads(self.rfile.read(n) or b"{}")
-                    prompt = req["prompt"]
-                    if isinstance(prompt, str):
-                        if server.tok is None:
-                            raise ValueError("no tokenizer: send token ids")
-                        ids = server.tok.encode(prompt)
+                    if chat:
+                        ids = server._chat_ids(req["messages"])
                     else:
-                        ids = [int(t) for t in prompt]
+                        prompt = req["prompt"]
+                        if isinstance(prompt, str):
+                            if server.tok is None:
+                                raise ValueError(
+                                    "no tokenizer: send token ids")
+                            ids = server.tok.encode(prompt)
+                        else:
+                            ids = [int(t) for t in prompt]
                     # cast EVERY body field here: uncast values would
                     # raise inside the engine thread and take down every
                     # live request
@@ -232,7 +261,8 @@ class EngineServer:
                         return self._json(429, {"error": "queue full"})
                     p = _Pending(ids, max_tokens, temperature, top_k,
                                  top_p, bool(req.get("stream", False)),
-                                 client_id=req.get("request_id"))
+                                 client_id=req.get("request_id"),
+                                 chat=chat)
                     server._pending.put(p)
                 server._wake.set()
                 if p.stream:
@@ -248,12 +278,20 @@ class EngineServer:
                     out.append(t)
                 text = (server.tok.decode(out) if server.tok is not None
                         else None)
-                choice = {"index": 0, "text": text, "token_ids": out,
-                          "finish_reason": "stop"}
+                if p.chat:
+                    choice = {"index": 0,
+                              "message": {"role": "assistant",
+                                          "content": text},
+                              "token_ids": out, "finish_reason": "stop"}
+                else:
+                    choice = {"index": 0, "text": text, "token_ids": out,
+                              "finish_reason": "stop"}
                 if p.logprobs is not None:
                     choice["logprobs"] = {"token_logprobs": p.logprobs}
                 self._json(200, {
-                    "id": "cmpl-0", "object": "text_completion",
+                    "id": "chatcmpl-0" if p.chat else "cmpl-0",
+                    "object": ("chat.completion" if p.chat
+                               else "text_completion"),
                     "created": int(time.time()), "model": server.model_name,
                     "choices": [choice],
                     "usage": {"prompt_tokens": len(ids),
@@ -273,9 +311,15 @@ class EngineServer:
                         return
                     piece = (server.tok.decode([t])
                              if server.tok is not None else None)
-                    chunk = {"object": "text_completion.chunk",
-                             "choices": [{"index": 0, "text": piece,
-                                          "token_ids": [t]}]}
+                    if p.chat:
+                        chunk = {"object": "chat.completion.chunk",
+                                 "choices": [{"index": 0,
+                                              "delta": {"content": piece},
+                                              "token_ids": [t]}]}
+                    else:
+                        chunk = {"object": "text_completion.chunk",
+                                 "choices": [{"index": 0, "text": piece,
+                                              "token_ids": [t]}]}
                     self.wfile.write(
                         b"data: " + json.dumps(chunk).encode() + b"\n\n")
                     self.wfile.flush()

@@ -171,3 +171,82 @@ def test_http_cancel_via_engine_thread(rng):
     finally:
         httpd.shutdown()
         es.shutdown()
+
+
+class _FakeTok:
+    """Maps each character to a token id (mod vocab); decode inverts."""
+
+    def encode(self, s):
+        return [ord(c) % 64 for c in s]
+
+    def decode(self, ids):
+        return "".join(chr(65 + (int(t) % 26)) for t in ids)
+
+
+class _FakeChatTok(_FakeTok):
+    chat_template = "stub"  # presence selects apply_chat_template
+
+    def apply_chat_template(self, msgs, add_generation_prompt, tokenize):
+        assert add_generation_prompt and tokenize
+        return self.encode("|".join(m["content"] for m in msgs) + "|A:")
+
+
+def _post_path(port, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.read()
+
+
+def test_http_chat_completions(rng):
+    """Chat endpoint: messages render through the tokenizer's template,
+    the response is chat.completion-shaped, and the content equals the
+    engine's own generation for the templated prompt."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    tok = _FakeChatTok()
+    msgs = [{"role": "system", "content": "be brief"},
+            {"role": "user", "content": "hi"}]
+    prompt = tok.apply_chat_template(msgs, True, True)
+
+    ref_eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                             method="jnp", dtype=jnp.float32)
+    ref_eng.add_request("r", np.asarray(prompt), 6)
+    ref = ref_eng.run()["r"]
+
+    eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32)
+    es, httpd = start_server(eng, tokenizer=tok)
+    port = httpd.server_address[1]
+    try:
+        status, body = _post_path(port, "/v1/chat/completions",
+                                  {"messages": msgs, "max_tokens": 6})
+        assert status == 200
+        out = json.loads(body)
+        assert out["object"] == "chat.completion"
+        ch = out["choices"][0]
+        assert ch["token_ids"] == ref
+        assert ch["message"]["role"] == "assistant"
+        assert ch["message"]["content"] == tok.decode(ref)
+
+        # generic-template fallback (no chat_template attribute)
+        es.tok = _FakeTok()
+        status, body = _post_path(port, "/v1/chat/completions",
+                                  {"messages": msgs, "max_tokens": 4})
+        assert status == 200
+        assert json.loads(body)["choices"][0]["message"]["content"]
+
+        # malformed messages -> 400, engine stays alive
+        import pytest as _p
+
+        with _p.raises(urllib.error.HTTPError) as ei:
+            _post_path(port, "/v1/chat/completions",
+                       {"messages": [{"role": "user"}], "max_tokens": 2})
+        assert ei.value.code == 400
+        status, _ = _post_path(port, "/v1/chat/completions",
+                               {"messages": msgs, "max_tokens": 2})
+        assert status == 200
+    finally:
+        httpd.shutdown()
+        es.shutdown()
