@@ -195,6 +195,18 @@ def warp_batched(
 
 
 @functools.partial(jax.jit, donate_argnums=())
+def _penalize_batched(logits: jax.Array, penalty: jax.Array,
+                      presence: jax.Array) -> jax.Array:
+    """Per-slot HF RepetitionPenaltyLogitsProcessor: for tokens already
+    seen in the slot's prompt+output (``presence`` [B, V] bool), divide
+    positive logits by the slot's penalty and multiply negative ones.
+    Applied BEFORE the warpers, matching HF's processor->warper order."""
+    pen = jnp.where(logits > 0, logits / penalty[:, None],
+                    logits * penalty[:, None])
+    return jnp.where(presence & (penalty[:, None] != 1.0), pen, logits)
+
+
+@functools.partial(jax.jit, donate_argnums=())
 def sample_batched(
     logits: jax.Array,  # [B, V]
     temp: jax.Array,    # [B] f32; 0 = greedy
@@ -221,6 +233,10 @@ class SamplingSlots:
         self.temp = np.zeros((max_batch,), np.float32)
         self.topk = np.full((max_batch,), vocab_size, np.int32)
         self.topp = np.ones((max_batch,), np.float32)
+        self.penalty = np.ones((max_batch,), np.float32)
+        # prompt+output token presence per slot, host-side (transferred
+        # to device only on steps where some slot has a penalty active)
+        self.presence = np.zeros((max_batch, vocab_size), bool)
         self._vocab = vocab_size
         self._key = jax.random.PRNGKey(seed)
         self._steps = 0
@@ -232,9 +248,16 @@ class SamplingSlots:
                            else v)
         self.topp[slot] = (req.top_p if req.top_p is not None
                            and req.top_p < 1.0 else 1.0)
+        self.penalty[slot] = req.repetition_penalty or 1.0
+        self.presence[slot] = False
+        self.presence[slot, np.asarray(req.prompt, np.int64)] = True
 
     def _clear_sampling(self, slot: int) -> None:
         self.temp[slot] = 0.0  # freed slot: back to (discarded) greedy
+        self.penalty[slot] = 1.0
+
+    def _note_token(self, slot: int, tok: int) -> None:
+        self.presence[slot, tok] = True
 
     def _next_key(self):
         self._steps += 1
@@ -242,6 +265,9 @@ class SamplingSlots:
 
     def _sample_pool(self, logits: jax.Array) -> np.ndarray:
         """Pool-step token per slot ([B, V] logits -> [B] ids)."""
+        if np.any(self.penalty != 1.0):
+            logits = _penalize_batched(logits, jnp.asarray(self.penalty),
+                                       jnp.asarray(self.presence))
         if not np.any(self.temp > 0.0):  # all-greedy fast path
             return np.asarray(jnp.argmax(logits, axis=-1))
         return np.asarray(sample_batched(
@@ -250,6 +276,10 @@ class SamplingSlots:
 
     def _sample_slot(self, slot: int, logits_row: jax.Array) -> int:
         """Admission-time first token for one slot ([1, V] logits)."""
+        if self.penalty[slot] != 1.0:
+            logits_row = _penalize_batched(
+                logits_row, jnp.asarray(self.penalty[slot : slot + 1]),
+                jnp.asarray(self.presence[slot : slot + 1]))
         if self.temp[slot] == 0.0:
             return int(jnp.argmax(logits_row[0]))
         return int(sample_batched(
@@ -306,13 +336,15 @@ class SamplingSlots:
 class Request:
     def __init__(self, req_id: Any, prompt: np.ndarray,
                  max_new_tokens: int = 128, temperature: float = 0.0,
-                 top_k: Optional[int] = None, top_p: Optional[float] = None):
+                 top_k: Optional[int] = None, top_p: Optional[float] = None,
+                 repetition_penalty: float = 1.0):
         self.id = req_id
         self.prompt = np.asarray(prompt).reshape(-1)
         self.max_new_tokens = max_new_tokens
         self.temperature = float(temperature)
         self.top_k = top_k
         self.top_p = top_p
+        self.repetition_penalty = float(repetition_penalty or 1.0)
         self.output: List[int] = []
         self.logprobs: List[float] = []  # filled when the engine has
         # return_logprobs=True (one log p(token | prefix) per output token)
@@ -368,11 +400,13 @@ class BatchingEngine(SamplingSlots):
     # -------------------------------------------------------- scheduling
     def add_request(self, req_id: Any, prompt, max_new_tokens: int = 128,
                     temperature: float = 0.0, top_k: Optional[int] = None,
-                    top_p: Optional[float] = None):
+                    top_p: Optional[float] = None,
+                    repetition_penalty: float = 1.0):
         if len(np.asarray(prompt).reshape(-1)) >= self.max_seq:
             raise ValueError("prompt longer than max_seq_len")
         self.queue.append(Request(req_id, prompt, max_new_tokens,
-                                  temperature, top_k, top_p))
+                                  temperature, top_k, top_p,
+                                  repetition_penalty))
 
     def _free_slot(self, slot: int) -> None:
         self.pos[slot] = 0
@@ -409,6 +443,7 @@ class BatchingEngine(SamplingSlots):
         self.caches = _install_slot(self.caches, row, slot)
         self._set_sampling(slot, req)
         tok = self._sample_slot(slot, logits[:1])
+        self._note_token(slot, tok)
         if self.return_logprobs:
             req.logprobs.append(float(np.asarray(
                 _token_logprobs(logits[:1], jnp.asarray([tok])))[0]))
@@ -461,6 +496,7 @@ class BatchingEngine(SamplingSlots):
             tok = int(toks[slot])
             req = self.slots[slot]
             req.output.append(tok)
+            self._note_token(slot, tok)
             emitted.append((req.id, tok))
             self.pos[slot] += 1
             self.last_token[slot] = tok

@@ -220,7 +220,8 @@ class PagedBatchingEngine(SamplingSlots):
     # -------------------------------------------------------- scheduling
     def add_request(self, req_id: Any, prompt, max_new_tokens: int = 128,
                     temperature: float = 0.0, top_k: Optional[int] = None,
-                    top_p: Optional[float] = None):
+                    top_p: Optional[float] = None,
+                    repetition_penalty: float = 1.0):
         prompt = np.asarray(prompt).reshape(-1)
         budget = len(prompt) + max_new_tokens + 1
         if budget > self.pps * self.ps:
@@ -228,7 +229,8 @@ class PagedBatchingEngine(SamplingSlots):
                 f"prompt+budget {budget} exceeds pages_per_seq*page_size "
                 f"({self.pps * self.ps})")
         self.queue.append(Request(req_id, prompt, max_new_tokens,
-                                  temperature, top_k, top_p))
+                                  temperature, top_k, top_p,
+                                  repetition_penalty))
 
     # ------------------------------------------------------ prefix cache
     @staticmethod
@@ -432,6 +434,7 @@ class PagedBatchingEngine(SamplingSlots):
 
         self._set_sampling(slot, req)
         tok = self._sample_slot(slot, logits[:1])
+        self._note_token(slot, tok)
         if self.return_logprobs:
             from autoawq_tpu.serve.batching import _token_logprobs
 
@@ -501,6 +504,7 @@ class PagedBatchingEngine(SamplingSlots):
             tok = int(toks[slot])
             req = self.slots[slot]
             req.output.append(tok)
+            self._note_token(slot, tok)
             emitted.append((req.id, tok))
             self.pos[slot] += 1
             self.last_token[slot] = tok

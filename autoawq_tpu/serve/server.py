@@ -36,8 +36,10 @@ import numpy as np
 
 class _Pending:
     def __init__(self, prompt_ids, max_tokens, temperature, top_k, top_p,
-                 stream, client_id=None, chat=False):
+                 stream, client_id=None, chat=False,
+                 repetition_penalty=1.0):
         self.chat = chat  # shape the response as chat.completion
+        self.repetition_penalty = repetition_penalty
         self.prompt_ids = prompt_ids
         self.max_tokens = max_tokens
         self.temperature = temperature
@@ -106,7 +108,8 @@ class EngineServer:
                     self.engine.add_request(
                         rid, np.asarray(p.prompt_ids), p.max_tokens,
                         temperature=p.temperature, top_k=p.top_k,
-                        top_p=p.top_p)
+                        top_p=p.top_p,
+                        repetition_penalty=p.repetition_penalty)
                 except (ValueError, NotImplementedError) as e:
                     # reject THIS request; the engine thread must survive
                     # (an unhandled raise here bricks every other client)
@@ -251,6 +254,7 @@ class EngineServer:
                              else int(req["top_k"]))
                     top_p = (None if req.get("top_p") is None
                              else float(req["top_p"]))
+                    rep_pen = float(req.get("repetition_penalty") or 1.0)
                 except (KeyError, ValueError, TypeError,
                         json.JSONDecodeError) as e:
                     return self._json(400, {"error": str(e)})
@@ -262,7 +266,7 @@ class EngineServer:
                     p = _Pending(ids, max_tokens, temperature, top_k,
                                  top_p, bool(req.get("stream", False)),
                                  client_id=req.get("request_id"),
-                                 chat=chat)
+                                 chat=chat, repetition_penalty=rep_pen)
                     server._pending.put(p)
                 server._wake.set()
                 if p.stream:

@@ -180,6 +180,17 @@ class SpeculativeBatchingEngine(BatchingEngine):
         self.dpos = np.zeros((self.max_batch,), np.int32)
         self.accepted = self.proposed = 0
 
+    def add_request(self, req_id, prompt, max_new_tokens: int = 128,
+                    temperature: float = 0.0, top_k=None, top_p=None,
+                    repetition_penalty: float = 1.0):
+        if repetition_penalty and repetition_penalty != 1.0:
+            raise NotImplementedError(
+                "repetition_penalty under speculative pool serving is not "
+                "implemented (the draft/verify acceptance would need the "
+                "processor applied at every chunk position)")
+        super().add_request(req_id, prompt, max_new_tokens, temperature,
+                            top_k, top_p)
+
     def _activate(self, slot: int, req: Request, row, logits):
         # target slot install (base behavior) + draft prefill/install
         drow = gen.init_kv_cache(self.dcfg, 1, self.max_seq, self.dtype)

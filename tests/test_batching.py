@@ -280,3 +280,30 @@ def test_return_logprobs(rng):
     lp = np.asarray(jax.nn.log_softmax(np.asarray(logits[0],
                                                   dtype=np.float32)))
     assert abs(req.logprobs[0] - lp[req.output[0]]) < 1e-4
+
+
+def test_repetition_penalty_matches_solo(rng):
+    """Per-request repetition penalty (HF processor semantics: penalize
+    every token already in prompt+output, before the warpers) must match
+    the solo generate path token-for-token, and must not perturb
+    penalty-free neighbors in the same pool."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    p1 = rng.integers(0, 64, (6,))
+    p2 = rng.integers(0, 64, (4,))
+    ref_pen = np.asarray(gen.generate(
+        CFG, params, jnp.asarray(p1[None]), 8, repetition_penalty=1.8,
+        method="jnp", dtype=jnp.float32))[0, len(p1):]
+    ref_plain = np.asarray(gen.generate(
+        CFG, params, jnp.asarray(p2[None]), 8, method="jnp",
+        dtype=jnp.float32))[0, len(p2):]
+
+    eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32)
+    eng.add_request("pen", p1, 8, repetition_penalty=1.8)
+    eng.add_request("plain", p2, 8)
+    got = eng.run()
+    assert got["pen"] == list(ref_pen)
+    assert got["plain"] == list(ref_plain)
+    assert got["pen"] != list(np.asarray(gen.generate(
+        CFG, params, jnp.asarray(p1[None]), 8, method="jnp",
+        dtype=jnp.float32))[0, len(p1):]), "penalty had no effect"
