@@ -150,9 +150,9 @@ class AwqCausalLM:
                     "beam surface otherwise)")
             from autoawq_tpu.serve.beam import generate_beam_batched
 
-            ids = np.asarray(input_ids)
-            [(rows, _)] = generate_beam_batched(
-                self.cfg, self.params, [ids.reshape(-1)],
+            ids = np.atleast_2d(np.asarray(input_ids))
+            results = generate_beam_batched(
+                self.cfg, self.params, list(ids),
                 max_new_tokens, num_beams=num_beams,
                 length_penalty=length_penalty,
                 early_stopping=early_stopping, eos_token_id=eos_token_id,
@@ -161,7 +161,13 @@ class AwqCausalLM:
                 do_sample=bool(temperature and temperature > 0.0),
                 temperature=temperature or 1.0, top_k=top_k, top_p=top_p,
                 seed=seed)
-            return np.asarray(rows)
+            # HF layout: [B * num_return_sequences, L], rows padded to the
+            # longest return with pad(=eos) on the right
+            rows = [r for seqs, _ in results for r in seqs]
+            ln = max(len(r) for r in rows)
+            pad = eos_token_id if eos_token_id is not None else 0
+            return np.stack([np.pad(r, (0, ln - len(r)),
+                                    constant_values=pad) for r in rows])
         out = gen.generate(
             self.cfg, self.params, jnp.asarray(input_ids), max_new_tokens,
             temperature=temperature, top_k=top_k, top_p=top_p,

@@ -194,6 +194,12 @@ def warp_batched(
     return jnp.where(scaled < thr, -jnp.inf, scaled)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _presence_note(presence: jax.Array, toks: jax.Array) -> jax.Array:
+    """Scatter one decode step's tokens ([B]) into the [B, V] presence."""
+    return presence.at[jnp.arange(presence.shape[0]), toks].set(True)
+
+
 @functools.partial(jax.jit, donate_argnums=())
 def _penalize_batched(logits: jax.Array, penalty: jax.Array,
                       presence: jax.Array) -> jax.Array:
@@ -234,12 +240,27 @@ class SamplingSlots:
         self.topk = np.full((max_batch,), vocab_size, np.int32)
         self.topp = np.ones((max_batch,), np.float32)
         self.penalty = np.ones((max_batch,), np.float32)
-        # prompt+output token presence per slot, host-side (transferred
-        # to device only on steps where some slot has a penalty active)
-        self.presence = np.zeros((max_batch, vocab_size), bool)
+        # prompt+output token presence lives ON DEVICE ([B, V] bool),
+        # built lazily when the first penalized request arrives and
+        # maintained with one tiny scatter per pool step while any
+        # penalty is active — penalty-free pools never touch it, and no
+        # per-step host->device matrix transfer ever happens
+        self._pres_dev: Optional[jax.Array] = None
         self._vocab = vocab_size
         self._key = jax.random.PRNGKey(seed)
         self._steps = 0
+
+    def _tracking(self) -> bool:
+        return bool(np.any(self.penalty != 1.0))
+
+    def _rebuild_presence(self) -> None:
+        pres = np.zeros((self.max_batch, self._vocab), bool)
+        for slot, req in enumerate(self.slots):
+            if req is not None:
+                pres[slot, np.asarray(req.prompt, np.int64)] = True
+                if req.output:
+                    pres[slot, np.asarray(req.output, np.int64)] = True
+        self._pres_dev = jnp.asarray(pres)
 
     def _set_sampling(self, slot: int, req: "Request") -> None:
         v = self._vocab
@@ -248,16 +269,32 @@ class SamplingSlots:
                            else v)
         self.topp[slot] = (req.top_p if req.top_p is not None
                            and req.top_p < 1.0 else 1.0)
+        was_tracking = self._tracking()
         self.penalty[slot] = req.repetition_penalty or 1.0
-        self.presence[slot] = False
-        self.presence[slot, np.asarray(req.prompt, np.int64)] = True
+        if self.penalty[slot] != 1.0:
+            if not was_tracking or self._pres_dev is None:
+                # presence went unmaintained while no penalty was live:
+                # rebuild every slot's history from its request object
+                self._rebuild_presence()
+            self._pres_dev = self._pres_dev.at[slot].set(False).at[
+                slot, jnp.asarray(np.asarray(req.prompt, np.int64))
+            ].set(True)
 
     def _clear_sampling(self, slot: int) -> None:
         self.temp[slot] = 0.0  # freed slot: back to (discarded) greedy
         self.penalty[slot] = 1.0
 
     def _note_token(self, slot: int, tok: int) -> None:
-        self.presence[slot, tok] = True
+        """Admission-time single-token presence update."""
+        if self._tracking():
+            self._pres_dev = self._pres_dev.at[slot, tok].set(True)
+
+    def _note_tokens_all(self, toks: np.ndarray) -> None:
+        """One pool step's tokens for every slot (garbage rows of
+        inactive/penalty-free slots are never read)."""
+        if self._tracking():
+            self._pres_dev = _presence_note(self._pres_dev,
+                                            jnp.asarray(toks))
 
     def _next_key(self):
         self._steps += 1
@@ -265,9 +302,9 @@ class SamplingSlots:
 
     def _sample_pool(self, logits: jax.Array) -> np.ndarray:
         """Pool-step token per slot ([B, V] logits -> [B] ids)."""
-        if np.any(self.penalty != 1.0):
+        if self._tracking():
             logits = _penalize_batched(logits, jnp.asarray(self.penalty),
-                                       jnp.asarray(self.presence))
+                                       self._pres_dev)
         if not np.any(self.temp > 0.0):  # all-greedy fast path
             return np.asarray(jnp.argmax(logits, axis=-1))
         return np.asarray(sample_batched(
@@ -279,7 +316,7 @@ class SamplingSlots:
         if self.penalty[slot] != 1.0:
             logits_row = _penalize_batched(
                 logits_row, jnp.asarray(self.penalty[slot : slot + 1]),
-                jnp.asarray(self.presence[slot : slot + 1]))
+                self._pres_dev[slot : slot + 1])
         if self.temp[slot] == 0.0:
             return int(jnp.argmax(logits_row[0]))
         return int(sample_batched(
@@ -490,13 +527,13 @@ class BatchingEngine(SamplingSlots):
             self.cfg, self.params, jnp.asarray(self.last_token[:, None]),
             self.caches, jnp.asarray(self.pos), self.method, self.dtype)
         toks = self._sample_pool(logits)
+        self._note_tokens_all(toks)
         self._record_logprobs(logits, toks, active)
         emitted = []
         for slot in active:
             tok = int(toks[slot])
             req = self.slots[slot]
             req.output.append(tok)
-            self._note_token(slot, tok)
             emitted.append((req.id, tok))
             self.pos[slot] += 1
             self.last_token[slot] = tok

@@ -41,8 +41,7 @@ import numpy as np
 
 from autoawq_tpu.models.config import ModelConfig
 from autoawq_tpu.serve import generate as gen
-from autoawq_tpu.serve.batching import (_install_slot, batched_decode_step,
-                                        warp_batched)
+from autoawq_tpu.serve.batching import batched_decode_step, warp_batched
 
 
 class _BeamHyps:
@@ -109,6 +108,13 @@ def _select_2w(logp: jax.Array, beam_scores: jax.Array, b: int, w: int,
         gumbel = jax.random.gumbel(key, sel.shape)
         _, idx = jax.lax.top_k(sel + gumbel, two_w)
         scores = jnp.take_along_axis(flat, idx, axis=-1)
+        # when fewer than 2W entries survive the warp (e.g. top_k=1),
+        # top_k is forced to return warped-out (-inf) positions; poison
+        # their TRUE scores too so the sort ranks them last and the host
+        # scorer skips them (>= W legitimate candidates always exist:
+        # every live beam keeps at least one token)
+        chosen = jnp.take_along_axis(sel, idx, axis=-1)
+        scores = jnp.where(jnp.isneginf(chosen), -jnp.inf, scores)
         order = jnp.argsort(-scores, axis=-1)
         scores = jnp.take_along_axis(scores, order, axis=-1)
         idx = jnp.take_along_axis(idx, order, axis=-1)
@@ -179,17 +185,23 @@ def generate_beam_batched(
     gen._check_rope_capacity(cfg, total)
     key = jax.random.PRNGKey(seed)
 
-    # prefill each prompt into a row cache, replicate across its W rows
-    caches = gen.init_kv_cache(cfg, b * w, total, dtype)
-    logp0 = []
-    for i, p in enumerate(prompts):
+    # prefill each prompt into a row cache, then build the [B*W]-row pool
+    # in one shot (repeat+concat — a per-(prompt, beam) install would
+    # compile one scatter kernel per static slot index, B*W compiles)
+    rows, logp0 = [], []
+    for p in prompts:
         row = gen.init_kv_cache(cfg, 1, total, dtype)
         logits0, row = gen.prefill(cfg, params, jnp.asarray(p[None]), row,
                                    method, dtype)
         logp0.append(np.asarray(jax.nn.log_softmax(
             logits0[0].astype(jnp.float32))))
-        for j in range(w):
-            caches = _install_slot(caches, row, i * w + j)
+        rows.append(row)
+    caches = [
+        {key: jnp.concatenate([jnp.repeat(r[li][key], w, axis=0)
+                               for r in rows], axis=0)
+         for key in rows[0][li]}
+        for li in range(len(rows[0]))
+    ]
 
     hyps = [_BeamHyps(w, length_penalty, early_stopping,
                       lens[i] + max_new_tokens) for i in range(b)]
@@ -243,6 +255,8 @@ def generate_beam_batched(
                 t, sc, bm = (int(toks2w[i, rank]),
                              float(scores2w[i, rank]),
                              int(beams2w[i, rank]))
+                if not np.isfinite(sc):
+                    continue  # warped-out artifact (see _select_2w)
                 if eos_token_id is not None and t == eos_token_id:
                     if rank >= w:
                         continue
@@ -251,6 +265,11 @@ def generate_beam_batched(
                     nxt.append((t, sc, bm))
                 if len(nxt) == w:
                     break
+            if not nxt:  # every finite candidate was EOS: prompt is done
+                done[i] = True
+                continue
+            while len(nxt) < w:  # warp starved the pool: duplicate a beam
+                nxt.append(nxt[-1])
             done[i] = done[i] or hyps[i].is_done(
                 float(scores2w[i, 0]), cur_len, lens[i])
             seqs[i] = [seqs[i][bm] + [t] for t, _, bm in nxt]

@@ -498,13 +498,13 @@ class PagedBatchingEngine(SamplingSlots):
             self.pages, jnp.asarray(self.table), jnp.asarray(self.pos),
             self.method, self.dtype)
         toks = self._sample_pool(logits)
+        self._note_tokens_all(toks)
         self._record_logprobs(logits, toks, active)
         emitted = []
         for slot in active:
             tok = int(toks[slot])
             req = self.slots[slot]
             req.output.append(tok)
-            self._note_token(slot, tok)
             emitted.append((req.id, tok))
             self.pos[slot] += 1
             self.last_token[slot] = tok

@@ -310,6 +310,20 @@ class EngineServer:
                 while True:
                     t = p.tokens.get()
                     if t is None:
+                        if p.logprobs is not None:
+                            # final summary chunk: streaming clients get
+                            # the same logprobs non-stream responses carry
+                            fin = {"object": ("chat.completion.chunk"
+                                              if p.chat
+                                              else "text_completion.chunk"),
+                                   "choices": [{
+                                       "index": 0,
+                                       "finish_reason": "stop",
+                                       "logprobs": {
+                                           "token_logprobs": p.logprobs}}]}
+                            self.wfile.write(
+                                b"data: " + json.dumps(fin).encode()
+                                + b"\n\n")
                         self.wfile.write(b"data: [DONE]\n\n")
                         self.wfile.flush()
                         return

@@ -147,3 +147,47 @@ def test_beam_sample_structure(rng):
     with _pytest.raises(ValueError, match="temperature"):
         generate_beam_batched(cfg, params, [p], 4, do_sample=True,
                               temperature=0.0)
+
+
+def test_generate_api_batched_beams(rng):
+    """model.generate with a [B, S] batch and beams must serve each row
+    as its own prompt (HF layout [B*n, L]) — regression for the path
+    that silently concatenated the rows into one prompt."""
+    from autoawq_tpu.api import AwqCausalLM
+    from autoawq_tpu.io.hf import init_random_params
+
+    _, cfg, params = _hf_pair(seed=6)
+    model = AwqCausalLM(cfg, params)
+    ids = rng.integers(0, 128, (2, 6))
+    out = model.generate(ids, max_new_tokens=5, num_beams=3,
+                         eos_token_id=9, dtype=jnp.float32, method="jnp")
+    assert out.shape[0] == 2
+    for i in range(2):
+        solo = model.generate(ids[i : i + 1], max_new_tokens=5,
+                              num_beams=3, eos_token_id=9,
+                              dtype=jnp.float32, method="jnp")
+        n = min(out.shape[1], solo.shape[1])
+        np.testing.assert_array_equal(out[i, :n], solo[0, :n])
+
+
+def test_beam_sample_topk1_never_emits_forbidden(rng):
+    """Regression: with top_k=1 only W finite candidates survive the warp
+    per step; Gumbel-top-k must never let a warped-out (-inf) token into
+    the beams. With one candidate per beam the run is fully deterministic
+    — identical across seeds."""
+    from autoawq_tpu.serve.beam import generate_beam_batched
+
+    _, cfg, params = _hf_pair(seed=7)
+    p = rng.integers(0, 128, (5,))
+
+    def run(seed, top_k):
+        [(rows, scores)] = generate_beam_batched(
+            cfg, params, [p], 8, num_beams=2, do_sample=True,
+            temperature=1.0, top_k=top_k, method="jnp",
+            dtype=jnp.float32, seed=seed)
+        return rows.tolist(), scores
+
+    r1, s1 = run(0, 1)
+    r2, _ = run(123, 1)
+    assert r1 == r2, "top_k=1 stochastic beams must be deterministic"
+    assert all(np.isfinite(s) for s in s1)
