@@ -780,7 +780,8 @@ def mla_attention(
 
     # full per-head K/V only where attention runs against local keys — the
     # absorbed latent-decode path below never materializes them
-    latent_decode = (kv_cache is not None and "c" in kv_cache
+    latent_decode = (kv_cache is not None
+                     and ("c" in kv_cache or "c_pages" in kv_cache)
                      and not causal_prefill)
     if not latent_decode:
         _tap(taps, "self_attn.kv_b_proj", c)
@@ -792,6 +793,40 @@ def mla_attention(
         )  # [B, S, nh, dq]
 
     scale = cfg.attn_scale if cfg.attn_scale is not None else dq**-0.5
+    if kv_cache is not None and "c_pages" in kv_cache:
+        # PAGED latent cache (serve/paged.py): one [dc | dr] latent row
+        # per token lives in a shared page pool `c_pages [1, P, ps, dcr]`
+        # addressed by the slot's page table; decode is the same absorbed
+        # formulation as the contiguous latent branch below, contracted
+        # against the gathered latent slab (tiny: dcr ~ O(576) bytes/row,
+        # the whole point of the latent layout). s == 1 decode only.
+        pos, table = kv_cache["pos"], kv_cache["page_table"]
+        dc_rank = cfg.kv_lora_rank
+        ps_page = kv_cache["c_pages"].shape[2]
+        ce = jnp.concatenate([c, k_pe[:, :, 0, :]], axis=-1)  # [B, 1, dcr]
+        cp = _paged_write(kv_cache["c_pages"], ce, table, pos, ps_page)
+        lengths = pos + 1
+        new_cache = {"c_pages": cp, "page_table": table, "pos": lengths}
+        cb = jnp.moveaxis(cp[:, table], 1, 0).reshape(
+            b, -1, cp.shape[-1])  # [B, T, dcr]
+        c_cache = cb[..., :dc_rank].astype(jnp.float32)
+        pe_cache = cb[..., dc_rank:].astype(jnp.float32)
+        wkv = _dense_weight(p["kv_b_proj"], nh * (dn + dv))
+        w3 = wkv.reshape(dc_rank, nh, dn + dv)
+        q_abs = jnp.einsum("bshd,chd->bshc",
+                           q_nope.astype(jnp.float32), w3[..., :dn])
+        scores = jnp.einsum("bshc,btc->bhst", q_abs, c_cache)
+        scores = scores + jnp.einsum(
+            "bshr,btr->bhst", q_pe.astype(jnp.float32), pe_cache)
+        scores = scores * scale
+        valid = jnp.arange(cb.shape[1])[None, :] < lengths[:, None]
+        scores = jnp.where(valid[:, None, None, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ov = jnp.einsum("bhst,btc->bshc", probs, c_cache)
+        out = jnp.einsum("bshc,chd->bshd", ov, w3[..., dn:]).reshape(
+            b, s, nh * dv).astype(x.dtype)
+        _tap(taps, "self_attn.o_proj", out)
+        return linear(p["o_proj"], out, cfg.hidden_size, method), new_cache
     if kv_cache is not None and "c" in kv_cache:
         # Latent cache (DeepSeek-V2 paper §2.1): the cache holds ONE
         # [compressed-kv | rope-head] row per token shared by all heads.

@@ -37,8 +37,14 @@ ONE compiled decode step for the pool). Specifics:
   int8 pools run the bespoke block-table Pallas kernel
   (ops/paged_attn.py; the stock kernel is bf16-only).
 
-ALiBi / sliding-window / MLA models stay on the contiguous engines (the
-stock kernel supports neither bias nor windows; gated in __init__).
+* MLA (DeepSeek) models page the LATENT cache: one [dc|dr] row per
+  token shared by all heads (`c_pages [1, P, ps, dcr]`), decoded with
+  the absorbed formulation against the gathered latent slab
+  (modules.mla_attention paged branch) — paged serving at ~nh*(dk+dv)/
+  dcr times less pool memory than materialized per-head K/V pages.
+
+ALiBi / sliding-window models stay on the contiguous engines (the
+kernels support neither bias nor windows; gated in __init__).
 """
 
 from __future__ import annotations
@@ -71,7 +77,7 @@ def paged_decode_step(
     dtype=jnp.bfloat16,
 ) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
     """One decode token for every slot against the page pool."""
-    ps = page_caches[0]["k_pages"].shape[2]
+    ps = next(iter(page_caches[0].values())).shape[2]
     cap = table.shape[1] * ps
     positions = pos[:, None]
     x = modules.embed(cfg, params, tokens, dtype, positions)
@@ -87,9 +93,11 @@ def paged_decode_step(
 
 
 # pool key <-> contiguous-row key pairs; the scale entries exist only in
-# int8 pools (kv_quant=True) / int8 rows (init_kv_cache kv_quant=True)
+# int8 pools (kv_quant=True) / int8 rows (init_kv_cache kv_quant=True);
+# c_pages is the MLA latent pool (one [dc|dr] row per token, all heads)
 _PAGE_KEYS = (("k_pages", "k"), ("v_pages", "v"),
-              ("k_page_s", "k_s"), ("v_page_s", "v_s"))
+              ("k_page_s", "k_s"), ("v_page_s", "v_s"),
+              ("c_pages", "c"))
 
 
 @functools.partial(jax.jit, static_argnames=("n_pages", "start_page"),
@@ -101,7 +109,7 @@ def _install_pages(page_caches, row_caches, page_ids: jax.Array,
     (K/V plus, for int8 pools, their per-token scales)."""
     out = []
     for pc, row in zip(page_caches, row_caches):
-        ps = pc["k_pages"].shape[2]
+        ps = next(iter(pc.values())).shape[2]
         lo, hi = start_page * ps, (start_page + n_pages) * ps
         new = {}
         for pk, rk in _PAGE_KEYS:
@@ -123,7 +131,7 @@ def _gather_pages(page_caches, row_caches, page_ids: jax.Array,
     prefix forward)."""
     out = []
     for pc, row in zip(page_caches, row_caches):
-        ps = pc["k_pages"].shape[2]
+        ps = next(iter(pc.values())).shape[2]
         new = {}
         for pk, rk in _PAGE_KEYS:
             if pk not in pc:
@@ -148,8 +156,9 @@ class PagedBatchingEngine(SamplingSlots):
                  prefill_chunk_size: Optional[int] = None,
                  return_logprobs: bool = False,
                  kv_quant: bool = False):
-        if cfg.is_mla:
-            raise NotImplementedError("MLA uses the latent layout")
+        if cfg.is_mla and kv_quant:
+            raise NotImplementedError("int8 KV not supported for the MLA "
+                                      "latent pages")
         if cfg.pos_embed == "alibi" or cfg.sliding_window:
             raise NotImplementedError(
                 "ALiBi / sliding-window models use serve.batching")
@@ -168,7 +177,18 @@ class PagedBatchingEngine(SamplingSlots):
         nkv = cfg.num_key_value_heads
         hd = cfg.head_dim_
         self.kv_quant = kv_quant
-        if kv_quant:
+        if cfg.is_mla:
+            # latent page pool: ONE [compressed-kv | rope-head] row per
+            # token shared by every head (same layout as the contiguous
+            # latent cache, serve/generate.init_kv_cache) — each page is
+            # dcr bytes/token instead of nh*(dk+dv)
+            dcr = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+            self.pages = [
+                {"c_pages": jnp.zeros((1, total_pages, page_size, dcr),
+                                      dtype)}
+                for _ in range(cfg.num_hidden_layers)
+            ]
+        elif kv_quant:
             # int8 pool + per-(head, page, line) absmax scales: half the
             # page bytes; on-read dequant folds into the attention scores
             # (modules._paged_decode -> ops/paged_attn.py on TPU).

@@ -420,3 +420,38 @@ def test_paged_int8_prefix_cache_shares_quantized_pages(rng):
     cold, _ = run(False)
     assert hits >= 1
     assert warm == cold
+
+
+def test_paged_mla_matches_solo(rng):
+    """DeepSeek-style MLA in the PAGED engine: latent rows page into the
+    shared pool (c_pages) and absorbed decode against the gathered slab
+    matches solo generation — including prefix-cache reuse of latent
+    pages and page recycling."""
+    mla_cfg = ModelConfig(
+        model_type="deepseek_v2", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, max_position_embeddings=64,
+        q_lora_rank=32, kv_lora_rank=16, qk_rope_head_dim=8,
+        qk_nope_head_dim=16, v_head_dim=16)
+    from autoawq_tpu.io.hf import init_random_params
+
+    params = init_random_params(mla_cfg, seed=7, scale=0.08)
+
+    def solo(prompt, n):
+        out = gen.generate(mla_cfg, params, jnp.asarray(prompt[None]), n,
+                           method="jnp", dtype=jnp.float32, max_seq_len=48)
+        return list(np.asarray(out)[0][len(prompt):])
+
+    eng = PagedBatchingEngine(mla_cfg, params, max_batch=2, page_size=8,
+                              total_pages=16, pages_per_seq=4,
+                              method="jnp", dtype=jnp.float32)
+    system = rng.integers(0, 64, (10,))
+    prompts = {f"m{i}": np.concatenate([system, rng.integers(0, 64, (l,))])
+               for i, l in enumerate([3, 5, 2])}
+    for rid, p in prompts.items():
+        eng.add_request(rid, p, 6)
+    got = eng.run()
+    for rid, p in prompts.items():
+        assert got[rid] == solo(p, 6), rid
+    assert eng.prefix_hits >= 1  # latent pages shared across requests
+    assert eng.pages[0]["c_pages"].shape[0] == 1
