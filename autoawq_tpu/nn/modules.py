@@ -392,8 +392,9 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
     kv_cache: {"k_pages"/"v_pages": [nkv, P, page, hd], "page_table":
     [B, PPS] int32, "pos": [B] int32} — plus "k_page_s"/"v_page_s"
     [nkv, P, page] f32 when the pool is int8-quantized (serve/paged.py
-    kv_quant=True). s == 1 decode only; ALiBi and sliding-window models
-    stay on the contiguous path (serve/paged.py gates admission). On TPU
+    kv_quant=True). s == 1 decode only; ALiBi models stay on the
+    contiguous path (serve/paged.py gates admission); sliding windows
+    mask in the bespoke kernel / gather path. On TPU
     bf16 pools run the stock Pallas paged-attention kernel and int8
     pools run the bespoke block-table kernel (ops/paged_attn.py — the
     stock kernel can't fold the absmax scales); off-TPU a gather +
@@ -422,7 +423,8 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
     # TPU kernel selection (AWQ_TPU_PAGED_ATTN): "1" (default) = stock
     # Pallas kernel for bf16 pools, bespoke block-table kernel
     # (ops/paged_attn.py) for int8 pools (the stock kernel can't fold
-    # scales); "bespoke" = bespoke for bf16 too (chip A/B); "force" =
+    # scales) and sliding-window models (the stock kernel has no window
+    # mask); "bespoke" = bespoke for bf16 too (chip A/B); "force" =
     # bespoke in interpret mode off-TPU (tests); "0" = gather fallback.
     flag = _os.environ.get("AWQ_TPU_PAGED_ATTN", "1")
     on_tpu = jax.default_backend() == "tpu"
@@ -430,15 +432,17 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
         from autoawq_tpu.ops import paged_attn
 
         if paged_attn.supported(nh, nkv, hd, ps) \
-                and (quant or flag in ("bespoke", "force")):
+                and (quant or cfg.sliding_window
+                     or flag in ("bespoke", "force")):
             out = paged_attn.paged_decode_attention(
                 q[:, 0], kp, vp, table, lengths, scale=scale,
                 k_scales=kss, v_scales=vss,
                 softcap=cfg.attn_softcap or None,
+                window=cfg.sliding_window,
                 interpret=not on_tpu)
             return out.reshape(b, 1, nh * hd), new_cache
 
-    if not quant and method != "jnp" and on_tpu:
+    if not quant and not cfg.sliding_window and method != "jnp" and on_tpu:
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             paged_attention as _stock_paged)
 
@@ -461,7 +465,10 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
         scores = scores * ksb[:, :, None, :]
     if cfg.attn_softcap:
         scores = jnp.tanh(scores / cfg.attn_softcap) * cfg.attn_softcap
-    valid = jnp.arange(kb.shape[2])[None, :] < lengths[:, None]  # [B, T]
+    idx_t = jnp.arange(kb.shape[2])[None, :]
+    valid = idx_t < lengths[:, None]  # [B, T]
+    if cfg.sliding_window:
+        valid &= idx_t >= (lengths - cfg.sliding_window)[:, None]
     scores = jnp.where(valid[:, None, None, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     if quant:

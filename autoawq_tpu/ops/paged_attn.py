@@ -38,7 +38,8 @@ REP_PAD = 8  # query-head sublane tile (matches ops/decode_attn.py)
 
 
 def _make_kernel(n_pages: int, ps: int, scale: float,
-                 softcap: Optional[float], quant: bool):
+                 softcap: Optional[float], quant: bool,
+                 window: Optional[int]):
     """Two kernel layouts (with/without scale operands) sharing one body."""
 
     def finish(s, p_scale_row, v, v_scale_row, vl, pb,
@@ -49,6 +50,8 @@ def _make_kernel(n_pages: int, ps: int, scale: float,
             s = jnp.tanh(s / softcap) * softcap
         idx = pb * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         ok = idx < vl
+        if window is not None:
+            ok &= idx >= vl - window  # sliding-window models (mistral)
         s = jnp.where(ok, s, -1e30)
 
         m_old = m_ref[:, :1]
@@ -124,7 +127,7 @@ def supported(nh: int, nkv: int, hd: int, ps: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap",
-                                             "interpret"))
+                                             "window", "interpret"))
 def paged_decode_attention(
     q: jax.Array,        # [B, nh, hd] current-step queries (post-rope)
     k_pages: jax.Array,  # [nkv, P, ps, hd] bf16/f32 or int8
@@ -136,6 +139,7 @@ def paged_decode_attention(
     k_scales: Optional[jax.Array] = None,  # [nkv, P, ps] f32 (int8 pages)
     v_scales: Optional[jax.Array] = None,
     softcap: Optional[float] = None,
+    window: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Single-step paged attention output [B, nh*hd]."""
@@ -168,7 +172,7 @@ def paged_decode_attention(
         operands += [k_scales, v_scales]
 
     out = pl.pallas_call(
-        _make_kernel(pps, ps, scale, softcap, quant),
+        _make_kernel(pps, ps, scale, softcap, quant, window),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, nkv, pps),

@@ -43,8 +43,12 @@ ONE compiled decode step for the pool). Specifics:
   (modules.mla_attention paged branch) — paged serving at ~nh*(dk+dv)/
   dcr times less pool memory than materialized per-head K/V pages.
 
-ALiBi / sliding-window models stay on the contiguous engines (the
-kernels support neither bias nor windows; gated in __init__).
+* Sliding-window models (mistral family) page normally: the window mask
+  lives in the bespoke kernel / gather path (the whole budget is still
+  reserved — pages behind the window are not yet recycled mid-flight).
+
+ALiBi models stay on the contiguous engines (the paged kernels carry no
+per-head bias; gated in __init__).
 """
 
 from __future__ import annotations
@@ -159,9 +163,10 @@ class PagedBatchingEngine(SamplingSlots):
         if cfg.is_mla and kv_quant:
             raise NotImplementedError("int8 KV not supported for the MLA "
                                       "latent pages")
-        if cfg.pos_embed == "alibi" or cfg.sliding_window:
+        if cfg.pos_embed == "alibi":
             raise NotImplementedError(
-                "ALiBi / sliding-window models use serve.batching")
+                "ALiBi models use serve.batching (per-head bias is not in "
+                "the paged kernels)")
         if prefill_chunk_size is not None \
                 and prefill_chunk_size % page_size:
             # chunk boundaries must land on page boundaries so the scratch

@@ -455,3 +455,32 @@ def test_paged_mla_matches_solo(rng):
         assert got[rid] == solo(p, 6), rid
     assert eng.prefix_hits >= 1  # latent pages shared across requests
     assert eng.pages[0]["c_pages"].shape[0] == 1
+
+
+def test_paged_sliding_window_matches_solo(rng):
+    """Mistral-style sliding-window models in the paged engine: window
+    masking lives in the kernel/gather path; streams match solo."""
+    win_cfg = ModelConfig(
+        model_type="mistral", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, max_position_embeddings=64,
+        sliding_window=7)
+    from autoawq_tpu.io.hf import init_random_params
+
+    params = init_random_params(win_cfg, seed=4, scale=0.08)
+
+    def solo(prompt, n):
+        out = gen.generate(win_cfg, params, jnp.asarray(prompt[None]), n,
+                           method="jnp", dtype=jnp.float32, max_seq_len=32)
+        return list(np.asarray(out)[0][len(prompt):])
+
+    eng = PagedBatchingEngine(win_cfg, params, max_batch=2, page_size=8,
+                              total_pages=16, pages_per_seq=4,
+                              method="jnp", dtype=jnp.float32)
+    prompts = {f"w{i}": rng.integers(0, 64, (l,))
+               for i, l in enumerate([5, 9])}
+    for rid, p in prompts.items():
+        eng.add_request(rid, p, 12)  # generation crosses the window edge
+    got = eng.run()
+    for rid, p in prompts.items():
+        assert got[rid] == solo(p, 12), rid

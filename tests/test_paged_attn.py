@@ -105,3 +105,27 @@ def test_paged_engine_through_kernel(rng, monkeypatch):
     monkeypatch.setenv("AWQ_TPU_PAGED_ATTN", "0")
     via_gather = run()
     assert via_kernel == via_gather
+
+
+def test_paged_attn_sliding_window_matches_oracle(rng):
+    q, kp, vp, table, lengths = _setup(rng)
+    scale = q.shape[-1] ** -0.5
+    window = 9
+
+    def oracle_win():
+        b, nh, hd = q.shape
+        nkv = kp.shape[0]
+        kb = jnp.moveaxis(kp[:, table], 1, 0).reshape(b, nkv, -1, hd)
+        vb = jnp.moveaxis(vp[:, table], 1, 0).reshape(b, nkv, -1, hd)
+        qg = q.reshape(b, nkv, nh // nkv, hd)
+        s = jnp.einsum("bgrd,bgtd->bgrt", qg, kb) * scale
+        idx = jnp.arange(kb.shape[2])[None, :]
+        ok = (idx < lengths[:, None]) & (idx >= (lengths - window)[:, None])
+        s = jnp.where(ok[:, None, None, :], s, -1e30)
+        p = jax.nn.softmax(s, -1)
+        return jnp.einsum("bgrt,bgtd->bgrd", p, vb).reshape(b, nh * hd)
+
+    got = paged_decode_attention(q, kp, vp, table, lengths, scale=scale,
+                                 window=window, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle_win()),
+                               rtol=1e-5, atol=1e-5)
