@@ -431,18 +431,22 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
     if method != "jnp" and flag != "0" and (on_tpu or flag == "force"):
         from autoawq_tpu.ops import paged_attn
 
+        is_alibi = cfg.pos_embed == "alibi"
         if paged_attn.supported(nh, nkv, hd, ps) \
-                and (quant or cfg.sliding_window
+                and not (quant and is_alibi) \
+                and (quant or cfg.sliding_window or is_alibi
                      or flag in ("bespoke", "force")):
             out = paged_attn.paged_decode_attention(
                 q[:, 0], kp, vp, table, lengths, scale=scale,
                 k_scales=kss, v_scales=vss,
                 softcap=cfg.attn_softcap or None,
                 window=cfg.sliding_window,
+                alibi_slopes=(alibi_slopes(nh) if is_alibi else None),
                 interpret=not on_tpu)
             return out.reshape(b, 1, nh * hd), new_cache
 
-    if not quant and not cfg.sliding_window and method != "jnp" and on_tpu:
+    if not quant and not cfg.sliding_window \
+            and cfg.pos_embed != "alibi" and method != "jnp" and on_tpu:
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             paged_attention as _stock_paged)
 
@@ -465,6 +469,11 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
         scores = scores * ksb[:, :, None, :]
     if cfg.attn_softcap:
         scores = jnp.tanh(scores / cfg.attn_softcap) * cfg.attn_softcap
+    if cfg.pos_embed == "alibi":
+        rel = (jnp.arange(kb.shape[2])[None, :]
+               - (lengths - 1)[:, None]).astype(jnp.float32)  # [B, T]
+        sl = alibi_slopes(nh).reshape(nkv, rep)
+        scores = scores + sl[None, :, :, None] * rel[:, None, None, :]
     idx_t = jnp.arange(kb.shape[2])[None, :]
     valid = idx_t < lengths[:, None]  # [B, T]
     if cfg.sliding_window:

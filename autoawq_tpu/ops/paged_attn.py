@@ -39,16 +39,22 @@ REP_PAD = 8  # query-head sublane tile (matches ops/decode_attn.py)
 
 def _make_kernel(n_pages: int, ps: int, scale: float,
                  softcap: Optional[float], quant: bool,
-                 window: Optional[int]):
-    """Two kernel layouts (with/without scale operands) sharing one body."""
+                 window: Optional[int], alibi: bool):
+    """Kernel layout variants (with/without scale and slope operands)
+    sharing one body."""
 
-    def finish(s, p_scale_row, v, v_scale_row, vl, pb,
+    def finish(s, p_scale_row, v, v_scale_row, slope_col, vl, pb,
                o_ref, m_ref, l_ref, acc_ref):
         if p_scale_row is not None:
             s = s * p_scale_row[None, :]  # fold int8 K scales
         if softcap:
             s = jnp.tanh(s / softcap) * softcap
         idx = pb * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        if slope_col is not None:
+            # ALiBi: per-query-head slope x (key_pos - query_pos); the
+            # query sits at vl - 1
+            s = s + slope_col[:, None] * (idx - (vl - 1)).astype(
+                jnp.float32)
         ok = idx < vl
         if window is not None:
             ok &= idx >= vl - window  # sliding-window models (mistral)
@@ -88,34 +94,36 @@ def _make_kernel(n_pages: int, ps: int, scale: float,
         ) * scale
         return s, vl, pb
 
+    def init_scratch(m_ref, l_ref, acc_ref):
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
     if quant:
         def kernel(tbl_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                    o_ref, m_ref, l_ref, acc_ref):
-            pb = pl.program_id(2)
-
-            @pl.when(pb == 0)
-            def _():
-                m_ref[:] = jnp.full_like(m_ref, -1e30)
-                l_ref[:] = jnp.zeros_like(l_ref)
-                acc_ref[:] = jnp.zeros_like(acc_ref)
-
+            pl.when(pl.program_id(2) == 0)(
+                lambda: init_scratch(m_ref, l_ref, acc_ref))
             s, vl, pb = start(tbl_ref, len_ref, q_ref, k_ref)
             finish(s, ks_ref[0, 0], v_ref[0, 0].astype(jnp.float32),
-                   vs_ref[0, 0], vl, pb, o_ref, m_ref, l_ref, acc_ref)
+                   vs_ref[0, 0], None, vl, pb, o_ref, m_ref, l_ref,
+                   acc_ref)
+    elif alibi:
+        def kernel(tbl_ref, len_ref, q_ref, k_ref, v_ref, sl_ref,
+                   o_ref, m_ref, l_ref, acc_ref):
+            pl.when(pl.program_id(2) == 0)(
+                lambda: init_scratch(m_ref, l_ref, acc_ref))
+            s, vl, pb = start(tbl_ref, len_ref, q_ref, k_ref)
+            finish(s, None, v_ref[0, 0].astype(jnp.float32), None,
+                   sl_ref[0], vl, pb, o_ref, m_ref, l_ref, acc_ref)
     else:
         def kernel(tbl_ref, len_ref, q_ref, k_ref, v_ref,
                    o_ref, m_ref, l_ref, acc_ref):
-            pb = pl.program_id(2)
-
-            @pl.when(pb == 0)
-            def _():
-                m_ref[:] = jnp.full_like(m_ref, -1e30)
-                l_ref[:] = jnp.zeros_like(l_ref)
-                acc_ref[:] = jnp.zeros_like(acc_ref)
-
+            pl.when(pl.program_id(2) == 0)(
+                lambda: init_scratch(m_ref, l_ref, acc_ref))
             s, vl, pb = start(tbl_ref, len_ref, q_ref, k_ref)
             finish(s, None, v_ref[0, 0].astype(jnp.float32), None,
-                   vl, pb, o_ref, m_ref, l_ref, acc_ref)
+                   None, vl, pb, o_ref, m_ref, l_ref, acc_ref)
 
     return kernel
 
@@ -140,6 +148,7 @@ def paged_decode_attention(
     v_scales: Optional[jax.Array] = None,
     softcap: Optional[float] = None,
     window: Optional[int] = None,
+    alibi_slopes: Optional[jax.Array] = None,  # [nh] f32 per-head slopes
     interpret: bool = False,
 ) -> jax.Array:
     """Single-step paged attention output [B, nh*hd]."""
@@ -148,6 +157,9 @@ def paged_decode_attention(
     pps = table.shape[1]
     rep = nh // nkv
     quant = k_scales is not None
+    alibi = alibi_slopes is not None
+    if quant and alibi:
+        raise NotImplementedError("int8 pages + ALiBi not combined")
 
     qg = q.reshape(b, nkv, rep, hd).astype(jnp.float32)
     if rep < REP_PAD:
@@ -170,9 +182,17 @@ def paged_decode_attention(
                          lambda i, j, pb, tbl, ln: (j, tbl[i, pb], 0)),
         ]
         operands += [k_scales, v_scales]
+    if alibi:
+        # group-major [nkv, REP_PAD] slope sheet; each program reads its
+        # kv group's query-head rows (padded rows never leave the kernel)
+        sl = alibi_slopes.astype(jnp.float32).reshape(nkv, rep)
+        sl = jnp.pad(sl, ((0, 0), (0, REP_PAD - rep)))
+        in_specs.append(
+            pl.BlockSpec((1, REP_PAD), lambda i, j, pb, tbl, ln: (j, 0)))
+        operands.append(sl)
 
     out = pl.pallas_call(
-        _make_kernel(pps, ps, scale, softcap, quant, window),
+        _make_kernel(pps, ps, scale, softcap, quant, window, alibi),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, nkv, pps),

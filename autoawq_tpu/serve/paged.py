@@ -46,9 +46,9 @@ ONE compiled decode step for the pool). Specifics:
 * Sliding-window models (mistral family) page normally: the window mask
   lives in the bespoke kernel / gather path (the whole budget is still
   reserved — pages behind the window are not yet recycled mid-flight).
-
-ALiBi models stay on the contiguous engines (the paged kernels carry no
-per-head bias; gated in __init__).
+* ALiBi models (bloom/mpt/baichuan-13b) page normally too: the bespoke
+  kernel takes a per-head slope sheet and adds slope x (key - query)
+  in-block (int8 pages + ALiBi is the one ungated combination left).
 """
 
 from __future__ import annotations
@@ -163,10 +163,9 @@ class PagedBatchingEngine(SamplingSlots):
         if cfg.is_mla and kv_quant:
             raise NotImplementedError("int8 KV not supported for the MLA "
                                       "latent pages")
-        if cfg.pos_embed == "alibi":
+        if cfg.pos_embed == "alibi" and kv_quant:
             raise NotImplementedError(
-                "ALiBi models use serve.batching (per-head bias is not in "
-                "the paged kernels)")
+                "int8 pages + ALiBi not combined in the paged kernel")
         if prefill_chunk_size is not None \
                 and prefill_chunk_size % page_size:
             # chunk boundaries must land on page boundaries so the scratch

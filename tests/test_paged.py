@@ -484,3 +484,32 @@ def test_paged_sliding_window_matches_solo(rng):
     got = eng.run()
     for rid, p in prompts.items():
         assert got[rid] == solo(p, 12), rid
+
+
+def test_paged_alibi_matches_solo(rng):
+    """ALiBi models (bloom-style) in the paged engine: per-head bias in
+    the gather path / bespoke kernel; streams match solo generation."""
+    ab_cfg = ModelConfig(
+        model_type="bloom", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, head_dim=16, max_position_embeddings=64,
+        pos_embed="alibi")
+    from autoawq_tpu.io.hf import init_random_params
+
+    params = init_random_params(ab_cfg, seed=9, scale=0.08)
+
+    def solo(prompt, n):
+        out = gen.generate(ab_cfg, params, jnp.asarray(prompt[None]), n,
+                           method="jnp", dtype=jnp.float32, max_seq_len=32)
+        return list(np.asarray(out)[0][len(prompt):])
+
+    eng = PagedBatchingEngine(ab_cfg, params, max_batch=2, page_size=8,
+                              total_pages=16, pages_per_seq=4,
+                              method="jnp", dtype=jnp.float32)
+    prompts = {f"a{i}": rng.integers(0, 64, (l,))
+               for i, l in enumerate([5, 9])}
+    for rid, p in prompts.items():
+        eng.add_request(rid, p, 8)
+    got = eng.run()
+    for rid, p in prompts.items():
+        assert got[rid] == solo(p, 8), rid

@@ -129,3 +129,32 @@ def test_paged_attn_sliding_window_matches_oracle(rng):
                                  window=window, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(oracle_win()),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_paged_attn_alibi_matches_oracle(rng):
+    from autoawq_tpu.nn.modules import alibi_slopes
+
+    q, kp, vp, table, lengths = _setup(rng)
+    b, nh, hd = q.shape
+    nkv = kp.shape[0]
+    scale = hd ** -0.5
+    slopes = alibi_slopes(nh)
+
+    def oracle_alibi():
+        kb = jnp.moveaxis(kp[:, table], 1, 0).reshape(b, nkv, -1, hd)
+        vb = jnp.moveaxis(vp[:, table], 1, 0).reshape(b, nkv, -1, hd)
+        rep = nh // nkv
+        qg = q.reshape(b, nkv, rep, hd)
+        s = jnp.einsum("bgrd,bgtd->bgrt", qg, kb) * scale
+        idx = jnp.arange(kb.shape[2])[None, :]
+        rel = (idx - (lengths - 1)[:, None]).astype(jnp.float32)
+        s = s + slopes.reshape(nkv, rep)[None, :, :, None] \
+            * rel[:, None, None, :]
+        s = jnp.where((idx < lengths[:, None])[:, None, None, :], s, -1e30)
+        p = jax.nn.softmax(s, -1)
+        return jnp.einsum("bgrt,bgtd->bgrd", p, vb).reshape(b, nh * hd)
+
+    got = paged_decode_attention(q, kp, vp, table, lengths, scale=scale,
+                                 alibi_slopes=slopes, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle_alibi()),
+                               rtol=1e-5, atol=1e-5)
