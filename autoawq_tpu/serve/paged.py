@@ -44,8 +44,10 @@ ONE compiled decode step for the pool). Specifics:
   dcr times less pool memory than materialized per-head K/V pages.
 
 * Sliding-window models (mistral family) page normally: the window mask
-  lives in the bespoke kernel / gather path (the whole budget is still
-  reserved — pages behind the window are not yet recycled mid-flight).
+  lives in the bespoke kernel / gather path, and pages that fall wholly
+  behind the window are recycled MID-FLIGHT back to the pool
+  (``_recycle_window_pages``) — a long window-model generation holds
+  O(window) pages, not O(history).
 * ALiBi models (bloom/mpt/baichuan-13b) page normally too: the bespoke
   kernel takes a per-head slope sheet and adds slope x (key - query)
   in-block (int8 pages + ALiBi is the one ungated combination left).
@@ -218,6 +220,8 @@ class PagedBatchingEngine(SamplingSlots):
         self.free: List[int] = list(range(total_pages - 1, 0, -1))  # 0=trash
         self.table = np.zeros((max_batch, pages_per_seq), np.int32)
         self.owned: List[List[int]] = [[] for _ in range(max_batch)]
+        # leading pages already recycled behind a sliding window
+        self.win_dropped = np.zeros((max_batch,), np.int64)
         self.pos = np.zeros((max_batch,), np.int32)
         self.last_token = np.zeros((max_batch,), np.int32)
         self.slots: List[Optional[Request]] = [None] * max_batch
@@ -479,9 +483,26 @@ class PagedBatchingEngine(SamplingSlots):
             if self.page_ref[pid] == 0 and pid not in self.page_chain:
                 self.free.append(pid)
 
+    def _recycle_window_pages(self, slot: int) -> None:
+        """Sliding-window models: pages wholly behind the attention
+        window are unreadable forever (the window mask excludes them and
+        decode writes only advance) — return them to the pool mid-flight
+        so long generations don't hold their whole history hostage.
+        Shared prefix pages just drop this slot's reference (the cached
+        KV stays valid for future prefix hits)."""
+        win = self.cfg.sliding_window
+        first_needed = max(0, int(self.pos[slot]) - win) // self.ps
+        dropped = self.win_dropped[slot]
+        if first_needed <= dropped:
+            return
+        self._release_pages(self.owned[slot][dropped:first_needed])
+        self.table[slot, dropped:first_needed] = 0  # never read again
+        self.win_dropped[slot] = first_needed
+
     def _free_slot(self, slot: int) -> None:
-        self._release_pages(self.owned[slot])
+        self._release_pages(self.owned[slot][self.win_dropped[slot]:])
         self.owned[slot] = []
+        self.win_dropped[slot] = 0
         self.table[slot] = 0  # trash page: decode writes go nowhere
         self.pos[slot] = 0
         self._clear_sampling(slot)
@@ -531,6 +552,8 @@ class PagedBatchingEngine(SamplingSlots):
             req.output.append(tok)
             emitted.append((req.id, tok))
             self.pos[slot] += 1
+            if self.cfg.sliding_window and self.slots[slot] is not None:
+                self._recycle_window_pages(slot)
             self.last_token[slot] = tok
             self._retire_if_done(slot)
         return emitted

@@ -513,3 +513,50 @@ def test_paged_alibi_matches_solo(rng):
     got = eng.run()
     for rid, p in prompts.items():
         assert got[rid] == solo(p, 8), rid
+
+
+def test_window_pages_recycle_midflight(rng):
+    """Pages wholly behind the sliding window return to the pool while
+    the request is still running; streams stay exact and a queued
+    request can be admitted with the recycled pages."""
+    win_cfg = ModelConfig(
+        model_type="mistral", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, max_position_embeddings=64,
+        sliding_window=8)
+    from autoawq_tpu.io.hf import init_random_params
+
+    params = init_random_params(win_cfg, seed=4, scale=0.08)
+
+    def solo(prompt, n):
+        out = gen.generate(win_cfg, params, jnp.asarray(prompt[None]), n,
+                           method="jnp", dtype=jnp.float32, max_seq_len=64)
+        return list(np.asarray(out)[0][len(prompt):])
+
+    prompt = rng.integers(0, 64, (6,))
+    # budget 6+40+1 -> 6 pages of 8; pool has 7 usable pages
+    eng = PagedBatchingEngine(win_cfg, params, max_batch=2, page_size=8,
+                              total_pages=8, pages_per_seq=6,
+                              method="jnp", dtype=jnp.float32,
+                              prefix_cache=False)
+    eng.add_request("long", prompt, 40)
+    free_during = []
+    while eng.has_work:
+        eng.step()
+        free_during.append(len(eng.free))
+    assert eng.finished[0].output == solo(prompt, 40)
+    # recycling returned pages to the pool while the request ran
+    assert max(free_during[:-1]) > min(free_during[:-1])
+    assert sorted(eng.free) == list(range(1, 8))
+
+    # a second request whose admission NEEDS recycled pages still serves
+    eng2 = PagedBatchingEngine(win_cfg, params, max_batch=2, page_size=8,
+                               total_pages=10, pages_per_seq=6,
+                               method="jnp", dtype=jnp.float32,
+                               prefix_cache=False)
+    p2 = rng.integers(0, 64, (5,))
+    eng2.add_request("a", prompt, 40)   # 6 pages
+    eng2.add_request("b", p2, 24)       # needs 4: only 3 free at start
+    got = eng2.run()
+    assert got["a"] == solo(prompt, 40)
+    assert got["b"] == solo(p2, 24)
