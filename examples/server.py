@@ -4,8 +4,13 @@
   curl localhost:8000/v1/completions -d '{"prompt": "Hello", "max_tokens": 32}'
 
 Streaming: add "stream": true for SSE chunks. Per-request sampling:
-"temperature"/"top_k"/"top_p". --paged serves from the paged KV pool with
-prefix caching (shared system prompts reuse cached KV pages).
+"temperature"/"top_k"/"top_p"/"repetition_penalty". Chat:
+POST /v1/chat/completions with {"messages": [...]} renders through the
+tokenizer's chat template. --paged serves from the paged KV pool with
+prefix caching (shared system prompts reuse cached KV pages; MLA,
+sliding-window and ALiBi models all page). --kv-quant stores int8 KV
+(half the cache bytes, both engines). --logprobs reports per-token
+log p(token|prefix) in responses (and a final SSE summary chunk).
 """
 
 import argparse
@@ -21,6 +26,10 @@ def main():
     ap.add_argument("--paged", action="store_true")
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--total-pages", type=int, default=512)
+    ap.add_argument("--kv-quant", action="store_true",
+                    help="int8 KV cache/pages")
+    ap.add_argument("--logprobs", action="store_true",
+                    help="report per-token logprobs in responses")
     args = ap.parse_args()
 
     from transformers import AutoTokenizer
@@ -38,13 +47,15 @@ def main():
             model.cfg, model.params, max_batch=args.max_batch,
             page_size=args.page_size, total_pages=args.total_pages,
             pages_per_seq=args.max_seq_len // args.page_size,
-            eos_token_id=tok.eos_token_id)
+            eos_token_id=tok.eos_token_id, kv_quant=args.kv_quant,
+            return_logprobs=args.logprobs)
     else:
         from autoawq_tpu.serve.batching import BatchingEngine
 
         eng = BatchingEngine(
             model.cfg, model.params, max_batch=args.max_batch,
-            max_seq_len=args.max_seq_len, eos_token_id=tok.eos_token_id)
+            max_seq_len=args.max_seq_len, eos_token_id=tok.eos_token_id,
+            kv_quant=args.kv_quant, return_logprobs=args.logprobs)
 
     print(f"serving {args.model} on {args.host}:{args.port} "
           f"({'paged' if args.paged else 'slot'} engine)")
