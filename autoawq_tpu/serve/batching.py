@@ -159,6 +159,14 @@ def _token_logprobs(logits: jax.Array, toks: jax.Array) -> jax.Array:
     return jnp.take_along_axis(lp, toks[:, None], axis=-1)[:, 0]
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _top_n_logprobs(logits: jax.Array, n: int):
+    """Top-n (logprob, token id) per row of [B, V] unwarped logits —
+    OpenAI's top_logprobs alternatives."""
+    lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jax.lax.top_k(lsm, n)
+
+
 def warp_batched(
     logits: jax.Array,  # [B, V]
     temp: jax.Array,    # [B] f32 (clamped away from 0)
@@ -325,15 +333,38 @@ class SamplingSlots:
             jnp.asarray(self.topp[slot : slot + 1]), self._next_key())[0])
 
     def _record_logprobs(self, logits, toks, slots) -> None:
-        """Append each ACTIVE slot's chosen-token logprob (no-op unless
-        the engine was built with return_logprobs=True)."""
+        """Append each ACTIVE slot's chosen-token logprob — and, when the
+        engine was built with top_logprobs=N, the top-N alternatives —
+        (no-op unless return_logprobs=True)."""
         if not getattr(self, "return_logprobs", False):
             return
         lp = np.asarray(_token_logprobs(logits, jnp.asarray(toks)))
+        n = getattr(self, "top_logprobs", 0)
+        if n:
+            vals, ids = _top_n_logprobs(logits, n)
+            vals, ids = np.asarray(vals), np.asarray(ids)
         for slot in slots:
             req = self.slots[slot]
             if req is not None:
                 req.logprobs.append(float(lp[slot]))
+                if n:
+                    req.top_logprobs.append(
+                        {int(t): float(v)
+                         for t, v in zip(ids[slot], vals[slot])})
+
+    def _record_logprobs_slot(self, slot: int, req: "Request", logits_row,
+                              tok: int) -> None:
+        """Admission-time variant for one slot's [1, V] logits."""
+        if not getattr(self, "return_logprobs", False):
+            return
+        req.logprobs.append(float(np.asarray(
+            _token_logprobs(logits_row, jnp.asarray([tok])))[0]))
+        n = getattr(self, "top_logprobs", 0)
+        if n:
+            vals, ids = _top_n_logprobs(logits_row, n)
+            req.top_logprobs.append(
+                {int(t): float(v)
+                 for t, v in zip(np.asarray(ids)[0], np.asarray(vals)[0])})
 
     # ------------------------------------------------- shared engine ops
     def cancel(self, req_id) -> bool:
@@ -385,6 +416,8 @@ class Request:
         self.output: List[int] = []
         self.logprobs: List[float] = []  # filled when the engine has
         # return_logprobs=True (one log p(token | prefix) per output token)
+        self.top_logprobs: List[Dict[int, float]] = []  # with
+        # top_logprobs=N: per position, the N most likely token ids -> lp
         self.done = False
 
 
@@ -397,7 +430,7 @@ class BatchingEngine(SamplingSlots):
                  dtype=jnp.bfloat16,
                  prefill_chunk_size: Optional[int] = None,
                  kv_quant: bool = False, seed: int = 0,
-                 return_logprobs: bool = False):
+                 return_logprobs: bool = False, top_logprobs: int = 0):
         """``prefill_chunk_size`` bounds per-step admission work: long
         prompts prefill in fixed-size chunks interleaved with pool decode
         steps, so running requests never stall behind a 100k-token arrival
@@ -422,7 +455,8 @@ class BatchingEngine(SamplingSlots):
                 f"prefill_chunk_size ({prefill_chunk_size})")
         self.chunk = prefill_chunk_size
         self.kv_quant = kv_quant
-        self.return_logprobs = return_logprobs
+        self.return_logprobs = return_logprobs or top_logprobs > 0
+        self.top_logprobs = top_logprobs
         gen._check_rope_capacity(cfg, max_seq_len)
         self.caches = gen.init_kv_cache(cfg, max_batch, max_seq_len, dtype,
                                         kv_quant=kv_quant)
@@ -481,9 +515,7 @@ class BatchingEngine(SamplingSlots):
         self._set_sampling(slot, req)
         tok = self._sample_slot(slot, logits[:1])
         self._note_token(slot, tok)
-        if self.return_logprobs:
-            req.logprobs.append(float(np.asarray(
-                _token_logprobs(logits[:1], jnp.asarray([tok])))[0]))
+        self._record_logprobs_slot(slot, req, logits[:1], tok)
         req.output.append(tok)
         self.slots[slot] = req
         self.pos[slot] = len(req.prompt)

@@ -160,7 +160,7 @@ class PagedBatchingEngine(SamplingSlots):
                  dtype=jnp.bfloat16, seed: int = 0,
                  prefix_cache: bool = True,
                  prefill_chunk_size: Optional[int] = None,
-                 return_logprobs: bool = False,
+                 return_logprobs: bool = False, top_logprobs: int = 0,
                  kv_quant: bool = False):
         if cfg.is_mla and kv_quant:
             raise NotImplementedError("int8 KV not supported for the MLA "
@@ -229,7 +229,8 @@ class PagedBatchingEngine(SamplingSlots):
         self.finished: List[Request] = []
         self.chunk = prefill_chunk_size
         self.inflight: Dict[int, Dict[str, Any]] = {}  # slot -> prefill st
-        self.return_logprobs = return_logprobs
+        self.return_logprobs = return_logprobs or top_logprobs > 0
+        self.top_logprobs = top_logprobs
         self._init_sampling(max_batch, cfg.vocab_size, seed)
         # ---- prefix cache (vLLM-style hash-chained full prompt pages).
         # chain hash h_i = hash(h_{i-1}, tokens of page i) -> page id; a
@@ -463,11 +464,7 @@ class PagedBatchingEngine(SamplingSlots):
         self._set_sampling(slot, req)
         tok = self._sample_slot(slot, logits[:1])
         self._note_token(slot, tok)
-        if self.return_logprobs:
-            from autoawq_tpu.serve.batching import _token_logprobs
-
-            req.logprobs.append(float(np.asarray(
-                _token_logprobs(logits[:1], jnp.asarray([tok])))[0]))
+        self._record_logprobs_slot(slot, req, logits[:1], tok)
         req.output.append(tok)
         self.slots[slot] = req
         self.pos[slot] = len(req.prompt)

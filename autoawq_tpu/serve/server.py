@@ -52,6 +52,7 @@ class _Pending:
         self.error: Optional[str] = None
         self.logprobs: Optional[list] = None  # filled at finish when the
         # engine was built with return_logprobs=True
+        self.top_logprobs: Optional[list] = None  # top_logprobs=N dicts
         self.done = threading.Event()
 
 
@@ -148,6 +149,8 @@ class EngineServer:
                         self._by_client.pop(live.client_id, None)
                     if req.logprobs:
                         live.logprobs = list(req.logprobs)
+                    if req.top_logprobs:
+                        live.top_logprobs = list(req.top_logprobs)
                     live.tokens.put(None)
                     live.done.set()
             self.engine.finished.clear()
@@ -292,6 +295,14 @@ class EngineServer:
                               "finish_reason": "stop"}
                 if p.logprobs is not None:
                     choice["logprobs"] = {"token_logprobs": p.logprobs}
+                    if p.top_logprobs is not None:
+                        # keys decoded to token strings when a tokenizer
+                        # is attached, else stringified token ids
+                        choice["logprobs"]["top_logprobs"] = [
+                            {(server.tok.decode([t]) if server.tok
+                              is not None else str(t)): v
+                             for t, v in d.items()}
+                            for d in p.top_logprobs]
                 self._json(200, {
                     "id": "chatcmpl-0" if p.chat else "cmpl-0",
                     "object": ("chat.completion" if p.chat

@@ -170,6 +170,10 @@ class SpeculativeBatchingEngine(BatchingEngine):
                 "chunked prefill + speculation not combined yet")
         if kw.get("kv_quant"):
             raise NotImplementedError("int8 KV + speculation not combined")
+        if kw.get("top_logprobs"):
+            raise NotImplementedError(
+                "top_logprobs alternatives are not recorded on the "
+                "speculative verify path (chosen-token logprobs are)")
         super().__init__(cfg, params, **kw)
         if cfg.vocab_size != draft_cfg.vocab_size:
             raise ValueError("draft and target must share a tokenizer")

@@ -307,3 +307,21 @@ def test_repetition_penalty_matches_solo(rng):
     assert got["pen"] != list(np.asarray(gen.generate(
         CFG, params, jnp.asarray(p1[None]), 8, method="jnp",
         dtype=jnp.float32))[0, len(p1):]), "penalty had no effect"
+
+
+def test_top_logprobs(rng):
+    """top_logprobs=N records the N most likely alternatives per position
+    (unwarped distribution); the greedy token is always the top-1."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32, top_logprobs=3)
+    eng.add_request("r", rng.integers(0, 64, (5,)), 6)
+    eng.run()
+    req = eng.finished[0]
+    assert len(req.top_logprobs) == len(req.output) == 6
+    for tok, lp, top in zip(req.output, req.logprobs, req.top_logprobs):
+        assert len(top) == 3
+        assert max(top.values()) == max(top.values())  # well-formed
+        # greedy: the emitted token IS the argmax -> top-1 alternative
+        assert tok in top and abs(top[tok] - lp) < 1e-5
+        assert top[tok] == max(top.values())
