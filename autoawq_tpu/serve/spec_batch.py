@@ -168,8 +168,6 @@ class SpeculativeBatchingEngine(BatchingEngine):
         if kw.get("prefill_chunk_size") is not None:
             raise NotImplementedError(
                 "chunked prefill + speculation not combined yet")
-        if kw.get("kv_quant"):
-            raise NotImplementedError("int8 KV + speculation not combined")
         if kw.get("top_logprobs"):
             raise NotImplementedError(
                 "top_logprobs alternatives are not recorded on the "

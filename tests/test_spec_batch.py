@@ -164,3 +164,22 @@ def test_fallback_rounds_keep_draft_cache_aligned(rng):
     # self-draft: every speculative proposal (incl. post-fallback rounds)
     # must have been accepted
     assert eng.proposed > 0 and eng.accept_rate == 1.0
+
+
+def test_spec_pool_int8_kv_matches_plain_int8(rng):
+    """Speculative pool over an int8 target cache: greedy streams equal
+    the plain int8 engine's (quantization changes numerics identically
+    on both paths — prefill and chunk-verify share the cache writes)."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    work = _work(rng)
+    ref_eng = BatchingEngine(CFG, params, max_batch=3, max_seq_len=96,
+                             method="jnp", dtype=jnp.float32, kv_quant=True)
+    eng = SpeculativeBatchingEngine(
+        CFG, params, CFG, params, k=3, max_batch=3, max_seq_len=96,
+        method="jnp", dtype=jnp.float32, kv_quant=True)
+    for rid, prompt, n in work:
+        ref_eng.add_request(rid, prompt, n)
+        eng.add_request(rid, prompt, n)
+    ref, got = ref_eng.run(), eng.run()
+    assert got == ref
+    assert eng.caches[0]["k"].dtype == jnp.int8
