@@ -165,9 +165,9 @@ class SpeculativeBatchingEngine(BatchingEngine):
     def __init__(self, cfg: ModelConfig, params: Dict[str, Any],
                  draft_cfg: ModelConfig, draft_params: Dict[str, Any],
                  k: int = 4, **kw):
-        if kw.get("prefill_chunk_size") is not None:
-            raise NotImplementedError(
-                "chunked prefill + speculation not combined yet")
+        # chunked prefill composes as-is: the TARGET admits in chunks
+        # (inherited _admit/_advance_prefill); the DRAFT — small by
+        # design — still prefills whole at activation (_activate below).
         if kw.get("top_logprobs"):
             raise NotImplementedError(
                 "top_logprobs alternatives are not recorded on the "
@@ -223,6 +223,8 @@ class SpeculativeBatchingEngine(BatchingEngine):
 
     def step(self) -> List[Tuple[Any, int]]:
         self._admit()
+        if self.inflight:  # chunked target admissions advance one chunk
+            self._advance_prefill()
         active = [i for i, s in enumerate(self.slots) if s is not None]
         if not active:
             return []

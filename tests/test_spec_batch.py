@@ -183,3 +183,21 @@ def test_spec_pool_int8_kv_matches_plain_int8(rng):
     ref, got = ref_eng.run(), eng.run()
     assert got == ref
     assert eng.caches[0]["k"].dtype == jnp.int8
+
+
+def test_spec_pool_chunked_prefill_matches_plain(rng):
+    """Chunked target admission under speculation: long prompts prefill
+    in chunks interleaved with speculative pool rounds; streams still
+    bit-match the plain engine."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    dparams = init_random_params(DRAFT, seed=9, scale=0.08)
+    work = [("long", rng.integers(0, 64, (37,)), 8),
+            ("short", rng.integers(0, 64, (4,)), 10)]
+    ref = _plain(params, work)
+    eng = SpeculativeBatchingEngine(
+        CFG, params, DRAFT, dparams, k=3, max_batch=3, max_seq_len=96,
+        method="jnp", dtype=jnp.float32, prefill_chunk_size=16)
+    for rid, prompt, n in work:
+        eng.add_request(rid, prompt, n)
+    assert eng.run() == ref
+    assert eng.proposed > 0
