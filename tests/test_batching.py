@@ -325,3 +325,30 @@ def test_top_logprobs(rng):
         # greedy: the emitted token IS the argmax -> top-1 alternative
         assert tok in top and abs(top[tok] - lp) < 1e-5
         assert top[tok] == max(top.values())
+
+
+def test_moe_batched_matches_solo(rng):
+    """Mixtral-style MoE models serve from the slot pool: per-request
+    streams match solo generation (router + experts under vector-pos
+    decode)."""
+    moe_cfg = ModelConfig(
+        model_type="mixtral", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, num_experts=4,
+        num_experts_per_tok=2, max_position_embeddings=64)
+    params = init_random_params(moe_cfg, seed=11, scale=0.08)
+
+    def solo(prompt, n):
+        out = gen.generate(moe_cfg, params, jnp.asarray(prompt[None]), n,
+                           method="jnp", dtype=jnp.float32, max_seq_len=48)
+        return list(np.asarray(out)[0][len(prompt):])
+
+    eng = BatchingEngine(moe_cfg, params, max_batch=2, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32)
+    prompts = {f"e{i}": rng.integers(0, 64, (l,))
+               for i, l in enumerate([5, 8, 4])}
+    for rid, p in prompts.items():
+        eng.add_request(rid, p, 6)
+    got = eng.run()
+    for rid, p in prompts.items():
+        assert got[rid] == solo(p, 6), rid

@@ -560,3 +560,32 @@ def test_window_pages_recycle_midflight(rng):
     got = eng2.run()
     assert got["a"] == solo(prompt, 40)
     assert got["b"] == solo(p2, 24)
+
+
+def test_paged_moe_matches_solo(rng):
+    """MoE models page like dense ones (standard KV attention; experts
+    only touch the MLP): streams match solo."""
+    moe_cfg = ModelConfig(
+        model_type="mixtral", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, num_experts=4,
+        num_experts_per_tok=2, max_position_embeddings=64)
+    from autoawq_tpu.io.hf import init_random_params
+
+    params = init_random_params(moe_cfg, seed=11, scale=0.08)
+
+    def solo(prompt, n):
+        out = gen.generate(moe_cfg, params, jnp.asarray(prompt[None]), n,
+                           method="jnp", dtype=jnp.float32, max_seq_len=32)
+        return list(np.asarray(out)[0][len(prompt):])
+
+    eng = PagedBatchingEngine(moe_cfg, params, max_batch=2, page_size=8,
+                              total_pages=16, pages_per_seq=4,
+                              method="jnp", dtype=jnp.float32)
+    prompts = {f"e{i}": rng.integers(0, 64, (l,))
+               for i, l in enumerate([5, 9])}
+    for rid, p in prompts.items():
+        eng.add_request(rid, p, 6)
+    got = eng.run()
+    for rid, p in prompts.items():
+        assert got[rid] == solo(p, 6), rid

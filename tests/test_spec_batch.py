@@ -201,3 +201,28 @@ def test_spec_pool_chunked_prefill_matches_plain(rng):
         eng.add_request(rid, prompt, n)
     assert eng.run() == ref
     assert eng.proposed > 0
+
+
+def test_spec_pool_mla_matches_plain(rng):
+    """DeepSeek-style MLA under pool speculation: the chunk-verify pass
+    runs the absorbed latent path at s=k+1 with vector positions; greedy
+    streams bit-match the plain MLA engine."""
+    mla_cfg = ModelConfig(
+        model_type="deepseek_v2", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, max_position_embeddings=96,
+        q_lora_rank=32, kv_lora_rank=16, qk_rope_head_dim=8,
+        qk_nope_head_dim=16, v_head_dim=16)
+    params = init_random_params(mla_cfg, seed=7, scale=0.08)
+    work = [("a", rng.integers(0, 64, (5,)), 8),
+            ("b", rng.integers(0, 64, (8,)), 6)]
+    ref_eng = BatchingEngine(mla_cfg, params, max_batch=2, max_seq_len=96,
+                             method="jnp", dtype=jnp.float32)
+    eng = SpeculativeBatchingEngine(
+        mla_cfg, params, mla_cfg, params, k=3, max_batch=2, max_seq_len=96,
+        method="jnp", dtype=jnp.float32)
+    for rid, prompt, n in work:
+        ref_eng.add_request(rid, prompt, n)
+        eng.add_request(rid, prompt, n)
+    assert eng.run() == ref_eng.run()
+    assert eng.accept_rate == 1.0  # self-draft
