@@ -440,7 +440,8 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
                 q[:, 0], kp, vp, table, lengths, scale=scale,
                 k_scales=kss, v_scales=vss,
                 softcap=cfg.attn_softcap or None,
-                window=cfg.sliding_window,
+                window=cfg.sliding_window or None,  # 0 must mean OFF,
+                # not a zero-width window masking every key
                 alibi_slopes=(alibi_slopes(nh) if is_alibi else None),
                 interpret=not on_tpu)
             return out.reshape(b, 1, nh * hd), new_cache

@@ -50,7 +50,8 @@ ONE compiled decode step for the pool). Specifics:
   O(window) pages, not O(history).
 * ALiBi models (bloom/mpt/baichuan-13b) page normally too: the bespoke
   kernel takes a per-head slope sheet and adds slope x (key - query)
-  in-block (int8 pages + ALiBi is the one ungated combination left).
+  in-block. Gated combinations: int8 pages + ALiBi and int8 + MLA
+  (both raise in __init__).
 """
 
 from __future__ import annotations

@@ -178,6 +178,21 @@ class EngineServer:
         self._wake.set()
         self._thread.join(timeout=5)
 
+    def _logprobs_payload(self, p: "_Pending") -> Dict[str, Any]:
+        """Response logprobs block. top_logprobs entries are LISTS of
+        {token, token_id, logprob} (distinct ids that decode to the same
+        string — byte-fallback pieces — would collide as dict keys)."""
+        out: Dict[str, Any] = {"token_logprobs": p.logprobs}
+        if p.top_logprobs is not None:
+            out["top_logprobs"] = [
+                sorted(({"token": (self.tok.decode([t]) if self.tok
+                                   is not None else None),
+                         "token_id": t, "logprob": v}
+                        for t, v in d.items()),
+                       key=lambda e: -e["logprob"])
+                for d in p.top_logprobs]
+        return out
+
     def _chat_ids(self, messages) -> List[int]:
         """Render a chat message list to prompt ids: the tokenizer's own
         chat template when it carries one (HF tokenizers), else a generic
@@ -294,15 +309,7 @@ class EngineServer:
                     choice = {"index": 0, "text": text, "token_ids": out,
                               "finish_reason": "stop"}
                 if p.logprobs is not None:
-                    choice["logprobs"] = {"token_logprobs": p.logprobs}
-                    if p.top_logprobs is not None:
-                        # keys decoded to token strings when a tokenizer
-                        # is attached, else stringified token ids
-                        choice["logprobs"]["top_logprobs"] = [
-                            {(server.tok.decode([t]) if server.tok
-                              is not None else str(t)): v
-                             for t, v in d.items()}
-                            for d in p.top_logprobs]
+                    choice["logprobs"] = server._logprobs_payload(p)
                 self._json(200, {
                     "id": "chatcmpl-0" if p.chat else "cmpl-0",
                     "object": ("chat.completion" if p.chat
@@ -330,8 +337,8 @@ class EngineServer:
                                    "choices": [{
                                        "index": 0,
                                        "finish_reason": "stop",
-                                       "logprobs": {
-                                           "token_logprobs": p.logprobs}}]}
+                                       "logprobs":
+                                           server._logprobs_payload(p)}]}
                             self.wfile.write(
                                 b"data: " + json.dumps(fin).encode()
                                 + b"\n\n")

@@ -234,13 +234,23 @@ class SpeculativeBatchingEngine(BatchingEngine):
             # fall back to plain single-token pool decode near the end —
             # and MIRROR the consumed token into the draft cache, or the
             # draft stream desyncs for every slot and acceptance collapses
-            # to ~0 once speculative rounds resume
-            tok0 = self.last_token.copy()
-            pos0 = self.dpos.copy()
+            # to ~0 once speculative rounds resume. The mirror state is
+            # reconstructed AFTER the step: super().step() may admit and
+            # activate new slots first, and a pre-step snapshot would
+            # write a garbage row inside a freshly-installed draft prefix
+            # (each active slot's consumed token is output[-2] at
+            # pos - 1 — true both for survivors and for slots activated
+            # inside this very step).
             emitted = super().step()
+            tok_m = np.zeros_like(self.last_token)
+            pos_m = np.zeros_like(self.pos)
+            for slot, req in enumerate(self.slots):
+                if req is not None and len(req.output) >= 2:
+                    tok_m[slot] = req.output[-2]
+                    pos_m[slot] = self.pos[slot] - 1
             _, self.dcaches = batched_decode_step(
-                self.dcfg, self.dparams, jnp.asarray(tok0[:, None]),
-                self.dcaches, jnp.asarray(pos0), self.method, self.dtype)
+                self.dcfg, self.dparams, jnp.asarray(tok_m[:, None]),
+                self.dcaches, jnp.asarray(pos_m), self.method, self.dtype)
             self.dpos = self.pos.copy()
             return emitted
 

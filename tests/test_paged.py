@@ -589,3 +589,31 @@ def test_paged_moe_matches_solo(rng):
     got = eng.run()
     for rid, p in prompts.items():
         assert got[rid] == solo(p, 6), rid
+
+
+def test_sliding_window_zero_means_off(rng, monkeypatch):
+    """Regression: sliding_window=0 (as some HF configs carry) must mean
+    NO window — the bespoke kernel used to treat it as a zero-width
+    window and mask every key, zeroing attention for int8 pools."""
+    cfg0 = ModelConfig(
+        model_type="mistral", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=8,
+        num_key_value_heads=2, head_dim=8, max_position_embeddings=64,
+        sliding_window=0)
+    from autoawq_tpu.io.hf import init_random_params
+
+    params = init_random_params(cfg0, seed=3, scale=0.08)
+    prompt = rng.integers(0, 64, (6,))
+
+    def run():
+        eng = PagedBatchingEngine(cfg0, params, max_batch=1, page_size=8,
+                                  total_pages=16, pages_per_seq=4,
+                                  method="auto", dtype=jnp.float32,
+                                  kv_quant=True)
+        eng.add_request("r", prompt, 6)
+        return eng.run()["r"]
+
+    monkeypatch.setenv("AWQ_TPU_PAGED_ATTN", "force")  # bespoke kernel
+    via_kernel = run()
+    monkeypatch.setenv("AWQ_TPU_PAGED_ATTN", "0")      # gather oracle
+    assert via_kernel == run()

@@ -226,3 +226,30 @@ def test_spec_pool_mla_matches_plain(rng):
         eng.add_request(rid, prompt, n)
     assert eng.run() == ref_eng.run()
     assert eng.accept_rate == 1.0  # self-draft
+
+
+def test_admission_during_fallback_keeps_draft_aligned(rng):
+    """Regression: the near-capacity fallback's draft mirror must use
+    post-step state. A CHUNKED admission whose final chunk completes
+    inside the fallback's inner base step (the second _advance_prefill
+    of that engine step) used to get a garbage row written into its
+    freshly-installed draft prefix from the stale pre-step snapshot,
+    silently collapsing that slot's acceptance."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    eng = SpeculativeBatchingEngine(
+        CFG, params, CFG, params, k=3, max_batch=2, max_seq_len=36,
+        method="jnp", dtype=jnp.float32, prefill_chunk_size=12)
+    a_prompt = rng.integers(0, 64, (20,))
+    b_prompt = rng.integers(0, 64, (20,))  # 2 chunks of 12
+    eng.add_request("a", a_prompt, 14)
+    while eng.has_work and int(eng.pos.max()) + 3 + 2 < 36:
+        eng.step()
+    assert eng.has_work  # "a" alive and inside fallback territory
+    # b's chunk 1 runs in the spec step's own advance; chunk 2 completes
+    # inside the fallback's super().step() -> activation mid-fallback
+    eng.add_request("b", b_prompt, 12)
+    got = eng.run()
+    ref = _plain(params, [("a", a_prompt, 14), ("b", b_prompt, 12)],
+                 max_seq=36)
+    assert got == ref
+    assert eng.proposed > 0 and eng.accept_rate == 1.0  # self-draft
