@@ -405,7 +405,8 @@ class Request:
     def __init__(self, req_id: Any, prompt: np.ndarray,
                  max_new_tokens: int = 128, temperature: float = 0.0,
                  top_k: Optional[int] = None, top_p: Optional[float] = None,
-                 repetition_penalty: float = 1.0):
+                 repetition_penalty: float = 1.0,
+                 stop: Optional[List[List[int]]] = None):
         self.id = req_id
         self.prompt = np.asarray(prompt).reshape(-1)
         self.max_new_tokens = max_new_tokens
@@ -413,12 +414,29 @@ class Request:
         self.top_k = top_k
         self.top_p = top_p
         self.repetition_penalty = float(repetition_penalty or 1.0)
+        # per-request stop sequences (token-id lists); a match retires
+        # the request and TRIMS the matched suffix (OpenAI semantics)
+        self.stop = [list(map(int, s)) for s in stop] if stop else []
+        self._stopped = False
         self.output: List[int] = []
         self.logprobs: List[float] = []  # filled when the engine has
         # return_logprobs=True (one log p(token | prefix) per output token)
         self.top_logprobs: List[Dict[int, float]] = []  # with
         # top_logprobs=N: per position, the N most likely token ids -> lp
         self.done = False
+
+    def hit_stop(self) -> bool:
+        """True when the output ends with one of the stop sequences; the
+        matched suffix is trimmed from the output (idempotent)."""
+        if self._stopped:
+            return True
+        for s in self.stop:
+            if s and len(self.output) >= len(s) \
+                    and self.output[-len(s):] == s:
+                del self.output[-len(s):]
+                self._stopped = True
+                return True
+        return False
 
 
 class BatchingEngine(SamplingSlots):
@@ -472,12 +490,13 @@ class BatchingEngine(SamplingSlots):
     def add_request(self, req_id: Any, prompt, max_new_tokens: int = 128,
                     temperature: float = 0.0, top_k: Optional[int] = None,
                     top_p: Optional[float] = None,
-                    repetition_penalty: float = 1.0):
+                    repetition_penalty: float = 1.0,
+                    stop: Optional[List[List[int]]] = None):
         if len(np.asarray(prompt).reshape(-1)) >= self.max_seq:
             raise ValueError("prompt longer than max_seq_len")
         self.queue.append(Request(req_id, prompt, max_new_tokens,
                                   temperature, top_k, top_p,
-                                  repetition_penalty))
+                                  repetition_penalty, stop))
 
     def _free_slot(self, slot: int) -> None:
         self.pos[slot] = 0
@@ -538,7 +557,8 @@ class BatchingEngine(SamplingSlots):
             return
         if (req.output and req.output[-1] == self.eos) \
                 or len(req.output) >= req.max_new_tokens \
-                or self.pos[slot] + 1 >= self.max_seq:
+                or self.pos[slot] + 1 >= self.max_seq \
+                or (req.stop and req.hit_stop()):
             req.done = True
             self.finished.append(req)
             self.slots[slot] = None

@@ -251,7 +251,8 @@ class PagedBatchingEngine(SamplingSlots):
     def add_request(self, req_id: Any, prompt, max_new_tokens: int = 128,
                     temperature: float = 0.0, top_k: Optional[int] = None,
                     top_p: Optional[float] = None,
-                    repetition_penalty: float = 1.0):
+                    repetition_penalty: float = 1.0,
+                    stop: Optional[List[List[int]]] = None):
         prompt = np.asarray(prompt).reshape(-1)
         budget = len(prompt) + max_new_tokens + 1
         if budget > self.pps * self.ps:
@@ -260,7 +261,7 @@ class PagedBatchingEngine(SamplingSlots):
                 f"({self.pps * self.ps})")
         self.queue.append(Request(req_id, prompt, max_new_tokens,
                                   temperature, top_k, top_p,
-                                  repetition_penalty))
+                                  repetition_penalty, stop))
 
     # ------------------------------------------------------ prefix cache
     @staticmethod
@@ -520,7 +521,8 @@ class PagedBatchingEngine(SamplingSlots):
         if req is None:
             return
         if (req.output and req.output[-1] == self.eos) \
-                or len(req.output) >= req.max_new_tokens:
+                or len(req.output) >= req.max_new_tokens \
+                or (req.stop and req.hit_stop()):
             req.done = True
             self.finished.append(req)
             self.slots[slot] = None

@@ -37,9 +37,11 @@ import numpy as np
 class _Pending:
     def __init__(self, prompt_ids, max_tokens, temperature, top_k, top_p,
                  stream, client_id=None, chat=False,
-                 repetition_penalty=1.0):
+                 repetition_penalty=1.0, stop=None):
         self.chat = chat  # shape the response as chat.completion
         self.repetition_penalty = repetition_penalty
+        self.stop = stop  # token-id sequences; engine trims the match
+        self.final_len: Optional[int] = None  # trimmed output length
         self.prompt_ids = prompt_ids
         self.max_tokens = max_tokens
         self.temperature = temperature
@@ -110,7 +112,8 @@ class EngineServer:
                         rid, np.asarray(p.prompt_ids), p.max_tokens,
                         temperature=p.temperature, top_k=p.top_k,
                         top_p=p.top_p,
-                        repetition_penalty=p.repetition_penalty)
+                        repetition_penalty=p.repetition_penalty,
+                        stop=p.stop)
                 except (ValueError, NotImplementedError) as e:
                     # reject THIS request; the engine thread must survive
                     # (an unhandled raise here bricks every other client)
@@ -147,10 +150,12 @@ class EngineServer:
                 if live is not None:
                     if live.client_id is not None:
                         self._by_client.pop(live.client_id, None)
+                    live.final_len = len(req.output)
                     if req.logprobs:
-                        live.logprobs = list(req.logprobs)
+                        live.logprobs = list(req.logprobs)[: live.final_len]
                     if req.top_logprobs:
-                        live.top_logprobs = list(req.top_logprobs)
+                        live.top_logprobs = \
+                            list(req.top_logprobs)[: live.final_len]
                     live.tokens.put(None)
                     live.done.set()
             self.engine.finished.clear()
@@ -273,6 +278,21 @@ class EngineServer:
                     top_p = (None if req.get("top_p") is None
                              else float(req["top_p"]))
                     rep_pen = float(req.get("repetition_penalty") or 1.0)
+                    stop = req.get("stop")
+                    if stop is not None:
+                        if isinstance(stop, str):
+                            stop = [stop]
+                        seqs = []
+                        for s in stop:
+                            if isinstance(s, str):
+                                if server.tok is None:
+                                    raise ValueError(
+                                        "string stop needs a tokenizer")
+                                seqs.append([int(t)
+                                             for t in server.tok.encode(s)])
+                            else:  # a token-id sequence
+                                seqs.append([int(t) for t in s])
+                        stop = seqs
                 except (KeyError, ValueError, TypeError,
                         json.JSONDecodeError) as e:
                     return self._json(400, {"error": str(e)})
@@ -284,7 +304,8 @@ class EngineServer:
                     p = _Pending(ids, max_tokens, temperature, top_k,
                                  top_p, bool(req.get("stream", False)),
                                  client_id=req.get("request_id"),
-                                 chat=chat, repetition_penalty=rep_pen)
+                                 chat=chat, repetition_penalty=rep_pen,
+                                 stop=stop)
                     server._pending.put(p)
                 server._wake.set()
                 if p.stream:
@@ -298,6 +319,10 @@ class EngineServer:
                     if t is None:
                         break
                     out.append(t)
+                if p.final_len is not None:
+                    # stop-sequence tokens pushed before the engine
+                    # trimmed them do not belong in the response
+                    out = out[: p.final_len]
                 text = (server.tok.decode(out) if server.tok is not None
                         else None)
                 if p.chat:

@@ -184,14 +184,14 @@ class SpeculativeBatchingEngine(BatchingEngine):
 
     def add_request(self, req_id, prompt, max_new_tokens: int = 128,
                     temperature: float = 0.0, top_k=None, top_p=None,
-                    repetition_penalty: float = 1.0):
+                    repetition_penalty: float = 1.0, stop=None):
         if repetition_penalty and repetition_penalty != 1.0:
             raise NotImplementedError(
                 "repetition_penalty under speculative pool serving is not "
                 "implemented (the draft/verify acceptance would need the "
                 "processor applied at every chunk position)")
         super().add_request(req_id, prompt, max_new_tokens, temperature,
-                            top_k, top_p)
+                            top_k, top_p, stop=stop)
 
     def _activate(self, slot: int, req: Request, row, logits):
         # target slot install (base behavior) + draft prefill/install
@@ -214,7 +214,8 @@ class SpeculativeBatchingEngine(BatchingEngine):
             self.pos[slot] += 1
             self.last_token[slot] = t
             if (t == self.eos or len(req.output) >= req.max_new_tokens
-                    or self.pos[slot] + 1 >= self.max_seq):
+                    or self.pos[slot] + 1 >= self.max_seq
+                    or (req.stop and req.hit_stop())):
                 break
         # cache positions for tokens beyond a mid-run stop are stale but
         # unreachable (masked by pos); realign the draft stream

@@ -352,3 +352,38 @@ def test_moe_batched_matches_solo(rng):
     got = eng.run()
     for rid, p in prompts.items():
         assert got[rid] == solo(p, 6), rid
+
+
+def test_stop_sequences(rng):
+    """Per-request stop sequences: a matched multi-token stop retires the
+    request and trims the match (OpenAI semantics) in the slot engine,
+    the paged engine, and mid-chunk under speculation."""
+    from autoawq_tpu.serve.paged import PagedBatchingEngine
+    from autoawq_tpu.serve.spec_batch import SpeculativeBatchingEngine
+
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    prompt = rng.integers(0, 64, (5,))
+    base = BatchingEngine(CFG, params, max_batch=1, max_seq_len=48,
+                          method="jnp", dtype=jnp.float32)
+    base.add_request("r", prompt, 10)
+    full = base.run()["r"]
+    assert len(full) == 10
+    stop = [full[4:6]]  # stop on tokens 5-6 of the greedy stream
+    want = full[:4]
+
+    eng = BatchingEngine(CFG, params, max_batch=1, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32)
+    eng.add_request("r", prompt, 10, stop=stop)
+    assert eng.run()["r"] == want
+
+    peng = PagedBatchingEngine(CFG, params, max_batch=1, page_size=8,
+                               total_pages=16, pages_per_seq=4,
+                               method="jnp", dtype=jnp.float32)
+    peng.add_request("r", prompt, 10, stop=stop)
+    assert peng.run()["r"] == want
+
+    seng = SpeculativeBatchingEngine(
+        CFG, params, CFG, params, k=3, max_batch=1, max_seq_len=48,
+        method="jnp", dtype=jnp.float32)
+    seng.add_request("r", prompt, 10, stop=stop)
+    assert seng.run()["r"] == want

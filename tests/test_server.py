@@ -250,3 +250,30 @@ def test_http_chat_completions(rng):
     finally:
         httpd.shutdown()
         es.shutdown()
+
+
+def test_http_stop_sequences(rng):
+    """"stop" in the HTTP body (token-id form) retires the request at the
+    match and the response excludes the stop tokens — even the ones
+    already pushed before the engine trimmed them."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    prompt = [int(t) for t in rng.integers(0, 64, (5,))]
+    ref = BatchingEngine(CFG, params, max_batch=1, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32)
+    ref.add_request("r", np.asarray(prompt), 10)
+    full = ref.run()["r"]
+
+    eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32)
+    es, httpd = start_server(eng)
+    port = httpd.server_address[1]
+    try:
+        status, body = _post(port, {"prompt": prompt, "max_tokens": 10,
+                                    "stop": [full[4:6]]})
+        assert status == 200
+        out = json.loads(body)
+        assert out["choices"][0]["token_ids"] == full[:4]
+        assert out["usage"]["completion_tokens"] == 4
+    finally:
+        httpd.shutdown()
+        es.shutdown()
