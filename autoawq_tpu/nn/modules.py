@@ -433,7 +433,6 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
 
         is_alibi = cfg.pos_embed == "alibi"
         if paged_attn.supported(nh, nkv, hd, ps) \
-                and not (quant and is_alibi) \
                 and (quant or cfg.sliding_window or is_alibi
                      or flag in ("bespoke", "force")):
             out = paged_attn.paged_decode_attention(
@@ -820,10 +819,25 @@ def mla_attention(
         pos, table = kv_cache["pos"], kv_cache["page_table"]
         dc_rank = cfg.kv_lora_rank
         ps_page = kv_cache["c_pages"].shape[2]
-        ce = jnp.concatenate([c, k_pe[:, :, 0, :]], axis=-1)  # [B, 1, dcr]
-        cp = _paged_write(kv_cache["c_pages"], ce, table, pos, ps_page)
         lengths = pos + 1
+        quant = "c_page_s" in kv_cache  # int8 latent pages
+        pe_new = k_pe[:, :, 0, :]
+        if quant:
+            # separate absmax scales for the compressed-kv and rope
+            # parts (their magnitudes differ; a shared scale would crush
+            # the smaller part)
+            c8, sc8 = _kv_quantize(c)
+            p8, sp8 = _kv_quantize(pe_new)
+            ce = jnp.concatenate([c8, p8], axis=-1)  # [B, 1, dcr] int8
+            s_new = jnp.stack([sc8, sp8], axis=-1)   # [B, 1, 2]
+            cps = _paged_write(kv_cache["c_page_s"], s_new, table, pos,
+                               ps_page)
+        else:
+            ce = jnp.concatenate([c, pe_new], axis=-1)  # [B, 1, dcr]
+        cp = _paged_write(kv_cache["c_pages"], ce, table, pos, ps_page)
         new_cache = {"c_pages": cp, "page_table": table, "pos": lengths}
+        if quant:
+            new_cache["c_page_s"] = cps
         cb = jnp.moveaxis(cp[:, table], 1, 0).reshape(
             b, -1, cp.shape[-1])  # [B, T, dcr]
         c_cache = cb[..., :dc_rank].astype(jnp.float32)
@@ -832,13 +846,19 @@ def mla_attention(
         w3 = wkv.reshape(dc_rank, nh, dn + dv)
         q_abs = jnp.einsum("bshd,chd->bshc",
                            q_nope.astype(jnp.float32), w3[..., :dn])
-        scores = jnp.einsum("bshc,btc->bhst", q_abs, c_cache)
-        scores = scores + jnp.einsum(
+        s_c = jnp.einsum("bshc,btc->bhst", q_abs, c_cache)
+        s_pe = jnp.einsum(
             "bshr,btr->bhst", q_pe.astype(jnp.float32), pe_cache)
-        scores = scores * scale
+        if quant:  # fold the per-token part scales; nothing dequantizes
+            sb = jnp.moveaxis(cps[:, table], 1, 0).reshape(b, -1, 2)
+            s_c = s_c * sb[..., 0][:, None, None, :]
+            s_pe = s_pe * sb[..., 1][:, None, None, :]
+        scores = (s_c + s_pe) * scale
         valid = jnp.arange(cb.shape[1])[None, :] < lengths[:, None]
         scores = jnp.where(valid[:, None, None, :], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
+        if quant:
+            probs = probs * sb[..., 0][:, None, None, :]
         ov = jnp.einsum("bhst,btc->bshc", probs, c_cache)
         out = jnp.einsum("bshc,chd->bshd", ov, w3[..., dn:]).reshape(
             b, s, nh * dv).astype(x.dtype)

@@ -99,7 +99,16 @@ def _make_kernel(n_pages: int, ps: int, scale: float,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    if quant:
+    if quant and alibi:
+        def kernel(tbl_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                   sl_ref, o_ref, m_ref, l_ref, acc_ref):
+            pl.when(pl.program_id(2) == 0)(
+                lambda: init_scratch(m_ref, l_ref, acc_ref))
+            s, vl, pb = start(tbl_ref, len_ref, q_ref, k_ref)
+            finish(s, ks_ref[0, 0], v_ref[0, 0].astype(jnp.float32),
+                   vs_ref[0, 0], sl_ref[0], vl, pb, o_ref, m_ref, l_ref,
+                   acc_ref)
+    elif quant:
         def kernel(tbl_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                    o_ref, m_ref, l_ref, acc_ref):
             pl.when(pl.program_id(2) == 0)(
@@ -158,8 +167,6 @@ def paged_decode_attention(
     rep = nh // nkv
     quant = k_scales is not None
     alibi = alibi_slopes is not None
-    if quant and alibi:
-        raise NotImplementedError("int8 pages + ALiBi not combined")
 
     qg = q.reshape(b, nkv, rep, hd).astype(jnp.float32)
     if rep < REP_PAD:

@@ -42,6 +42,8 @@ ONE compiled decode step for the pool). Specifics:
   the absorbed formulation against the gathered latent slab
   (modules.mla_attention paged branch) — paged serving at ~nh*(dk+dv)/
   dcr times less pool memory than materialized per-head K/V pages.
+  ``kv_quant=True`` stores the latent rows int8 (quantized on install /
+  at the decode write; scales fold into the absorbed einsums).
 
 * Sliding-window models (mistral family) page normally: the window mask
   lives in the bespoke kernel / gather path, and pages that fall wholly
@@ -50,8 +52,10 @@ ONE compiled decode step for the pool). Specifics:
   O(window) pages, not O(history).
 * ALiBi models (bloom/mpt/baichuan-13b) page normally too: the bespoke
   kernel takes a per-head slope sheet and adds slope x (key - query)
-  in-block. Gated combinations: int8 pages + ALiBi and int8 + MLA
-  (both raise in __init__).
+  in-block (composes with int8 pages — scale fold + slope in one
+  kernel). int8 MLA pools quantize the latent rows with separate
+  compressed-kv/rope scales, folded into the absorbed decode; every
+  engine family/quant combination now pages.
 """
 
 from __future__ import annotations
@@ -107,20 +111,33 @@ _PAGE_KEYS = (("k_pages", "k"), ("v_pages", "v"),
               ("c_pages", "c"))
 
 
-@functools.partial(jax.jit, static_argnames=("n_pages", "start_page"),
+@functools.partial(jax.jit, static_argnames=("n_pages", "start_page",
+                                             "mla_dc"),
                    donate_argnums=(0,))
 def _install_pages(page_caches, row_caches, page_ids: jax.Array,
-                   n_pages: int, start_page: int = 0):
+                   n_pages: int, start_page: int = 0, mla_dc: int = 0):
     """Copy row positions [start_page*ps, (start_page+n_pages)*ps) of a
     contiguous single-request prefill cache into pool pages ``page_ids``
-    (K/V plus, for int8 pools, their per-token scales)."""
+    (K/V plus, for int8 pools, their per-token scales). int8 MLA pools
+    quantize the fp latent rows on install (``mla_dc`` = kv_lora_rank —
+    the compressed-kv | rope split, scaled separately)."""
     out = []
     for pc, row in zip(page_caches, row_caches):
         ps = next(iter(pc.values())).shape[2]
         lo, hi = start_page * ps, (start_page + n_pages) * ps
         new = {}
         for pk, rk in _PAGE_KEYS:
-            if pk not in pc:
+            if pk not in pc or pk == "c_page_s":
+                continue
+            if pk == "c_pages" and "c_page_s" in pc:
+                src = row["c"][0, :, lo:hi]  # [1, n*ps, dcr] fp
+                c8, sc = modules._kv_quantize(src[..., :mla_dc])
+                p8, sp = modules._kv_quantize(src[..., mla_dc:])
+                q = jnp.concatenate([c8, p8], -1) \
+                    .reshape(1, n_pages, ps, -1)
+                s2 = jnp.stack([sc, sp], -1).reshape(1, n_pages, ps, 2)
+                new["c_pages"] = pc["c_pages"].at[:, page_ids].set(q)
+                new["c_page_s"] = pc["c_page_s"].at[:, page_ids].set(s2)
                 continue
             dst = pc[pk]
             src = row[rk][0, :, lo:hi]  # [nkv, n*ps(, hd)]
@@ -130,18 +147,30 @@ def _install_pages(page_caches, row_caches, page_ids: jax.Array,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_pages",), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnames=("n_pages", "mla_dc"),
+                   donate_argnums=(1,))
 def _gather_pages(page_caches, row_caches, page_ids: jax.Array,
-                  n_pages: int):
+                  n_pages: int, mla_dc: int = 0):
     """Inverse of _install_pages: read pool pages into row positions
     [0, n_pages*ps) — the prefix-cache hit path (reuse KV, skip the
-    prefix forward)."""
+    prefix forward). int8 MLA pools dequantize into the fp rows."""
     out = []
     for pc, row in zip(page_caches, row_caches):
         ps = next(iter(pc.values())).shape[2]
         new = {}
         for pk, rk in _PAGE_KEYS:
-            if pk not in pc:
+            if pk not in pc or pk == "c_page_s":
+                continue
+            if pk == "c_pages" and "c_page_s" in pc:
+                q = pc["c_pages"][:, page_ids].reshape(
+                    1, n_pages * ps, -1).astype(jnp.float32)
+                s2 = pc["c_page_s"][:, page_ids].reshape(
+                    1, n_pages * ps, 2)
+                fp = jnp.concatenate(
+                    [q[..., :mla_dc] * s2[..., :1],
+                     q[..., mla_dc:] * s2[..., 1:]], -1)
+                new["c"] = row["c"].at[0, :, : n_pages * ps].set(
+                    fp.astype(row["c"].dtype))
                 continue
             g = pc[pk][:, page_ids]  # [nkv, n, ps(, hd)]
             g = g.reshape(g.shape[0], n_pages * ps, *g.shape[3:])
@@ -163,12 +192,6 @@ class PagedBatchingEngine(SamplingSlots):
                  prefill_chunk_size: Optional[int] = None,
                  return_logprobs: bool = False, top_logprobs: int = 0,
                  kv_quant: bool = False):
-        if cfg.is_mla and kv_quant:
-            raise NotImplementedError("int8 KV not supported for the MLA "
-                                      "latent pages")
-        if cfg.pos_embed == "alibi" and kv_quant:
-            raise NotImplementedError(
-                "int8 pages + ALiBi not combined in the paged kernel")
         if prefill_chunk_size is not None \
                 and prefill_chunk_size % page_size:
             # chunk boundaries must land on page boundaries so the scratch
@@ -179,6 +202,9 @@ class PagedBatchingEngine(SamplingSlots):
         self.cfg, self.params = cfg, params
         self.max_batch, self.ps = max_batch, page_size
         self.pps = pages_per_seq
+        # int8 MLA pools quantize/dequantize at the pool boundary; the
+        # compressed-kv | rope split point rides every install/gather
+        self._mla_dc = cfg.kv_lora_rank if (cfg.is_mla and kv_quant) else 0
         self.eos, self.method, self.dtype = eos_token_id, method, dtype
         gen._check_rope_capacity(cfg, pages_per_seq * page_size)
         nkv = cfg.num_key_value_heads
@@ -188,13 +214,21 @@ class PagedBatchingEngine(SamplingSlots):
             # latent page pool: ONE [compressed-kv | rope-head] row per
             # token shared by every head (same layout as the contiguous
             # latent cache, serve/generate.init_kv_cache) — each page is
-            # dcr bytes/token instead of nh*(dk+dv)
+            # dcr bytes/token instead of nh*(dk+dv). kv_quant stores the
+            # row int8 with SEPARATE absmax scales for the compressed-kv
+            # and rope parts (their magnitudes differ; one shared scale
+            # would crush the smaller part's precision).
             dcr = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+            cdt = jnp.int8 if kv_quant else dtype
             self.pages = [
                 {"c_pages": jnp.zeros((1, total_pages, page_size, dcr),
-                                      dtype)}
+                                      cdt)}
                 for _ in range(cfg.num_hidden_layers)
             ]
+            if kv_quant:
+                for pc in self.pages:
+                    pc["c_page_s"] = jnp.zeros(
+                        (1, total_pages, page_size, 2), jnp.float32)
         elif kv_quant:
             # int8 pool + per-(head, page, line) absmax scales: half the
             # page bytes; on-read dequant folds into the attention scores
@@ -387,7 +421,8 @@ class PagedBatchingEngine(SamplingSlots):
                                         kv_quant=self.kv_quant)
                 if n_shared:
                     row = _gather_pages(self.pages, row,
-                                        jnp.asarray(shared), n_shared)
+                                        jnp.asarray(shared), n_shared,
+                                        mla_dc=self._mla_dc)
                 self.inflight[slot] = {
                     "req": req, "row": row, "done": n_shared * self.ps,
                     "pages": pages, "chain": chain, "n_shared": n_shared,
@@ -403,7 +438,7 @@ class PagedBatchingEngine(SamplingSlots):
                                     kv_quant=self.kv_quant)
             if n_shared:
                 row = _gather_pages(self.pages, row, jnp.asarray(shared),
-                                    n_shared)
+                                    n_shared, mla_dc=self._mla_dc)
                 suffix = req.prompt[n_shared * self.ps:]
                 real = len(suffix)
                 # pad to a page multiple so jit sees one shape per suffix
@@ -448,7 +483,8 @@ class PagedBatchingEngine(SamplingSlots):
             self.pages = _install_pages(
                 self.pages, row,
                 jnp.asarray(pages[n_shared:n_prompt_pages]),
-                n_prompt_pages - n_shared, start_page=n_shared)
+                n_prompt_pages - n_shared, start_page=n_shared,
+                mla_dc=self._mla_dc)
         # register this prompt's full pages for future admissions,
         # recording parent->child chain links so eviction can drop
         # unreachable descendants

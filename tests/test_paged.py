@@ -617,3 +617,65 @@ def test_sliding_window_zero_means_off(rng, monkeypatch):
     via_kernel = run()
     monkeypatch.setenv("AWQ_TPU_PAGED_ATTN", "0")      # gather oracle
     assert via_kernel == run()
+
+
+def test_paged_mla_int8(rng):
+    """int8 latent pages: separate compressed-kv/rope scales fold into
+    the absorbed decode; streams match the fp paged engine at tiny
+    scales (fixed seed), and prefix sharing round-trips bit-exactly
+    (requantizing dequantized rows is idempotent)."""
+    mla_cfg = ModelConfig(
+        model_type="deepseek_v2", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, max_position_embeddings=64,
+        q_lora_rank=32, kv_lora_rank=16, qk_rope_head_dim=8,
+        qk_nope_head_dim=16, v_head_dim=16)
+    from autoawq_tpu.io.hf import init_random_params
+
+    params = init_random_params(mla_cfg, seed=7, scale=0.08)
+    system = rng.integers(0, 64, (10,))
+    prompts = {f"q{i}": np.concatenate([system, rng.integers(0, 64, (l,))])
+               for i, l in enumerate([3, 5])}
+
+    def run(kv_quant):
+        eng = PagedBatchingEngine(mla_cfg, params, max_batch=2, page_size=8,
+                                  total_pages=16, pages_per_seq=4,
+                                  method="jnp", dtype=jnp.float32,
+                                  kv_quant=kv_quant)
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, 6)
+        out = eng.run()
+        return out, eng
+
+    fp, _ = run(False)
+    q8, eng8 = run(True)
+    assert q8 == fp  # int8 latent error does not flip greedy at 0.08
+    assert eng8.pages[0]["c_pages"].dtype == jnp.int8
+    assert eng8.prefix_hits >= 1
+
+
+def test_paged_alibi_int8_kernel_matches_gather(rng, monkeypatch):
+    """int8 pages + ALiBi in ONE kernel (scale fold + slope sheet):
+    forced-kernel streams equal the gather path exactly."""
+    ab_cfg = ModelConfig(
+        model_type="bloom", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, head_dim=16, max_position_embeddings=64,
+        pos_embed="alibi")
+    from autoawq_tpu.io.hf import init_random_params
+
+    params = init_random_params(ab_cfg, seed=9, scale=0.08)
+    prompt = rng.integers(0, 64, (6,))
+
+    def run():
+        eng = PagedBatchingEngine(ab_cfg, params, max_batch=1, page_size=8,
+                                  total_pages=16, pages_per_seq=4,
+                                  method="auto", dtype=jnp.float32,
+                                  kv_quant=True)
+        eng.add_request("r", prompt, 6)
+        return eng.run()["r"]
+
+    monkeypatch.setenv("AWQ_TPU_PAGED_ATTN", "force")
+    via_kernel = run()
+    monkeypatch.setenv("AWQ_TPU_PAGED_ATTN", "0")
+    assert via_kernel == run()
