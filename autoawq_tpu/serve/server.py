@@ -296,54 +296,76 @@ class EngineServer:
                 except (KeyError, ValueError, TypeError,
                         json.JSONDecodeError) as e:
                     return self._json(400, {"error": str(e)})
+                try:
+                    n = int(req.get("n") or 1)
+                    stream = bool(req.get("stream", False))
+                    if n < 1:
+                        raise ValueError("n must be >= 1")
+                    if n > 1 and stream:
+                        raise ValueError("n > 1 does not stream")
+                    if n > 1 and not (temperature and temperature > 0.0):
+                        raise ValueError("n > 1 needs temperature > 0 "
+                                         "(greedy choices are identical)")
+                except (ValueError, TypeError) as e:
+                    return self._json(400, {"error": str(e)})
                 with server._lock:  # atomic check+put (burst-safe cap)
-                    if (server._pending.qsize()
+                    if (server._pending.qsize() + n - 1
                             + len(server.engine.queue)
                             >= server.max_queue):
                         return self._json(429, {"error": "queue full"})
-                    p = _Pending(ids, max_tokens, temperature, top_k,
-                                 top_p, bool(req.get("stream", False)),
-                                 client_id=req.get("request_id"),
+                    pends = [
+                        _Pending(ids, max_tokens, temperature, top_k,
+                                 top_p, stream,
+                                 client_id=(req.get("request_id")
+                                            if i == 0 else None),
                                  chat=chat, repetition_penalty=rep_pen,
                                  stop=stop)
-                    server._pending.put(p)
+                        for i in range(n)]
+                    for p in pends:
+                        server._pending.put(p)
                 server._wake.set()
-                if p.stream:
-                    return self._stream(p)
-                p.done.wait()
-                if p.error is not None:
-                    return self._json(400, {"error": p.error})
-                out: List[int] = []
-                while True:
-                    t = p.tokens.get()
-                    if t is None:
-                        break
-                    out.append(t)
-                if p.final_len is not None:
-                    # stop-sequence tokens pushed before the engine
-                    # trimmed them do not belong in the response
-                    out = out[: p.final_len]
-                text = (server.tok.decode(out) if server.tok is not None
-                        else None)
-                if p.chat:
-                    choice = {"index": 0,
-                              "message": {"role": "assistant",
-                                          "content": text},
-                              "token_ids": out, "finish_reason": "stop"}
-                else:
-                    choice = {"index": 0, "text": text, "token_ids": out,
-                              "finish_reason": "stop"}
-                if p.logprobs is not None:
-                    choice["logprobs"] = server._logprobs_payload(p)
+                if pends[0].stream:
+                    return self._stream(pends[0])
+                choices = []
+                for i, p in enumerate(pends):
+                    p.done.wait()
+                    if p.error is not None:
+                        return self._json(400, {"error": p.error})
+                    out: List[int] = []
+                    while True:
+                        t = p.tokens.get()
+                        if t is None:
+                            break
+                        out.append(t)
+                    if p.final_len is not None:
+                        # stop-sequence tokens pushed before the engine
+                        # trimmed them do not belong in the response
+                        out = out[: p.final_len]
+                    text = (server.tok.decode(out)
+                            if server.tok is not None else None)
+                    if p.chat:
+                        choice = {"index": i,
+                                  "message": {"role": "assistant",
+                                              "content": text},
+                                  "token_ids": out,
+                                  "finish_reason": "stop"}
+                    else:
+                        choice = {"index": i, "text": text,
+                                  "token_ids": out,
+                                  "finish_reason": "stop"}
+                    if p.logprobs is not None:
+                        choice["logprobs"] = server._logprobs_payload(p)
+                    choices.append(choice)
+                completion = sum(len(c["token_ids"]) for c in choices)
                 self._json(200, {
-                    "id": "chatcmpl-0" if p.chat else "cmpl-0",
-                    "object": ("chat.completion" if p.chat
+                    "id": "chatcmpl-0" if chat else "cmpl-0",
+                    "object": ("chat.completion" if chat
                                else "text_completion"),
                     "created": int(time.time()), "model": server.model_name,
-                    "choices": [choice],
+                    "choices": choices,
                     "usage": {"prompt_tokens": len(ids),
-                              "completion_tokens": len(out),
-                              "total_tokens": len(ids) + len(out)},
+                              "completion_tokens": completion,
+                              "total_tokens": len(ids) + completion},
                 })
 
             def _stream(self, p: _Pending):

@@ -277,3 +277,35 @@ def test_http_stop_sequences(rng):
     finally:
         httpd.shutdown()
         es.shutdown()
+
+
+def test_http_n_completions(rng):
+    """"n": K returns K independently sampled choices (indices 0..K-1);
+    greedy n>1 and streaming n>1 are rejected."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    eng = BatchingEngine(CFG, params, max_batch=4, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32)
+    es, httpd = start_server(eng)
+    port = httpd.server_address[1]
+    prompt = [int(t) for t in rng.integers(0, 64, (5,))]
+    try:
+        status, body = _post(port, {"prompt": prompt, "max_tokens": 8,
+                                    "n": 3, "temperature": 1.0})
+        assert status == 200
+        out = json.loads(body)
+        assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+        streams = [tuple(c["token_ids"]) for c in out["choices"]]
+        assert len(set(streams)) > 1  # independent samples
+        assert out["usage"]["completion_tokens"] == sum(
+            len(s) for s in streams)
+
+        import pytest as _p
+
+        for bad in ({"n": 2}, {"n": 2, "stream": True,
+                               "temperature": 1.0}):
+            with _p.raises(urllib.error.HTTPError) as ei:
+                _post(port, {"prompt": prompt, "max_tokens": 4, **bad})
+            assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        es.shutdown()
