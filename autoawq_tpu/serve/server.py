@@ -368,13 +368,40 @@ class EngineServer:
                               "total_tokens": len(ids) + completion},
                 })
 
+            def _emit_chunk(self, p: _Pending, t: int):
+                piece = (server.tok.decode([t])
+                         if server.tok is not None else None)
+                if p.chat:
+                    chunk = {"object": "chat.completion.chunk",
+                             "choices": [{"index": 0,
+                                          "delta": {"content": piece},
+                                          "token_ids": [t]}]}
+                else:
+                    chunk = {"object": "text_completion.chunk",
+                             "choices": [{"index": 0, "text": piece,
+                                          "token_ids": [t]}]}
+                self.wfile.write(
+                    b"data: " + json.dumps(chunk).encode() + b"\n\n")
+                self.wfile.flush()
+
             def _stream(self, p: _Pending):
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.end_headers()
+                # stop sequences: hold back the longest possible match so
+                # stop tokens NEVER reach a streaming client (the match
+                # is only known at retirement, when the engine trims it)
+                hold = max((len(s) for s in (p.stop or [])), default=0)
+                pending: List[int] = []
+                sent = 0
                 while True:
                     t = p.tokens.get()
                     if t is None:
+                        # flush any held tokens the trim did not consume
+                        if p.final_len is not None:
+                            pending = pending[: max(p.final_len - sent, 0)]
+                        for h in pending:
+                            self._emit_chunk(p, h)
                         if p.logprobs is not None:
                             # final summary chunk: streaming clients get
                             # the same logprobs non-stream responses carry
@@ -392,20 +419,10 @@ class EngineServer:
                         self.wfile.write(b"data: [DONE]\n\n")
                         self.wfile.flush()
                         return
-                    piece = (server.tok.decode([t])
-                             if server.tok is not None else None)
-                    if p.chat:
-                        chunk = {"object": "chat.completion.chunk",
-                                 "choices": [{"index": 0,
-                                              "delta": {"content": piece},
-                                              "token_ids": [t]}]}
-                    else:
-                        chunk = {"object": "text_completion.chunk",
-                                 "choices": [{"index": 0, "text": piece,
-                                              "token_ids": [t]}]}
-                    self.wfile.write(
-                        b"data: " + json.dumps(chunk).encode() + b"\n\n")
-                    self.wfile.flush()
+                    pending.append(t)
+                    while len(pending) > hold:
+                        self._emit_chunk(p, pending.pop(0))
+                        sent += 1
 
         return Handler
 

@@ -309,3 +309,47 @@ def test_http_n_completions(rng):
     finally:
         httpd.shutdown()
         es.shutdown()
+
+
+def test_http_streaming_stop_holds_back_match(rng):
+    """Streaming with stop sequences must never emit the stop tokens:
+    the handler holds back the longest possible match and flushes the
+    tail only when generation ends without one."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    prompt = [int(t) for t in rng.integers(0, 64, (5,))]
+    ref = BatchingEngine(CFG, params, max_batch=1, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32)
+    ref.add_request("r", np.asarray(prompt), 10)
+    full = ref.run()["r"]
+    # choose the first 2-token window with no earlier duplicate match
+    stop = full[4:6]
+
+    eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32)
+    es, httpd = start_server(eng)
+    port = httpd.server_address[1]
+
+    def stream(body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        toks = []
+        for line in urllib.request.urlopen(req, timeout=120) \
+                .read().decode().split("\n\n"):
+            if line.startswith("data: ") and line != "data: [DONE]":
+                ch = json.loads(line[6:])["choices"][0]
+                toks.extend(ch.get("token_ids", []))
+        return toks
+
+    try:
+        got = stream({"prompt": prompt, "max_tokens": 10, "stream": True,
+                      "stop": [stop]})
+        # streamed tokens + the stop must prefix the unrestricted stream
+        assert got + stop == full[: len(got) + len(stop)]
+        # no-stop streaming still delivers everything (tail flushed)
+        assert stream({"prompt": prompt, "max_tokens": 10,
+                       "stream": True}) == full
+    finally:
+        httpd.shutdown()
+        es.shutdown()
