@@ -316,6 +316,37 @@ class AwqLlavaModel:
             method=method,
         )
 
+    def input_embeds(self, input_ids, pixel_values=None,
+                     dtype=jnp.float32) -> jax.Array:
+        """Multimodal prompt embeds [B, S, H] (vision features spliced at
+        the image tokens) — feed `prompt_embeds` of `generate` or a
+        serving engine's `add_request`."""
+        from autoawq_tpu.models.vision import llava_input_embeds
+
+        return llava_input_embeds(
+            self.cfg, self.vision_cfg, self.params, jnp.asarray(input_ids),
+            None if pixel_values is None else jnp.asarray(pixel_values),
+            image_token_index=self.raw_config.get("image_token_index",
+                                                  32000),
+            vision_feature_layer=self.raw_config.get(
+                "vision_feature_layer", -2),
+            vision_feature_select_strategy=self.raw_config.get(
+                "vision_feature_select_strategy", "default"),
+            dtype=dtype)
+
+    def generate(self, input_ids, pixel_values=None,
+                 max_new_tokens: int = 64, dtype=jnp.float32,
+                 method: str = "auto", **kw) -> np.ndarray:
+        """Image-conditioned generation: prefill from the spliced embeds,
+        decode on token ids (the reference delegates to HF's multimodal
+        generate; this is the engine-compatible equivalent)."""
+        embeds = self.input_embeds(input_ids, pixel_values, dtype=dtype)
+        out = gen.generate(
+            self.cfg, self.params["language_model"],
+            jnp.asarray(input_ids), max_new_tokens,
+            prompt_embeds=embeds, dtype=dtype, method=method, **kw)
+        return np.asarray(out)
+
     def to_device(self, dtype=jnp.bfloat16):
         def cast(x):
             x = np.asarray(x)

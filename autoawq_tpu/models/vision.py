@@ -115,6 +115,36 @@ def merge_image_features(
     return out.reshape(b, s, h)
 
 
+def llava_input_embeds(
+    cfg: ModelConfig,
+    vcfg: Dict[str, Any],
+    params: Dict[str, Any],
+    input_ids: jax.Array,
+    pixel_values: Optional[jax.Array] = None,
+    image_token_index: int = 32000,
+    vision_feature_layer: int = -2,
+    vision_feature_select_strategy: str = "default",
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Prompt input embeds [B, S, H]: text embeddings with projected
+    vision features spliced at the image-token positions — the
+    multimodal PROMPT a text-only engine can prefill from (decode
+    continues on token ids; serve/generate.prefill ``embeds=``)."""
+    lm = params["language_model"]
+    b, s = input_ids.shape
+    positions = jnp.arange(s)[None, :]
+    x = modules.embed(cfg, lm, input_ids, dtype, positions)
+    if pixel_values is not None:
+        feats = clip_vision_features(vcfg, params["vision_tower"],
+                                     pixel_values.astype(dtype),
+                                     vision_feature_layer)
+        if vision_feature_select_strategy == "default":
+            feats = feats[:, 1:]  # drop CLS
+        feats = llava_project(params["projector"], feats)
+        x = merge_image_features(x, input_ids, feats, image_token_index)
+    return x
+
+
 def llava_forward(
     cfg: ModelConfig,  # text config
     vcfg: Dict[str, Any],
@@ -131,15 +161,12 @@ def llava_forward(
     lm = params["language_model"]
     b, s = input_ids.shape
     positions = jnp.arange(s)[None, :]
-    x = modules.embed(cfg, lm, input_ids, dtype, positions)
-    if pixel_values is not None:
-        feats = clip_vision_features(vcfg, params["vision_tower"],
-                                     pixel_values.astype(dtype),
-                                     vision_feature_layer)
-        if vision_feature_select_strategy == "default":
-            feats = feats[:, 1:]  # drop CLS
-        feats = llava_project(params["projector"], feats)
-        x = merge_image_features(x, input_ids, feats, image_token_index)
+    x = llava_input_embeds(
+        cfg, vcfg, params, input_ids, pixel_values,
+        image_token_index=image_token_index,
+        vision_feature_layer=vision_feature_layer,
+        vision_feature_select_strategy=vision_feature_select_strategy,
+        dtype=dtype)
     cos, sin = modules.rope_tables(cfg, positions)
     mask = modules.causal_mask(s, sliding_window=cfg.sliding_window)
     for lp in lm["layers"]:

@@ -406,9 +406,14 @@ class Request:
                  max_new_tokens: int = 128, temperature: float = 0.0,
                  top_k: Optional[int] = None, top_p: Optional[float] = None,
                  repetition_penalty: float = 1.0,
-                 stop: Optional[List[List[int]]] = None):
+                 stop: Optional[List[List[int]]] = None,
+                 prompt_embeds=None):
         self.id = req_id
         self.prompt = np.asarray(prompt).reshape(-1)
+        # multimodal prompts: [S, H] precomputed input embeds (vision
+        # features spliced at image-token positions) replace the token
+        # embedding lookup at prefill; decode stays on token ids
+        self.prompt_embeds = prompt_embeds
         self.max_new_tokens = max_new_tokens
         self.temperature = float(temperature)
         self.top_k = top_k
@@ -491,12 +496,20 @@ class BatchingEngine(SamplingSlots):
                     temperature: float = 0.0, top_k: Optional[int] = None,
                     top_p: Optional[float] = None,
                     repetition_penalty: float = 1.0,
-                    stop: Optional[List[List[int]]] = None):
-        if len(np.asarray(prompt).reshape(-1)) >= self.max_seq:
+                    stop: Optional[List[List[int]]] = None,
+                    prompt_embeds=None):
+        prompt = np.asarray(prompt).reshape(-1)
+        if len(prompt) >= self.max_seq:
             raise ValueError("prompt longer than max_seq_len")
+        if prompt_embeds is not None:
+            prompt_embeds = jnp.asarray(prompt_embeds)
+            if prompt_embeds.ndim == 3:  # [1, S, H] -> [S, H]
+                prompt_embeds = prompt_embeds[0]
+            if prompt_embeds.shape[0] != len(prompt):
+                raise ValueError("prompt_embeds length != prompt length")
         self.queue.append(Request(req_id, prompt, max_new_tokens,
                                   temperature, top_k, top_p,
-                                  repetition_penalty, stop))
+                                  repetition_penalty, stop, prompt_embeds))
 
     def _free_slot(self, slot: int) -> None:
         self.pos[slot] = 0
@@ -513,12 +526,16 @@ class BatchingEngine(SamplingSlots):
                     or not self.queue):
                 continue
             req = self.queue.popleft()
-            if self.chunk is None:
+            if self.chunk is None or req.prompt_embeds is not None:
+                # multimodal (embed) prompts always prefill whole — a
+                # chunked embed slice would recompute nothing anyway
                 row = gen.init_kv_cache(self.cfg, 1, self.max_seq, self.dtype,
                                         kv_quant=self.kv_quant)
+                embeds = (None if req.prompt_embeds is None
+                          else req.prompt_embeds[None])
                 logits, row = gen.prefill(
                     self.cfg, self.params, jnp.asarray(req.prompt[None]), row,
-                    self.method, self.dtype)
+                    self.method, self.dtype, embeds=embeds)
                 self._activate(slot, req, row, logits)
             else:  # reserve the slot; chunks advance one per engine step
                 self.inflight[slot] = {

@@ -140,12 +140,18 @@ def prefill(
     caches: List[Dict[str, jax.Array]],
     method: str = "auto",
     dtype=jnp.bfloat16,
+    embeds: Optional[jax.Array] = None,  # [B, S, H] multimodal prompt
 ) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
-    """Process the prompt; returns (last-position logits [B, V], caches)."""
+    """Process the prompt; returns (last-position logits [B, V], caches).
+
+    ``embeds`` replaces the token embedding lookup with precomputed
+    input embeds (vision features spliced at image-token positions —
+    the multimodal serving entry; decode continues on token ids)."""
     b, s = tokens.shape
     max_t = _cache_len(caches)
     positions = jnp.arange(s)[None, :]
-    x = modules.embed(cfg, params, tokens, dtype, positions)
+    x = (embeds.astype(dtype) if embeds is not None
+         else modules.embed(cfg, params, tokens, dtype, positions))
     causal_prefill = cfg.sliding_window is None and cfg.pos_embed != "alibi"
     qi = jnp.arange(s)[:, None]
     # causal-prefill attends over the local s keys; windowed over the cache
@@ -279,14 +285,19 @@ def generate(
     dtype=jnp.bfloat16,
     kv_quant: bool = False,
     stream_callback=None,
+    prompt_embeds: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Python-loop generation (streaming-friendly). Returns [B, S + new]."""
+    """Python-loop generation (streaming-friendly). Returns [B, S + new].
+
+    ``prompt_embeds`` ([B, S, H]) prefills from precomputed input embeds
+    (multimodal prompts); decode continues on token ids."""
     b, s = prompt.shape
     total = max_seq_len or (s + max_new_tokens)
     _check_rope_capacity(cfg, total)
     roll_step = 128  # eviction granularity on overflow (reference rolls 100)
     caches = init_kv_cache(cfg, b, total, dtype, kv_quant=kv_quant)
-    logits, caches = prefill(cfg, params, prompt, caches, method, dtype)
+    logits, caches = prefill(cfg, params, prompt, caches, method, dtype,
+                             embeds=prompt_embeds)
     key = jax.random.PRNGKey(seed)
     out = [prompt]
     token = None

@@ -286,7 +286,13 @@ class PagedBatchingEngine(SamplingSlots):
                     temperature: float = 0.0, top_k: Optional[int] = None,
                     top_p: Optional[float] = None,
                     repetition_penalty: float = 1.0,
-                    stop: Optional[List[List[int]]] = None):
+                    stop: Optional[List[List[int]]] = None,
+                    prompt_embeds=None):
+        if prompt_embeds is not None:
+            raise NotImplementedError(
+                "embed (multimodal) prompts serve from BatchingEngine — "
+                "the prefix cache hashes token ids, which don't identify "
+                "an image-conditioned prompt")
         prompt = np.asarray(prompt).reshape(-1)
         budget = len(prompt) + max_new_tokens + 1
         if budget > self.pps * self.ps:

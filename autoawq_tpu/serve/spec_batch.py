@@ -184,7 +184,13 @@ class SpeculativeBatchingEngine(BatchingEngine):
 
     def add_request(self, req_id, prompt, max_new_tokens: int = 128,
                     temperature: float = 0.0, top_k=None, top_p=None,
-                    repetition_penalty: float = 1.0, stop=None):
+                    repetition_penalty: float = 1.0, stop=None,
+                    prompt_embeds=None):
+        if prompt_embeds is not None:
+            raise NotImplementedError(
+                "embed (multimodal) prompts are not speculated: the draft "
+                "has its own hidden size and cannot prefill the target's "
+                "spliced embeds")
         if repetition_penalty and repetition_penalty != 1.0:
             raise NotImplementedError(
                 "repetition_penalty under speculative pool serving is not "

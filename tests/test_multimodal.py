@@ -173,3 +173,39 @@ def test_llava_next_multimodal_parity(rng):
         image_token_index=127, method="jnp"))
     scale = np.abs(ref).max() + 1e-6
     np.testing.assert_allclose(got / scale, ref / scale, atol=5e-3, rtol=5e-3)
+
+
+def test_llava_serves_from_engine_with_embeds(rng):
+    """Multimodal SERVING: the slot engine prefills from the spliced
+    input embeds (prompt_embeds) and decodes on token ids — the stream
+    matches image-conditioned HF greedy generation, and an engine run
+    WITHOUT the image diverges (the image matters)."""
+    from autoawq_tpu.models.vision import llava_input_embeds
+    from autoawq_tpu.serve.batching import BatchingEngine
+
+    hf, cfg = _tiny_llava()
+    n_patch = (16 // 8) ** 2
+    ids = rng.integers(6, 64, (1, 10))
+    ids[0, 1 : 1 + n_patch] = 5
+    pixels = torch.randn(1, 3, 16, 16)
+    with torch.no_grad():
+        ref = hf.generate(input_ids=torch.asarray(ids),
+                          pixel_values=pixels, max_new_tokens=6,
+                          do_sample=False, pad_token_id=0)
+    want = list(ref[0].numpy()[ids.shape[1]:])
+
+    sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+    text_cfg = ModelConfig.from_hf_dict(cfg.text_config.to_dict())
+    params = llava_params_from_state_dict(text_cfg, sd)
+    embeds = llava_input_embeds(
+        text_cfg, cfg.vision_config.to_dict(), params,
+        jnp.asarray(ids), jnp.asarray(pixels.numpy()),
+        image_token_index=5)
+
+    eng = BatchingEngine(text_cfg, params["language_model"], max_batch=2,
+                         max_seq_len=32, method="jnp", dtype=jnp.float32)
+    eng.add_request("img", ids[0], 6, prompt_embeds=embeds)
+    eng.add_request("noimg", ids[0], 6)  # text-only: placeholder ids
+    got = eng.run()
+    assert got["img"] == want
+    assert got["noimg"] != want  # the image conditioned the stream
