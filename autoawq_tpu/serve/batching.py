@@ -432,15 +432,22 @@ class Request:
 
     def hit_stop(self) -> bool:
         """True when the output ends with one of the stop sequences; the
-        matched suffix is trimmed from the output (idempotent)."""
+        LONGEST matching suffix is trimmed from the output (earliest
+        truncation point — a stop that is a suffix of another must not
+        leak the longer match's leading tokens). Idempotent."""
         if self._stopped:
             return True
+        best = 0
         for s in self.stop:
-            if s and len(self.output) >= len(s) \
+            if s and len(s) > best and len(self.output) >= len(s) \
                     and self.output[-len(s):] == s:
-                del self.output[-len(s):]
-                self._stopped = True
-                return True
+                best = len(s)
+        if best:
+            del self.output[-best:]
+            del self.logprobs[len(self.output):]
+            del self.top_logprobs[len(self.output):]
+            self._stopped = True
+            return True
         return False
 
 
@@ -572,10 +579,13 @@ class BatchingEngine(SamplingSlots):
         req = self.slots[slot]
         if req is None:
             return
-        if (req.output and req.output[-1] == self.eos) \
+        # stop FIRST: a match completing exactly at the budget/EOS
+        # boundary must still trim (the other conditions would
+        # short-circuit past it and deliver the stop tokens)
+        if (req.stop and req.hit_stop()) \
+                or (req.output and req.output[-1] == self.eos) \
                 or len(req.output) >= req.max_new_tokens \
-                or self.pos[slot] + 1 >= self.max_seq \
-                or (req.stop and req.hit_stop()):
+                or self.pos[slot] + 1 >= self.max_seq:
             req.done = True
             self.finished.append(req)
             self.slots[slot] = None
@@ -603,10 +613,13 @@ class BatchingEngine(SamplingSlots):
             tok = int(toks[slot])
             req = self.slots[slot]
             req.output.append(tok)
-            emitted.append((req.id, tok))
             self.pos[slot] += 1
             self.last_token[slot] = tok
             self._retire_if_done(slot)
+            if not req._stopped:
+                # a stop match always ends at the current token — its
+                # pair must not be emitted (it was trimmed from output)
+                emitted.append((req.id, tok))
         return emitted
 
     def run(self) -> Dict[Any, List[int]]:

@@ -127,7 +127,7 @@ def _install_pages(page_caches, row_caches, page_ids: jax.Array,
         lo, hi = start_page * ps, (start_page + n_pages) * ps
         new = {}
         for pk, rk in _PAGE_KEYS:
-            if pk not in pc or pk == "c_page_s":
+            if pk not in pc:
                 continue
             if pk == "c_pages" and "c_page_s" in pc:
                 src = row["c"][0, :, lo:hi]  # [1, n*ps, dcr] fp
@@ -159,7 +159,7 @@ def _gather_pages(page_caches, row_caches, page_ids: jax.Array,
         ps = next(iter(pc.values())).shape[2]
         new = {}
         for pk, rk in _PAGE_KEYS:
-            if pk not in pc or pk == "c_page_s":
+            if pk not in pc:
                 continue
             if pk == "c_pages" and "c_page_s" in pc:
                 q = pc["c_pages"][:, page_ids].reshape(
@@ -562,9 +562,10 @@ class PagedBatchingEngine(SamplingSlots):
         req = self.slots[slot]
         if req is None:
             return
-        if (req.output and req.output[-1] == self.eos) \
-                or len(req.output) >= req.max_new_tokens \
-                or (req.stop and req.hit_stop()):
+        # stop first — see batching._retire_if_done
+        if (req.stop and req.hit_stop()) \
+                or (req.output and req.output[-1] == self.eos) \
+                or len(req.output) >= req.max_new_tokens:
             req.done = True
             self.finished.append(req)
             self.slots[slot] = None
@@ -592,12 +593,13 @@ class PagedBatchingEngine(SamplingSlots):
             tok = int(toks[slot])
             req = self.slots[slot]
             req.output.append(tok)
-            emitted.append((req.id, tok))
             self.pos[slot] += 1
             if self.cfg.sliding_window and self.slots[slot] is not None:
                 self._recycle_window_pages(slot)
             self.last_token[slot] = tok
             self._retire_if_done(slot)
+            if not req._stopped:  # see batching.step
+                emitted.append((req.id, tok))
         return emitted
 
     def run(self) -> Dict[Any, List[int]]:

@@ -71,7 +71,8 @@ class EngineServer:
         self._pending: "Queue[_Pending]" = Queue()
         self._cancel_q: "Queue[Any]" = Queue()
         self._live: Dict[Any, _Pending] = {}
-        self._by_client: Dict[Any, Any] = {}  # client_id -> engine rid
+        self._by_client: Dict[Any, list] = {}  # client_id -> engine rids
+        # (a list: "n" > 1 fans one client request into n engine requests)
         self._next_id = 0
         self._lock = threading.Lock()
         self._wake = threading.Event()
@@ -89,15 +90,13 @@ class EngineServer:
                     cid = self._cancel_q.get_nowait()
                 except Empty:
                     break
-                rid = self._by_client.pop(cid, None)
-                if rid is None:
-                    continue
-                self.engine.cancel(rid)
-                live = self._live.pop(rid, None)
-                if live is not None:
-                    live.error = "cancelled"
-                    live.tokens.put(None)
-                    live.done.set()
+                for rid in self._by_client.pop(cid, []):
+                    self.engine.cancel(rid)
+                    live = self._live.pop(rid, None)
+                    if live is not None:
+                        live.error = "cancelled"
+                        live.tokens.put(None)
+                        live.done.set()
             admitted = False
             while True:
                 try:
@@ -123,7 +122,7 @@ class EngineServer:
                     continue
                 self._live[rid] = p
                 if p.client_id is not None:
-                    self._by_client[p.client_id] = rid
+                    self._by_client.setdefault(p.client_id, []).append(rid)
                 admitted = True
             if not (admitted or self.engine.has_work):
                 self._wake.wait(timeout=0.05)
@@ -149,7 +148,11 @@ class EngineServer:
                 live = self._live.pop(req.id, None)
                 if live is not None:
                     if live.client_id is not None:
-                        self._by_client.pop(live.client_id, None)
+                        rids = self._by_client.get(live.client_id, [])
+                        if req.id in rids:
+                            rids.remove(req.id)
+                        if not rids:
+                            self._by_client.pop(live.client_id, None)
                     live.final_len = len(req.output)
                     if req.logprobs:
                         live.logprobs = list(req.logprobs)[: live.final_len]
@@ -288,8 +291,15 @@ class EngineServer:
                                 if server.tok is None:
                                     raise ValueError(
                                         "string stop needs a tokenizer")
-                                seqs.append([int(t)
-                                             for t in server.tok.encode(s)])
+                                # HF tokenizers prepend BOS by default —
+                                # a stop starting with BOS never matches
+                                # generated output
+                                try:
+                                    enc = server.tok.encode(
+                                        s, add_special_tokens=False)
+                                except TypeError:
+                                    enc = server.tok.encode(s)
+                                seqs.append([int(t) for t in enc])
                             else:  # a token-id sequence
                                 seqs.append([int(t) for t in s])
                         stop = seqs
@@ -316,8 +326,7 @@ class EngineServer:
                     pends = [
                         _Pending(ids, max_tokens, temperature, top_k,
                                  top_p, stream,
-                                 client_id=(req.get("request_id")
-                                            if i == 0 else None),
+                                 client_id=req.get("request_id"),
                                  chat=chat, repetition_penalty=rep_pen,
                                  stop=stop)
                         for i in range(n)]

@@ -210,19 +210,29 @@ class SpeculativeBatchingEngine(BatchingEngine):
         super()._activate(slot, req, row, logits)
 
     def _emit(self, slot: int, toks: List[int], emitted, lps=None):
-        """Append accepted tokens, honoring EOS/budget mid-run."""
+        """Append accepted tokens, honoring EOS/budget/stop mid-run."""
         req = self.slots[slot]
+        n0 = len(req.output)
+        appended = 0
         for j, t in enumerate(toks):
             req.output.append(t)
+            appended += 1
             if lps is not None:
                 req.logprobs.append(float(lps[j]))
             emitted.append((req.id, t))
             self.pos[slot] += 1
             self.last_token[slot] = t
-            if (t == self.eos or len(req.output) >= req.max_new_tokens
-                    or self.pos[slot] + 1 >= self.max_seq
-                    or (req.stop and req.hit_stop())):
+            if ((req.stop and req.hit_stop()) or t == self.eos
+                    or len(req.output) >= req.max_new_tokens
+                    or self.pos[slot] + 1 >= self.max_seq):
                 break
+        if req._stopped:
+            # un-emit the pairs the stop trim removed (only THIS call's
+            # pairs are recallable; a match spanning a previous round's
+            # emission is compensated by the HTTP server via final_len)
+            trimmed = appended - (len(req.output) - n0)
+            for _ in range(min(trimmed, appended)):
+                emitted.pop()
         # cache positions for tokens beyond a mid-run stop are stale but
         # unreachable (masked by pos); realign the draft stream
         self.dpos[slot] = self.pos[slot]

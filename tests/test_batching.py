@@ -387,3 +387,37 @@ def test_stop_sequences(rng):
         method="jnp", dtype=jnp.float32)
     seng.add_request("r", prompt, 10, stop=stop)
     assert seng.run()["r"] == want
+
+
+def test_stop_boundary_and_longest_match(rng):
+    """A stop match completing exactly at max_new_tokens must still trim
+    (the budget check used to short-circuit first), step() must not emit
+    trimmed pairs, and when one stop suffixes another the LONGEST match
+    trims."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    prompt = rng.integers(0, 64, (5,))
+    base = BatchingEngine(CFG, params, max_batch=1, max_seq_len=48,
+                          method="jnp", dtype=jnp.float32)
+    base.add_request("r", prompt, 6)
+    full = base.run()["r"]
+
+    # stop = last two tokens of a 6-token budget -> match AT the boundary
+    eng = BatchingEngine(CFG, params, max_batch=1, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32)
+    eng.add_request("r", prompt, 6, stop=[full[4:6]])
+    emitted = []
+    while eng.has_work:
+        emitted.extend(t for _, t in eng.step())
+    got = eng.finished[0].output
+    assert got == full[:4]
+    # step() never emits the FINAL match token (earlier stop tokens were
+    # emitted before the match was knowable — the HTTP layer compensates
+    # via final_len; first token comes from admission)
+    assert emitted == full[1:5]
+
+    # longest-suffix: [B] alone would leak A; [A, B] must win
+    eng2 = BatchingEngine(CFG, params, max_batch=1, max_seq_len=48,
+                          method="jnp", dtype=jnp.float32)
+    eng2.add_request("r", prompt, 6,
+                     stop=[[full[5]], [full[4], full[5]]])
+    assert eng2.run()["r"] == full[:4]
