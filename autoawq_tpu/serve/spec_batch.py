@@ -46,8 +46,9 @@ from autoawq_tpu.models.config import ModelConfig
 from autoawq_tpu.nn import modules
 from autoawq_tpu.serve import generate as gen
 from autoawq_tpu.serve.batching import (BatchingEngine, Request,
-                                        _install_slot, batched_decode_step,
-                                        sample_batched, warp_batched)
+                                        _install_slot, _penalize_batched,
+                                        batched_decode_step, sample_batched,
+                                        warp_batched)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "method", "dtype"),
@@ -144,6 +145,33 @@ def pool_accept(
 
 
 @functools.partial(jax.jit, donate_argnums=())
+def _presence_scatter(presence: jax.Array, toks: jax.Array) -> jax.Array:
+    """Non-donating presence scatter for the draft chunk's LOCAL presence
+    copy (batching._presence_note donates its input, which would
+    invalidate the engine's live buffer the copy was forked from)."""
+    return presence.at[jnp.arange(presence.shape[0]), toks].set(True)
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _penalize_chunk(logits: jax.Array, penalty: jax.Array,
+                    presence: jax.Array, drafts: jax.Array) -> jax.Array:
+    """HF repetition penalty across a verify chunk ([B, C, V] logits):
+    position i scores the token following drafts[:, :i], so its presence
+    set is the slot's prompt+output presence PLUS the chunk's earlier
+    proposals — exactly what the plain engine would have noted had those
+    drafts been emitted one step at a time. Keeps greedy speculative
+    streams bit-identical to the non-speculative pool under penalty."""
+    b, c, v = logits.shape
+    oh = jax.nn.one_hot(drafts, v, dtype=bool)  # [B, C-1, V]
+    cum = jax.lax.associative_scan(jnp.logical_or, oh, axis=1)
+    pres = jnp.concatenate(
+        [jnp.zeros((b, 1, v), bool), cum], axis=1) | presence[:, None]
+    pen = jnp.where(logits > 0, logits / penalty[:, None, None],
+                    logits * penalty[:, None, None])
+    return jnp.where(pres & (penalty[:, None, None] != 1.0), pen, logits)
+
+
+@functools.partial(jax.jit, donate_argnums=())
 def _spec_logprobs(tlog: jax.Array, drafts: jax.Array, a: jax.Array,
                    nxt: jax.Array) -> jax.Array:
     """[B, k+1] log p(emitted token) under the UNWARPED target chunk
@@ -191,13 +219,8 @@ class SpeculativeBatchingEngine(BatchingEngine):
                 "embed (multimodal) prompts are not speculated: the draft "
                 "has its own hidden size and cannot prefill the target's "
                 "spliced embeds")
-        if repetition_penalty and repetition_penalty != 1.0:
-            raise NotImplementedError(
-                "repetition_penalty under speculative pool serving is not "
-                "implemented (the draft/verify acceptance would need the "
-                "processor applied at every chunk position)")
         super().add_request(req_id, prompt, max_new_tokens, temperature,
-                            top_k, top_p, stop=stop)
+                            top_k, top_p, repetition_penalty, stop=stop)
 
     def _activate(self, slot: int, req: Request, row, logits):
         # target slot install (base behavior) + draft prefill/install
@@ -217,6 +240,7 @@ class SpeculativeBatchingEngine(BatchingEngine):
         for j, t in enumerate(toks):
             req.output.append(t)
             appended += 1
+            self._note_token(slot, t)  # keep penalty presence current
             if lps is not None:
                 req.logprobs.append(float(lps[j]))
             emitted.append((req.id, t))
@@ -276,6 +300,9 @@ class SpeculativeBatchingEngine(BatchingEngine):
         # see serve/speculative.py). Inactive slots compute garbage that
         # is never read (their pos stays 0 and rows get overwritten).
         sampling = bool(np.any(self.temp > 0.0))
+        tracking = self._tracking()  # any repetition_penalty live
+        pen = jnp.asarray(self.penalty) if tracking else None
+        pres_chunk = self._pres_dev if tracking else None
         drafts = np.zeros((self.max_batch, k), np.int64)
         dlogs: List[jax.Array] = []
         tok = self.last_token.copy()
@@ -285,6 +312,8 @@ class SpeculativeBatchingEngine(BatchingEngine):
                 self.dcaches, jnp.asarray(self.dpos + i), self.method,
                 self.dtype)
             if i < k:
+                if tracking:  # penalize with base + earlier chunk drafts
+                    dlog = _penalize_batched(dlog, pen, pres_chunk)
                 if sampling:  # propose from each slot's warped q
                     dlogs.append(dlog)
                     tok = np.asarray(sample_batched(
@@ -294,20 +323,28 @@ class SpeculativeBatchingEngine(BatchingEngine):
                 else:
                     tok = np.asarray(jnp.argmax(dlog, axis=-1))
                 drafts[:, i] = tok
+                if tracking:
+                    pres_chunk = _presence_scatter(pres_chunk,
+                                                   jnp.asarray(tok))
 
         # ---- target: one verify pass for the whole pool
         chunk = np.concatenate([self.last_token[:, None], drafts], axis=1)
         tlog, self.caches = batched_chunk_step(
             self.cfg, self.params, jnp.asarray(chunk), self.caches,
             jnp.asarray(self.pos), self.method, self.dtype)
+        # acceptance scores against PENALIZED logits (HF processor ->
+        # warper order); raw tlog still feeds _spec_logprobs, matching the
+        # plain engine's unprocessed logprob reporting
+        tlog_acc = tlog if not tracking else _penalize_chunk(
+            tlog, pen, self._pres_dev, jnp.asarray(drafts))
         if sampling:
             acc, nxt = pool_accept(
-                tlog, jnp.stack(dlogs, axis=1), jnp.asarray(drafts),
+                tlog_acc, jnp.stack(dlogs, axis=1), jnp.asarray(drafts),
                 jnp.asarray(self.temp), jnp.asarray(self.topk),
                 jnp.asarray(self.topp), self._next_key())
             acc, nxt = np.asarray(acc), np.asarray(nxt)
         else:  # all-greedy pool: pure argmax prefix matching
-            greedy = np.asarray(jnp.argmax(tlog, axis=-1))  # [B, k+1]
+            greedy = np.asarray(jnp.argmax(tlog_acc, axis=-1))  # [B, k+1]
             match = drafts == greedy[:, :k]
             acc = np.where(match.all(-1), k, np.argmin(match, axis=-1))
             nxt = greedy[np.arange(self.max_batch), acc]

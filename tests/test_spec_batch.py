@@ -253,3 +253,69 @@ def test_admission_during_fallback_keeps_draft_aligned(rng):
                  max_seq=36)
     assert got == ref
     assert eng.proposed > 0 and eng.accept_rate == 1.0  # self-draft
+
+
+def test_spec_pool_repetition_penalty_matches_plain(rng):
+    """Greedy speculative streams under repetition_penalty bit-match the
+    plain engine: the verify chunk penalizes position i with prompt+output
+    presence PLUS drafts[:, :i], exactly the token-at-a-time semantics."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    dparams = init_random_params(DRAFT, seed=9, scale=0.08)
+    work = [(f"r{i}", rng.integers(0, 64, (l,)), n, p)
+            for i, (l, n, p) in enumerate(
+                [(5, 12, 1.8), (7, 10, 1.0), (4, 12, 1.3)])]
+    eng = BatchingEngine(CFG, params, max_batch=3, max_seq_len=96,
+                         method="jnp", dtype=jnp.float32)
+    for rid, prompt, n, p in work:
+        eng.add_request(rid, prompt, n, repetition_penalty=p)
+    ref = eng.run()
+    spec = SpeculativeBatchingEngine(
+        CFG, params, DRAFT, dparams, k=3, max_batch=3, max_seq_len=96,
+        method="jnp", dtype=jnp.float32)
+    for rid, prompt, n, p in work:
+        spec.add_request(rid, prompt, n, repetition_penalty=p)
+    got = spec.run()
+    assert got == ref
+    # with a small vocab and strong penalty the streams genuinely diverge
+    # from the penalty-free run (the test bites)
+    free = SpeculativeBatchingEngine(
+        CFG, params, DRAFT, dparams, k=3, max_batch=3, max_seq_len=96,
+        method="jnp", dtype=jnp.float32)
+    for rid, prompt, n, _ in work:
+        free.add_request(rid, prompt, n)
+    assert free.run()["r0"] != got["r0"]
+
+
+def test_spec_pool_penalty_self_draft_accepts_everything(rng):
+    """Self-draft + penalty: proposal and verify see identical penalized
+    distributions, so greedy acceptance stays 1.0 (catches a drift between
+    the draft-loop presence and the chunk-cumulative presence)."""
+    params = init_random_params(CFG, seed=4, scale=0.08)
+    eng = SpeculativeBatchingEngine(
+        CFG, params, CFG, params, k=3, max_batch=2, max_seq_len=64,
+        method="jnp", dtype=jnp.float32)
+    eng.add_request("a", rng.integers(0, 64, (5,)), 12,
+                    repetition_penalty=1.5)
+    out = eng.run()
+    assert len(out["a"]) == 12
+    assert eng.accept_rate == 1.0
+
+
+def test_spec_pool_sampled_penalty_runs(rng):
+    """Sampled + penalized speculative pool: emits the full budget and is
+    per-seed deterministic (q is the penalized+warped proposal dist)."""
+    params = init_random_params(CFG, seed=4, scale=0.08)
+
+    def run(seed):
+        eng = SpeculativeBatchingEngine(
+            CFG, params, CFG, params, k=3, max_batch=2, max_seq_len=64,
+            method="jnp", dtype=jnp.float32, seed=seed)
+        eng.add_request("a", rng.integers(0, 64, (5,)), 12,
+                        temperature=0.8, repetition_penalty=1.4)
+        return eng.run()["a"]
+
+    rng = np.random.default_rng(11)
+    out1 = run(3)
+    rng = np.random.default_rng(11)
+    out2 = run(3)
+    assert out1 == out2 and len(out1) == 12
