@@ -106,6 +106,69 @@ def fuse_model(cfg: ModelConfig, params: Dict[str, Any],
     return params
 
 
+def _split_lin(lin: Dict[str, Any], ns: List[int]) -> List[Dict[str, Any]]:
+    """Inverse of ``_fuse``: split one fused LIN back into len(ns) LINs
+    along logical output columns (unpack -> slice -> repack, since lane
+    padding is per-tensor). Members fused without a bias come back with
+    the zero bias the fuse synthesized — numerically identical."""
+    if "lora_a" in lin:
+        raise ValueError("cannot unfuse a LIN carrying LoRA adapters")
+    if "qweight" in lin:
+        u = _unpack_lin(lin, sum(ns))
+        had_z = "qzeros" in lin
+        outs = []
+        lo = 0
+        for n in ns:
+            s = _slice_cols(u, lo, lo + n)
+            o = {"qweight": packing.pack_planar(s["qweight"]),
+                 "scales": packing.pad_scales_planar(s["scales"])}
+            if had_z:
+                o["qzeros"] = packing.pack_planar(s["qzeros"])
+            if s["bias"] is not None:
+                o["bias"] = s["bias"]
+            outs.append(o)
+            lo += n
+        return outs
+    outs = []
+    lo = 0
+    for n in ns:
+        o = {"kernel": np.asarray(lin["kernel"])[:, lo:lo + n]}
+        if lin.get("bias") is not None:
+            o["bias"] = np.asarray(lin["bias"])[lo:lo + n]
+        outs.append(o)
+        lo += n
+    return outs
+
+
+def unfuse_model(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
+    """In-place inverse of ``fuse_model`` for qkv and gate/up (expert
+    stacks are left alone; ``qkv_proj_tp`` side-stacks are dropped — they
+    are derived data, rebuildable via ``tp_stack_qkv``). Used by
+    parallel/pipeline.to_pipeline: fused column layouts cannot be
+    head-sliced for stage-internal Megatron TP, but their per-linear
+    equivalents shard fine, so pipelining unfuses instead of rejecting."""
+    hd, nh, nkv = (cfg.head_dim_, cfg.num_attention_heads,
+                   cfg.num_key_value_heads)
+    for lp in params["layers"]:
+        attn = lp["self_attn"]
+        attn.pop("qkv_proj_tp", None)
+        if "qkv_proj" in attn and not cfg.is_mla:
+            q, k, v = _split_lin(attn.pop("qkv_proj"),
+                                 [nh * hd, nkv * hd, nkv * hd])
+            attn["q_proj"], attn["k_proj"], attn["v_proj"] = q, k, v
+        m = lp["mlp"]
+        if "gate_up_proj" in m:
+            inter = cfg.intermediate_size
+            m["gate_proj"], m["up_proj"] = _split_lin(
+                m.pop("gate_up_proj"), [inter, inter])
+        for e in m.get("experts", []):
+            if "gate_up_proj" in e:
+                inter = cfg.moe_intermediate_size or cfg.intermediate_size
+                e["gate_proj"], e["up_proj"] = _split_lin(
+                    e.pop("gate_up_proj"), [inter, inter])
+    return params
+
+
 def _unpack_lin(lin: Dict[str, Any], n: int) -> Dict[str, Any]:
     """Unpack a quant LIN to its logical integer grid ONCE (per-chip
     slicing then costs nothing — unpacking inside the tp loop would

@@ -23,10 +23,12 @@ contract as parallel/specs.py); the stage body runs each layer with a
 LOCAL head/intermediate config and trace-time ``tp_psum`` markers on the
 row-parallel linears, so nn/modules.linear psums partial products over
 ``tensor`` (bias after the psum) while activations stay replicated on
-the tensor axis. Fused qkv/gate_up layouts, MoE layers, MLA, and ALiBi
-are rejected up front (their column splits don't align with a head
-slice); manual TP never silently falls back to replication — layouts
-that can't shard raise at ``to_pipeline``.
+the tensor axis. Fused qkv/gate_up layouts are UNFUSED at ``to_pipeline``
+(their concatenated columns can't be head-sliced; the per-linear layout
+shards fine — nn/fuse.unfuse_model); ALiBi shards its bias sheet on the
+head dim. MoE layers and MLA are rejected up front; manual TP never
+silently falls back to replication — layouts that can't shard raise at
+``to_pipeline``.
 
 Usage:
     mesh = build_mesh(pipe=4, data=2)            # or pipe=2, tensor=2, ...
@@ -89,14 +91,14 @@ _TP_UNSUPPORTED = ("qkv_proj", "gate_up_proj", "experts", "experts_stacked")
 
 
 def _validate_tp(cfg: ModelConfig, layers, n_tensor: int) -> None:
-    """Reject model shapes manual stage-TP cannot split along heads."""
+    """Reject model shapes manual stage-TP cannot split along heads.
+    (Fused qkv/gate_up layouts are unfused by ``to_pipeline`` before this
+    runs; ALiBi shards its bias sheet on the head dim — only MoE expert
+    layouts and MLA remain genuinely unsplittable here.)"""
     if n_tensor == 1:
         return
     if cfg.is_mla:
         raise NotImplementedError("PPxTP: MLA attention not supported")
-    if cfg.pos_embed == "alibi":
-        raise NotImplementedError(
-            "PPxTP: ALiBi needs per-shard slope slices (not implemented)")
     nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
     if nh % n_tensor or nkv % n_tensor or \
             cfg.intermediate_size % n_tensor:
@@ -228,6 +230,14 @@ def to_pipeline(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh,
     if len(layers) % n_pipe:
         raise ValueError(
             f"{len(layers)} layers not divisible by pipe={n_pipe}")
+    if n_tensor > 1 and any(
+            "qkv_proj" in lp["self_attn"] or "gate_up_proj" in lp["mlp"]
+            or "qkv_proj_tp" in lp["self_attn"] for lp in layers):
+        # fused [q|k|v] / [gate|up] column layouts can't be head-sliced;
+        # their per-linear equivalents shard fine — unfuse (in place, like
+        # fuse_model) instead of rejecting the checkpoint
+        from autoawq_tpu.nn.fuse import unfuse_model
+        unfuse_model(cfg, params)
     _validate_tp(cfg, layers, n_tensor)
     stacked = stack_layers(layers)
     specs = _stacked_specs(stacked, n_tensor)
@@ -320,10 +330,15 @@ def _pipeline_hidden(cfg: ModelConfig, stacked, x, cos, sin, mask,
 
     act_spec = (P(None, "data", None, None)
                 if "data" in mesh.axis_names else P(None, None, None, None))
+    # an ALiBi bias sheet carries a real head dim: give each tensor shard
+    # its contiguous head slice (matching the column-sharded q/k/v heads)
+    mask_spec = (P(None, "tensor", None, None)
+                 if n_tensor > 1 and np.ndim(mask) == 4
+                 and mask.shape[1] > 1 else P())
     stk_specs = _stacked_specs(stacked, n_tensor)
     out = jax.shard_map(
         pipelined, mesh=mesh,
-        in_specs=(stk_specs, act_spec, P(), P(), P()),
+        in_specs=(stk_specs, act_spec, P(), P(), mask_spec),
         out_specs=act_spec, check_vma=False,
     )(stacked, xm, cos, sin, mask)
     return out.reshape(b, *x.shape[1:])

@@ -212,7 +212,7 @@ def test_pipeline_tp_lora_step_matches_sequential(rng):
 
 def test_pipeline_tp_rejects_unshardable(rng):
     """Manual TP must refuse layouts it cannot split: odd KV heads and
-    ALiBi raise instead of silently replicating."""
+    MoE expert layouts raise instead of silently replicating."""
     from autoawq_tpu.io.hf import init_random_params
 
     mesh = build_mesh(pipe=2, tensor=2, data=2)
@@ -222,10 +222,58 @@ def test_pipeline_tp_rejects_unshardable(rng):
         num_key_value_heads=1, head_dim=32, max_position_embeddings=32)
     with pytest.raises(ValueError, match="divide tensor"):
         pp.to_pipeline(bad, init_random_params(bad, seed=0), mesh)
-    alibi = ModelConfig(
+    moe = ModelConfig(
+        model_type="mixtral", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, head_dim=16, num_experts=4,
+        num_experts_per_tok=2, max_position_embeddings=32)
+    with pytest.raises(NotImplementedError, match="experts"):
+        pp.to_pipeline(moe, init_random_params(moe, seed=0), mesh)
+
+
+def test_pipeline_tp_alibi_matches_sequential(rng):
+    """ALiBi under PP x TP: the bias sheet shards on the head dim
+    (each tensor shard scores its contiguous head slice)."""
+    from autoawq_tpu.io.hf import init_random_params
+
+    cfg = ModelConfig(
         model_type="bloom", vocab_size=64, hidden_size=64,
         intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
         num_key_value_heads=4, head_dim=16, max_position_embeddings=32,
         pos_embed="alibi")
-    with pytest.raises(NotImplementedError, match="ALiBi"):
-        pp.to_pipeline(alibi, init_random_params(alibi, seed=0), mesh)
+    params = init_random_params(cfg, seed=7, scale=0.08)
+    mesh = build_mesh(pipe=2, tensor=2, data=2)
+    pparams = pp.to_pipeline(cfg, params, mesh)
+    tokens = jnp.asarray(rng.integers(0, 64, (4, 16)))
+    with mesh:
+        got = jax.jit(lambda p, t: pp.pipeline_forward(
+            cfg, p, t, mesh, n_microbatches=2))(pparams, tokens)
+    ref = modules.forward(cfg, params, tokens, method="jnp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_tp_fused_checkpoint_unfuses(rng):
+    """A FUSED quantized checkpoint (qkv_proj / gate_up_proj) pipelines
+    under stage-TP: to_pipeline unfuses the concatenated columns back to
+    per-linear layouts (nn/fuse.unfuse_model) and matches the fused
+    sequential forward."""
+    from autoawq_tpu.nn.fuse import fuse_model
+
+    cfg = ModelConfig(
+        model_type="llama", vocab_size=128, hidden_size=2048,
+        intermediate_size=2048, num_hidden_layers=2,
+        num_attention_heads=16, num_key_value_heads=16, head_dim=128,
+        max_position_embeddings=32)
+    params = fuse_model(cfg, random_quantized_params(
+        cfg, seed=2, fp_dtype=jnp.float32))
+    tokens = jnp.asarray(rng.integers(0, 128, (4, 8)))
+    ref = modules.forward(cfg, params, tokens, method="jnp")
+    mesh = build_mesh(pipe=2, tensor=2, data=2)
+    pparams = pp.to_pipeline(cfg, params, mesh)
+    assert "q_proj" in params["layers"][0]["self_attn"]  # unfused in place
+    with mesh:
+        got = jax.jit(lambda p, t: pp.pipeline_forward(
+            cfg, p, t, mesh, n_microbatches=2))(pparams, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
