@@ -87,32 +87,39 @@ def unstack_layers(stacked: Dict[str, Any], n_layers: int):
     return [pick(i) for i in range(n_layers)]
 
 
-_TP_UNSUPPORTED = ("qkv_proj", "gate_up_proj", "experts", "experts_stacked")
-
-
 def _validate_tp(cfg: ModelConfig, layers, n_tensor: int) -> None:
-    """Reject model shapes manual stage-TP cannot split along heads.
+    """Reject model shapes manual stage-TP cannot split.
     (Fused qkv/gate_up layouts are unfused by ``to_pipeline`` before this
-    runs; ALiBi shards its bias sheet on the head dim — only MoE expert
-    layouts and MLA remain genuinely unsplittable here.)"""
+    runs; ALiBi shards its bias sheet on the head dim; stacked MoE experts
+    shard expert-wise — only unstacked expert lists, shared experts, and
+    MLA remain genuinely unsplittable here.)"""
     if n_tensor == 1:
         return
     if cfg.is_mla:
         raise NotImplementedError("PPxTP: MLA attention not supported")
     nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
-    if nh % n_tensor or nkv % n_tensor or \
-            cfg.intermediate_size % n_tensor:
+    if nh % n_tensor or nkv % n_tensor:
         raise ValueError(
-            f"PPxTP: heads ({nh}/{nkv}) and intermediate "
-            f"({cfg.intermediate_size}) must divide tensor={n_tensor}")
+            f"PPxTP: heads ({nh}/{nkv}) must divide tensor={n_tensor}")
+    if not cfg.is_moe and cfg.intermediate_size % n_tensor:
+        # MoE shards expert-wise; each expert keeps its full intermediate
+        raise ValueError(
+            f"PPxTP: intermediate ({cfg.intermediate_size}) must divide "
+            f"tensor={n_tensor}")
     for lp in layers:
-        for sub in lp.values():
-            if isinstance(sub, dict):
-                for k in _TP_UNSUPPORTED:
-                    if k in sub:
-                        raise NotImplementedError(
-                            f"PPxTP: '{k}' layout cannot column-shard by "
-                            "heads — pipeline the unfused checkpoint")
+        m = lp.get("mlp", {})
+        if "experts" in m:
+            raise NotImplementedError(
+                "PPxTP: unstacked expert lists cannot shard — stack the "
+                "experts first (nn/fuse.fuse_model, quantized models)")
+        if "experts_stacked" in m:
+            if any(k.startswith("shared_expert") for k in m):
+                raise NotImplementedError(
+                    "PPxTP: shared experts not supported")
+            e = np.shape(m["experts_stacked"]["gate_up_proj"]["qweight"])[0]
+            if e % n_tensor:
+                raise ValueError(
+                    f"PPxTP: {e} experts % tensor={n_tensor} != 0")
 
 
 def _lin_tp_specs(path: str, lin: Dict[str, Any], n_tensor: int):
