@@ -1199,17 +1199,36 @@ def moe_block(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
     )  # [T, E]
     inter = cfg.moe_intermediate_size or cfg.intermediate_size
     if "experts_stacked" in p:
-        # serving path: expert-stacked int4 weights through the grouped
-        # Pallas kernel (replaces awq_ext.grouped_gemm_forward,
-        # awq/modules/fused/moe.py:60-91); the GSPMD-aware wrapper runs
-        # each chip's local expert shard + psum when the stacked tensors
-        # carry an ``expert``-axis sharding (ops/sharded_moe.py)
-        from autoawq_tpu.ops import sharded_moe
+        ep_axis = p["experts_stacked"].get("tp_ep")
+        if ep_axis is not None:
+            # manual stage-TP (parallel/pipeline.py): already inside
+            # shard_map, this shard owns a contiguous expert block — mask
+            # the routing table to local expert ids, run the grouped
+            # kernel on local experts only, psum combines the shards
+            # (the manual mirror of ops/sharded_moe.py's GSPMD lowering)
+            from autoawq_tpu.ops import moe_gemm
 
-        out = sharded_moe.moe_mlp_sharded(
-            p["experts_stacked"], xt, topw, topi, cfg.hidden_act,
-            inter, interpret=jax.default_backend() != "tpu",
-        ).astype(jnp.float32)
+            es = p["experts_stacked"]
+            local_e = es["gate_up_proj"]["qweight"].shape[0]
+            off = jax.lax.axis_index(ep_axis) * local_e
+            mine = (topi >= off) & (topi < off + local_e)
+            out = moe_gemm.moe_mlp(
+                None, es, xt, jnp.where(mine, topw, 0.0),
+                jnp.where(mine, topi - off, 0), cfg.hidden_act, inter,
+                interpret=jax.default_backend() != "tpu")
+            out = jax.lax.psum(out.astype(jnp.float32), ep_axis)
+        else:
+            # serving path: expert-stacked int4 weights through the
+            # grouped Pallas kernel (replaces awq_ext.grouped_gemm_forward,
+            # awq/modules/fused/moe.py:60-91); the GSPMD-aware wrapper runs
+            # each chip's local expert shard + psum when the stacked
+            # tensors carry an ``expert``-axis sharding (ops/sharded_moe.py)
+            from autoawq_tpu.ops import sharded_moe
+
+            out = sharded_moe.moe_mlp_sharded(
+                p["experts_stacked"], xt, topw, topi, cfg.hidden_act,
+                inter, interpret=jax.default_backend() != "tpu",
+            ).astype(jnp.float32)
     else:
         out = jnp.zeros((xt.shape[0], h), dtype=jnp.float32)
         for e, ep in enumerate(p["experts"]):
@@ -1217,8 +1236,12 @@ def moe_block(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
                      tap_prefix=f"mlp.experts.{e}.")[0]
             out = out + weights[:, e : e + 1] * ye.astype(jnp.float32)
     if "shared_expert" in p:  # qwen2-moe style (sigmoid-gated)
+        # tp_div (parallel/pipeline stage-TP): gate/up are column-sharded,
+        # so this shard computes 1/t of the shared intermediate; the
+        # row-parallel down_proj's tp_psum completes the sum
         se = mlp(cfg, p["shared_expert"], xt[None], taps, method,
-                 intermediate=cfg.shared_expert_intermediate_size,
+                 intermediate=(cfg.shared_expert_intermediate_size
+                               // p["shared_expert"].get("tp_div", 1)),
                  tap_prefix="mlp.shared_expert.")[0]
         if "shared_expert_gate" in p:
             gate = jax.nn.sigmoid(
@@ -1228,7 +1251,8 @@ def moe_block(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
         out = out + se.astype(jnp.float32)
     if "shared_experts" in p:  # deepseek style (ungated, always-on)
         se = mlp(cfg, p["shared_experts"], xt[None], taps, method,
-                 intermediate=inter * max(1, cfg.n_shared_experts),
+                 intermediate=(inter * max(1, cfg.n_shared_experts)
+                               // p["shared_experts"].get("tp_div", 1)),
                  tap_prefix="mlp.shared_experts.")[0]
         out = out + se.astype(jnp.float32)
     return out.astype(x.dtype).reshape(b, s, h)

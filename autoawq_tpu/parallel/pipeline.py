@@ -26,9 +26,19 @@ row-parallel linears, so nn/modules.linear psums partial products over
 the tensor axis. Fused qkv/gate_up layouts are UNFUSED at ``to_pipeline``
 (their concatenated columns can't be head-sliced; the per-linear layout
 shards fine — nn/fuse.unfuse_model); ALiBi shards its bias sheet on the
-head dim. MoE layers and MLA are rejected up front; manual TP never
-silently falls back to replication — layouts that can't shard raise at
-``to_pipeline``.
+head dim. MLA shards head-wise too: q_b/kv_b column-parallel over the
+per-head [nope|rope] / [nope|v] column blocks, o_proj row-parallel, the
+shared latent projections (q_a, kv_a_with_mqa) replicated. Stacked MoE
+experts ([L, E, ...] leaves) shard EXPERT-wise on the tensor axis: each
+shard masks the routing table to its contiguous expert block, runs the
+grouped kernel on local experts only and one psum combines shards
+(mirrors ops/sharded_moe.py's GSPMD lowering, done manually here because
+the stage body is already inside shard_map); shared experts
+Megatron-split their own intermediate dim. Unstacked expert LISTS are
+rejected (stack first — nn/fuse.fuse_model); manual TP never silently
+falls back to replication — layouts that can't shard raise at
+``to_pipeline``, and shape validation runs BEFORE the in-place unfuse so
+a rejected call leaves the caller's pytree untouched.
 
 Usage:
     mesh = build_mesh(pipe=4, data=2)            # or pipe=2, tensor=2, ...
@@ -88,17 +98,23 @@ def unstack_layers(stacked: Dict[str, Any], n_layers: int):
 
 
 def _validate_tp(cfg: ModelConfig, layers, n_tensor: int) -> None:
-    """Reject model shapes manual stage-TP cannot split.
-    (Fused qkv/gate_up layouts are unfused by ``to_pipeline`` before this
-    runs; ALiBi shards its bias sheet on the head dim; stacked MoE experts
-    shard expert-wise — only unstacked expert lists, shared experts, and
-    MLA remain genuinely unsplittable here.)"""
+    """Reject model shapes manual stage-TP cannot split. Runs BEFORE the
+    in-place unfuse in ``to_pipeline`` so a rejected checkpoint is left
+    untouched. (ALiBi shards its bias sheet on the head dim; MLA shards
+    q_b/kv_b/o head-wise; stacked MoE experts shard expert-wise and
+    shared experts Megatron-split their intermediate — only unstacked
+    expert lists remain genuinely unsplittable here.)"""
     if n_tensor == 1:
         return
-    if cfg.is_mla:
-        raise NotImplementedError("PPxTP: MLA attention not supported")
     nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
-    if nh % n_tensor or nkv % n_tensor:
+    if cfg.is_mla:
+        # MLA: q_b_proj / kv_b_proj column-shard over heads; the shared
+        # latent row (kv_a_with_mqa output) is replicated, so only the
+        # query-head count constrains the split
+        if nh % n_tensor:
+            raise ValueError(
+                f"PPxTP: MLA heads ({nh}) must divide tensor={n_tensor}")
+    elif nh % n_tensor or nkv % n_tensor:
         raise ValueError(
             f"PPxTP: heads ({nh}/{nkv}) must divide tensor={n_tensor}")
     if not cfg.is_moe and cfg.intermediate_size % n_tensor:
@@ -106,6 +122,19 @@ def _validate_tp(cfg: ModelConfig, layers, n_tensor: int) -> None:
         raise ValueError(
             f"PPxTP: intermediate ({cfg.intermediate_size}) must divide "
             f"tensor={n_tensor}")
+    if cfg.is_moe:
+        se = cfg.shared_expert_intermediate_size or 0
+        if se % n_tensor:
+            raise ValueError(
+                f"PPxTP: shared-expert intermediate ({se}) must divide "
+                f"tensor={n_tensor}")
+        if cfg.n_shared_experts:
+            tot = (cfg.moe_intermediate_size
+                   or cfg.intermediate_size) * cfg.n_shared_experts
+            if tot % n_tensor:
+                raise ValueError(
+                    f"PPxTP: shared-experts intermediate ({tot}) must "
+                    f"divide tensor={n_tensor}")
     for lp in layers:
         m = lp.get("mlp", {})
         if "experts" in m:
@@ -113,9 +142,6 @@ def _validate_tp(cfg: ModelConfig, layers, n_tensor: int) -> None:
                 "PPxTP: unstacked expert lists cannot shard — stack the "
                 "experts first (nn/fuse.fuse_model, quantized models)")
         if "experts_stacked" in m:
-            if any(k.startswith("shared_expert") for k in m):
-                raise NotImplementedError(
-                    "PPxTP: shared experts not supported")
             e = np.shape(m["experts_stacked"]["gate_up_proj"]["qweight"])[0]
             if e % n_tensor:
                 raise ValueError(
@@ -131,6 +157,15 @@ def _lin_tp_specs(path: str, lin: Dict[str, Any], n_tensor: int):
     def rep(leaf):
         return None if leaf is None else \
             P("pipe", *([None] * (np.ndim(leaf) - 1)))
+
+    if "experts_stacked" in path:
+        # [L, E, ...] stacked-expert leaves: experts shard on the tensor
+        # axis (each shard owns a contiguous expert block; the stage body
+        # masks routing and psums — see nn/modules.moe_block tp_ep)
+        ax = "tensor" if n_tensor > 1 else None
+        return {k: (None if v is None
+                    else P("pipe", ax, *([None] * (np.ndim(v) - 2))))
+                for k, v in lin.items()}
 
     role = _role(path)
     out = {k: rep(v) for k, v in lin.items()}
@@ -196,34 +231,47 @@ def _stacked_specs(stacked: Dict[str, Any], n_tensor: int):
     return rec(stacked)
 
 
-def _mark_tp(lp: Dict[str, Any], axis: str) -> Dict[str, Any]:
+def _mark_tp(lp: Dict[str, Any], axis: str, n_tensor: int) -> Dict[str, Any]:
     """TRACE-TIME copy of one layer's param dict with manual-TP markers:
     every quant LIN gets ``tp_local`` (kernel runs per-chip, no GSPMD
-    wrapper) and row-parallel LINs get ``tp_psum: axis`` (nn/modules.
-    linear psums the partial product, bias after). Called inside the
-    scan body so the markers never enter a jit/scan operand pytree."""
+    wrapper), row-parallel LINs get ``tp_psum: axis`` (nn/modules.linear
+    psums the partial product, bias after), a stacked-expert dict gets
+    ``tp_ep: axis`` (moe_block masks routing to the local expert block and
+    psums — its inner LINs are consumed raw by the grouped kernel, so no
+    per-LIN markers inside), and shared-expert dicts get ``tp_div``
+    (moe_block divides their intermediate: their gate/up are
+    column-sharded so each shard sees 1/t of the channels). Called inside
+    the scan body so the markers never enter a jit/scan operand pytree."""
     out = {}
     for k, v in lp.items():
         if isinstance(v, dict):
-            v = _mark_tp(v, axis)
-            if "qweight" in v:
-                v = {**v, "tp_local": True}
-            if k in ROW_PARALLEL and ("qweight" in v or "kernel" in v):
-                v = {**v, "tp_psum": axis}
+            if k == "experts_stacked":
+                v = {**v, "tp_ep": axis}
+            else:
+                v = _mark_tp(v, axis, n_tensor)
+                if "qweight" in v:
+                    v = {**v, "tp_local": True}
+                if k in ROW_PARALLEL and ("qweight" in v or "kernel" in v):
+                    v = {**v, "tp_psum": axis}
+                if k in ("shared_expert", "shared_experts"):
+                    v = {**v, "tp_div": n_tensor}
         out[k] = v
     return out
 
 
 def _local_cfg(cfg: ModelConfig, n_tensor: int) -> ModelConfig:
     """Per-shard view: each tensor shard owns nh/t query heads, nkv/t KV
-    heads and I/t MLP channels; hidden/replicated dims stay global."""
+    heads and I/t MLP channels; hidden/replicated dims stay global. MoE
+    models keep their full intermediate (routed experts shard EXPERT-wise,
+    each expert intact; shared experts divide via the tp_div marker)."""
     if n_tensor == 1:
         return cfg
-    return dataclasses.replace(
-        cfg,
-        num_attention_heads=cfg.num_attention_heads // n_tensor,
-        num_key_value_heads=cfg.num_key_value_heads // n_tensor,
-        intermediate_size=cfg.intermediate_size // n_tensor)
+    kw = dict(num_attention_heads=cfg.num_attention_heads // n_tensor)
+    if cfg.num_key_value_heads % n_tensor == 0:
+        kw["num_key_value_heads"] = cfg.num_key_value_heads // n_tensor
+    if not cfg.is_moe:
+        kw["intermediate_size"] = cfg.intermediate_size // n_tensor
+    return dataclasses.replace(cfg, **kw)
 
 
 def to_pipeline(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh,
@@ -237,6 +285,10 @@ def to_pipeline(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh,
     if len(layers) % n_pipe:
         raise ValueError(
             f"{len(layers)} layers not divisible by pipe={n_pipe}")
+    # validate BEFORE mutating: a rejected checkpoint (odd heads, MoE
+    # expert lists, indivisible intermediates) must leave the caller's
+    # pytree untouched (ADVICE r3)
+    _validate_tp(cfg, layers, n_tensor)
     if n_tensor > 1 and any(
             "qkv_proj" in lp["self_attn"] or "gate_up_proj" in lp["mlp"]
             or "qkv_proj_tp" in lp["self_attn"] for lp in layers):
@@ -245,7 +297,6 @@ def to_pipeline(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh,
         # fuse_model) instead of rejecting the checkpoint
         from autoawq_tpu.nn.fuse import unfuse_model
         unfuse_model(cfg, params)
-    _validate_tp(cfg, layers, n_tensor)
     stacked = stack_layers(layers)
     specs = _stacked_specs(stacked, n_tensor)
 
@@ -272,7 +323,7 @@ def _stage_fn(cfg: ModelConfig, method: str, causal_prefill: bool,
     def run(stage_params, x, cos, sin, mask):
         def body(h, lp):
             if n_tensor > 1:
-                lp = _mark_tp(lp, "tensor")
+                lp = _mark_tp(lp, "tensor", n_tensor)
             h, _ = modules.block(lcfg, lp, h, cos, sin, mask, None, None,
                                  method, causal_prefill)
             return h, None
@@ -338,10 +389,12 @@ def _pipeline_hidden(cfg: ModelConfig, stacked, x, cos, sin, mask,
     act_spec = (P(None, "data", None, None)
                 if "data" in mesh.axis_names else P(None, None, None, None))
     # an ALiBi bias sheet carries a real head dim: give each tensor shard
-    # its contiguous head slice (matching the column-sharded q/k/v heads)
+    # its contiguous head slice (matching the column-sharded q/k/v heads).
+    # Gated on pos_embed — a future 4-D mask with some other non-head
+    # dim-1 must NOT silently head-shard (ADVICE r3)
     mask_spec = (P(None, "tensor", None, None)
-                 if n_tensor > 1 and np.ndim(mask) == 4
-                 and mask.shape[1] > 1 else P())
+                 if n_tensor > 1 and cfg.pos_embed == "alibi"
+                 and np.ndim(mask) == 4 and mask.shape[1] > 1 else P())
     stk_specs = _stacked_specs(stacked, n_tensor)
     out = jax.shard_map(
         pipelined, mesh=mesh,

@@ -56,6 +56,26 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
     h, hd = cfg.hidden_size, cfg.head_dim_
     nh, nkv, inter = (cfg.num_attention_heads, cfg.num_key_value_heads,
                       cfg.intermediate_size)
+
+    def mla_attn():
+        dq = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
+        attn = {
+            "kv_a_proj_with_mqa": qlin(
+                h, cfg.kv_lora_rank + cfg.qk_rope_head_dim),
+            "kv_a_layernorm": {
+                "weight": np.ones((cfg.kv_lora_rank,), fp_dtype)},
+            "kv_b_proj": qlin(cfg.kv_lora_rank,
+                              nh * (cfg.qk_nope_head_dim + cfg.v_head_dim)),
+            "o_proj": qlin(nh * cfg.v_head_dim, h),
+        }
+        if cfg.q_lora_rank:
+            attn["q_a_proj"] = qlin(h, cfg.q_lora_rank)
+            attn["q_a_layernorm"] = {
+                "weight": np.ones((cfg.q_lora_rank,), fp_dtype)}
+            attn["q_b_proj"] = qlin(cfg.q_lora_rank, nh * dq)
+        else:
+            attn["q_proj"] = qlin(h, nh * dq)
+        return attn
     params = {
         "embed_tokens": {
             "weight": (rng.standard_normal((cfg.vocab_size, h)) * 0.02)
@@ -73,6 +93,7 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
             "input_layernorm": {"weight": np.ones((h,), fp_dtype)},
             "post_attention_layernorm": {"weight": np.ones((h,), fp_dtype)},
             "self_attn": (
+                mla_attn() if cfg.is_mla else
                 {"qkv_proj": qlin(h, (nh + 2 * nkv) * hd),
                  "o_proj": qlin(nh * hd, h)}
                 if fused else
@@ -97,6 +118,18 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
                     for _ in range(cfg.num_experts)
                 ],
             }
+            if cfg.n_shared_experts:  # deepseek: always-on shared MLP
+                si = ie * cfg.n_shared_experts
+                lp["mlp"]["shared_experts"] = {
+                    "gate_proj": qlin(h, si), "up_proj": qlin(h, si),
+                    "down_proj": qlin(si, h)}
+            if cfg.shared_expert_intermediate_size:  # qwen2-moe (gated)
+                si = cfg.shared_expert_intermediate_size
+                lp["mlp"]["shared_expert"] = {
+                    "gate_proj": qlin(h, si), "up_proj": qlin(h, si),
+                    "down_proj": qlin(si, h)}
+                lp["mlp"]["shared_expert_gate"] = {"kernel": (
+                    rng.standard_normal((h, 1)) * 0.02).astype(fp_dtype)}
         elif fused:
             lp["mlp"] = {
                 "gate_up_proj": qlin(h, 2 * inter),

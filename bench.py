@@ -7,15 +7,25 @@ decode tokens/s, isolated by a difference quotient over two generation
 lengths (prefill and the constant dispatch RPC cancel in the subtraction).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Perf-regression tripwire: LAST_GOOD_TOK_S is the best number a previous
+round measured on this hardware (committed alongside the code). A run
+more than REGRESSION_PCT below it prints a WARNING line (stderr, so the
+one-JSON-line stdout contract holds) — a silent decode regression like
+r1->r3 (793 -> 743 tok/s) can no longer hide. Update LAST_GOOD_TOK_S
+when a faster number is confirmed by back-to-back runs.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_TOK_S = 548.99  # RTX 4090, AutoAWQ GEMV, TinyLlama 1B, bs1 ctx64
+LAST_GOOD_TOK_S = 793.55  # best confirmed on-chip headline (BENCH_r01)
+REGRESSION_PCT = 3.0
 CTX = 64
 DECODE_TOKENS = 512
 ARTIFACT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -128,6 +138,12 @@ def main():
     t_big = min(run_gen(DECODE_TOKENS) for _ in range(3))
     best = (DECODE_TOKENS - n_small) / max(t_big - t_small, 1e-9)
 
+    if best < LAST_GOOD_TOK_S * (1 - REGRESSION_PCT / 100):
+        print(f"WARNING: decode {best:.1f} tok/s is "
+              f"{(1 - best / LAST_GOOD_TOK_S) * 100:.1f}% below the "
+              f"last-known-good {LAST_GOOD_TOK_S} tok/s "
+              f"(>{REGRESSION_PCT}% tripwire) — investigate before "
+              "accepting this round", file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": "tinyllama_1b_w4a16_decode_bs1_ctx64",
         "value": round(best, 2),

@@ -231,6 +231,77 @@ def test_pipeline_tp_rejects_unshardable(rng):
         pp.to_pipeline(moe, init_random_params(moe, seed=0), mesh)
 
 
+def test_pipeline_tp_moe_stacked_matches_sequential(rng):
+    """Stacked quantized MoE under PP x TP: experts shard EXPERT-wise on
+    the tensor axis (each shard masks routing to its contiguous expert
+    block, grouped kernel on local experts, psum combines); the qwen2-moe
+    gated shared expert Megatron-splits its intermediate."""
+    from autoawq_tpu.nn.fuse import fuse_model
+
+    cfg = ModelConfig(
+        model_type="qwen2_moe", vocab_size=128, hidden_size=256,
+        intermediate_size=512, num_hidden_layers=2,
+        num_attention_heads=16, num_key_value_heads=16, head_dim=128,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=512,
+        shared_expert_intermediate_size=2048, max_position_embeddings=32)
+    params = fuse_model(cfg, random_quantized_params(cfg, seed=11,
+                                                     fp_dtype=jnp.float32))
+    assert "experts_stacked" in params["layers"][0]["mlp"]
+    tokens = jnp.asarray(rng.integers(0, 128, (4, 8)))
+    ref = modules.forward(cfg, params, tokens, method="jnp")
+    mesh = build_mesh(pipe=2, tensor=2, data=2)
+    pparams = pp.to_pipeline(cfg, params, mesh)
+    with mesh:
+        got = jax.jit(lambda p, t: pp.pipeline_forward(
+            cfg, p, t, mesh, n_microbatches=2))(pparams, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_tp_mla_deepseek_matches_sequential(rng):
+    """DeepSeek-shaped PP x TP: MLA attention (q_b/kv_b column-sharded
+    over heads, shared latent projections replicated, o_proj row-psum) +
+    stacked MoE + always-on shared experts in one quantized model."""
+    from autoawq_tpu.nn.fuse import fuse_model
+
+    cfg = ModelConfig(
+        model_type="deepseek_v2", vocab_size=128, hidden_size=256,
+        intermediate_size=512, num_hidden_layers=2,
+        num_attention_heads=16, num_key_value_heads=16,
+        q_lora_rank=256, kv_lora_rank=256, qk_nope_head_dim=64,
+        qk_rope_head_dim=64, v_head_dim=64,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=1024,
+        n_shared_experts=2, max_position_embeddings=32)
+    assert cfg.is_mla and cfg.is_moe
+    params = fuse_model(cfg, random_quantized_params(cfg, seed=13,
+                                                     fp_dtype=jnp.float32))
+    tokens = jnp.asarray(rng.integers(0, 128, (4, 8)))
+    ref = modules.forward(cfg, params, tokens, method="jnp")
+    mesh = build_mesh(pipe=2, tensor=2, data=2)
+    pparams = pp.to_pipeline(cfg, params, mesh)
+    with mesh:
+        got = jax.jit(lambda p, t: pp.pipeline_forward(
+            cfg, p, t, mesh, n_microbatches=2))(pparams, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_tp_reject_leaves_params_intact(rng):
+    """A checkpoint rejected by TP validation (odd KV heads) must leave
+    the caller's pytree untouched — validation runs BEFORE the in-place
+    unfuse (ADVICE r3)."""
+    cfg = ModelConfig(
+        model_type="llama", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=2,
+        num_key_value_heads=1, head_dim=32, max_position_embeddings=32)
+    params = random_quantized_params(cfg, seed=0, fp_dtype=jnp.float32,
+                                     fused=True)
+    mesh = build_mesh(pipe=2, tensor=2, data=2)
+    with pytest.raises(ValueError, match="divide tensor"):
+        pp.to_pipeline(cfg, params, mesh)
+    assert "qkv_proj" in params["layers"][0]["self_attn"]  # not unfused
+
+
 def test_pipeline_tp_alibi_matches_sequential(rng):
     """ALiBi under PP x TP: the bias sheet shards on the head dim
     (each tensor shard scores its contiguous head slice)."""
