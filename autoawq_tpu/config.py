@@ -34,8 +34,8 @@ class AwqConfig:
             raise ValueError(f"w_bit must be in [2, 8], got {self.w_bit}")
         # gemv / gemv_fast / marlin are READ-side layouts: upstream
         # checkpoints saved with those kernels convert to the GEMM triple
-        # on load (io/interop.py); saves always write GEMM (see
-        # to_transformers_dict).
+        # on load (io/interop.py); saves pack per version like the
+        # reference quantizer (io/serialize.save_quantized).
         if self.version.lower() not in (
                 "gemm", "gemv", "gemv_fast", "marlin", "planar"):
             raise ValueError(f"Unknown kernel version {self.version}")
@@ -72,16 +72,19 @@ class AwqConfig:
     def to_transformers_dict(self) -> Dict:
         """The dict written into config.json's ``quantization_config``.
 
-        ``version`` is always written as "gemm": this framework packs one
-        layout and its checkpoints are bit-exactly AutoAWQ-GEMM
-        (awq/modules/linear/gemm.py) — echoing a user-passed "gemv" would
-        mislabel the file for upstream loaders, which dispatch kernels on
-        this field (reference base.py:661-674)."""
+        ``version`` echoes the layout save_quantized actually packs
+        (gemm / gemv / gemv_fast / marlin — io/interop.py write-side
+        converters, matching the reference quantizer's per-version packing,
+        awq/quantize/quantizer.py:236-252); upstream loaders dispatch
+        kernels on this field (reference base.py:661-674). The internal
+        "planar" pseudo-version serializes as GEMM — on-disk planar does
+        not exist."""
+        v = self.version.lower()
         return {
             "quant_method": "awq",
             "zero_point": self.zero_point,
             "group_size": self.q_group_size,
             "bits": self.w_bit,
-            "version": "gemm",
+            "version": v if v in ("gemv", "gemv_fast", "marlin") else "gemm",
             "modules_to_not_convert": self.modules_to_not_convert,
         }

@@ -1,5 +1,5 @@
-"""Read-side converters for upstream AutoAWQ checkpoints saved with the
-non-GEMM kernel layouts (``version`` in quantization_config):
+"""Read- AND write-side converters for upstream AutoAWQ checkpoints saved
+with the non-GEMM kernel layouts (``version`` in quantization_config):
 
 - ``gemv``      — WQLinear_GEMV   (reference: awq/modules/linear/gemv.py:27-155)
 - ``gemv_fast`` — WQLinear_GEMVFast (awq/modules/linear/gemv_fast.py:26-186)
@@ -67,6 +67,21 @@ def _unpack_seq(words: np.ndarray, n: int) -> np.ndarray:
     return out.reshape(r, c * 8)[:, :n].astype(np.int32)
 
 
+def _pack_seq(vals: np.ndarray) -> np.ndarray:
+    """Inverse of ``_unpack_seq``: [R, n] 4-bit values -> int32 words
+    [R, ceil(n/8)], nibble i of word c = vals[:, c*8 + i] (zero-padded)."""
+    vals = np.asarray(vals)
+    r, n = vals.shape
+    c = -(-n // 8)
+    pad = np.zeros((r, c * 8), np.uint32)
+    pad[:, :n] = vals.astype(np.uint32) & 0xF
+    pad = pad.reshape(r, c, 8)
+    words = np.zeros((r, c), np.uint32)
+    for i in range(8):
+        words |= pad[:, :, i] << np.uint32(4 * i)
+    return words.view(np.int32)
+
+
 # ---------------------------------------------------------------------------
 # gemv (WQLinear_GEMV)
 # ---------------------------------------------------------------------------
@@ -91,6 +106,24 @@ def unpack_gemv(
     z4 = _unpack_seq(np.asarray(qzeros), g).T  # [G, N]
     sc = np.asarray(scales).astype(np.float32)[:, :g].T  # [G, N]
     return q4, z4, sc
+
+
+def pack_gemv(
+    q4: np.ndarray, z4: np.ndarray, sc: np.ndarray, group_size: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(q4 [K, N], z4 [G, N], scales [G, N]) -> GEMV triple: qweight int32
+    [N, K/8] sequential nibble order, qzeros [N, zw] / scales fp16
+    [N, zw*8] group-dim padded — the exact layout WQLinear_GEMV.from_linear
+    emits (gemv.py:92-155), built by inverting ``unpack_gemv``."""
+    k, n = np.shape(q4)
+    g = np.shape(z4)[0]
+    zw = zeros_width(k, group_size)
+    qweight = _pack_seq(np.asarray(q4).T)
+    zpad = np.zeros((n, zw * 8), np.int32)
+    zpad[:, :g] = np.asarray(z4).T
+    spad = np.zeros((n, zw * 8), np.float16)
+    spad[:, :g] = np.asarray(sc).T.astype(np.float16)
+    return qweight, _pack_seq(zpad), spad
 
 
 # ---------------------------------------------------------------------------
@@ -135,6 +168,28 @@ def unpack_gemv_fast(
     negzs = np.asarray(qzeros).astype(np.float32)[:g, :]
     z4 = np.rint(-negzs / sc).astype(np.int32)
     return q4, z4, sc
+
+
+def pack_gemv_fast(
+    q4: np.ndarray, z4: np.ndarray, sc: np.ndarray, group_size: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(q4 [K, N], z4 [G, N], scales [G, N]) -> GEMVFast triple: qweight
+    int16 [N/4, K] via the pack_intweight shuffle (gemv_fast.py:26-67,
+    realized through the same index simulation the reader inverts), and
+    fp16 [zw*8, N] scales / ``-(s*z)`` qzeros (gemv_fast.py:175-180)."""
+    k, n = np.shape(q4)
+    g = np.shape(z4)[0]
+    src = _gemv_fast_source_index(n, k)  # [N/4, K, 4]
+    flat = np.asarray(q4).T.reshape(-1).astype(np.uint16)  # row-major [N, K]
+    qw = np.zeros((n // 4, k), np.uint16)
+    for l in range(4):
+        qw |= (flat[src[:, :, l]] & 0xF) << np.uint16(4 * l)
+    zw = zeros_width(k, group_size)
+    spad = np.zeros((zw * 8, n), np.float16)
+    spad[:g] = np.asarray(sc).astype(np.float16)
+    zpad = np.zeros((zw * 8, n), np.float16)
+    zpad[:g] = (-(np.asarray(sc) * np.asarray(z4))).astype(np.float16)
+    return qw.view(np.int16), zpad, spad
 
 
 # ---------------------------------------------------------------------------
@@ -205,6 +260,41 @@ def unpack_marlin(
     return q4, z4, sc
 
 
+def pack_marlin(
+    q4: np.ndarray, z4: np.ndarray, sc: np.ndarray, group_size: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(q4 [K, N], z4 [G, N] all-8, scales [G, N]) -> Marlin pair: qweight
+    int32 [K/16, 2N] in mma-tile order + permuted fp16 scales. Marlin is
+    symmetric-only (stored ints are round(w/s) + 8, marlin.py:122-124) —
+    an asymmetric zero-point cannot be represented and raises."""
+    q4, z4 = np.asarray(q4), np.asarray(z4)
+    if not np.all(z4 == 8):
+        raise ValueError(
+            "marlin layout is symmetric-only (zero-point 8); re-quantize "
+            "with AwqConfig(zero_point=False) to export marlin")
+    k, n = q4.shape
+    if k % 16 or n % 64:
+        raise ValueError(f"marlin needs K%16==0 and N%64==0, got {k}x{n}")
+    grouped = 0 < group_size < k
+    g = k // group_size if grouped else 1
+    src = _marlin_source_index(k, n)  # [K/16, 2N, 8]
+    flat = q4.reshape(-1).astype(np.uint32)
+    qw = np.zeros((k // 16, 2 * n), np.uint32)
+    for i in range(8):
+        qw |= (flat[src[:, :, i]] & 0xF) << np.uint32(4 * i)
+    if grouped:
+        sperm = np.array([i + 8 * j for i in range(8) for j in range(8)])
+    else:
+        sperm = np.array([2 * i + j for i in range(4)
+                          for j in (0, 1, 8, 9, 16, 17, 24, 25)])
+    sc = np.asarray(sc).astype(np.float16).reshape(-1, sperm.size)
+    # fancy indexing can return an F-contiguous result, which
+    # safetensors.save_file would dump as raw (transposed) memory —
+    # normalize to C order
+    sc = np.ascontiguousarray(sc[:, sperm].reshape(g, n))
+    return qw.view(np.int32), sc
+
+
 # ---------------------------------------------------------------------------
 # state-dict pre-pass
 # ---------------------------------------------------------------------------
@@ -238,4 +328,42 @@ def convert_state_dict_to_gemm(
         out[key] = packing.pack_awq(q4)
         out[base + ".qzeros"] = packing.pack_awq(z4)
         out[base + ".scales"] = s.astype(np.float16)
+    return out
+
+
+def convert_gemm_state_dict_to(
+    sd: Dict[str, np.ndarray], version: str, group_size: int
+) -> Dict[str, np.ndarray]:
+    """Inverse pre-pass for SAVE: rewrite every GEMM-layout triple into the
+    requested gemv / gemv_fast / marlin layout, matching the reference
+    quantizer's per-``version`` packing (awq/quantize/quantizer.py:236-252)
+    so consumers that demand those formats can be fed directly."""
+    version = version.lower()
+    if version not in _CONVERTIBLE:
+        return sd
+    out = dict(sd)
+    for key in [k for k in sd if k.endswith(".qweight")]:
+        base = key[: -len(".qweight")]
+        q4 = packing.unpack_awq(np.asarray(sd[key]))  # [K, N]
+        sc = np.asarray(sd[base + ".scales"]).astype(np.float32)  # [G, N]
+        g, n = sc.shape
+        q4 = q4[:, :n]
+        if base + ".qzeros" in sd:
+            z4 = packing.unpack_awq(np.asarray(sd[base + ".qzeros"]),
+                                    n)[:g]
+        else:
+            z4 = np.full((g, n), 8, np.int32)
+        if version == "gemv":
+            qw, qz, s = pack_gemv(q4, z4, sc, group_size)
+        elif version == "gemv_fast":
+            qw, qz, s = pack_gemv_fast(q4, z4, sc, group_size)
+        else:
+            qw, s = pack_marlin(q4, z4, sc, group_size)
+            qz = None
+        out[key] = qw
+        out[base + ".scales"] = s
+        if qz is None:
+            out.pop(base + ".qzeros", None)
+        else:
+            out[base + ".qzeros"] = qz
     return out

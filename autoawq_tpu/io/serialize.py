@@ -62,6 +62,12 @@ def save_quantized(
         json.dump(hf_cfg, f, indent=2)
 
     sd = hf_io.state_dict_from_params(cfg, params, hf_io.role_out_features(cfg))
+    if qcfg.version.lower() in interop._CONVERTIBLE:
+        # pack per quant_config.version like the reference quantizer
+        # (awq/quantize/quantizer.py:236-252): gemv / gemv_fast / marlin
+        # consumers read their native layout directly
+        sd = interop.convert_gemm_state_dict_to(
+            sd, qcfg.version, qcfg.q_group_size)
     for k, v in params.get("_extra", {}).items():  # unmodeled tensors
         v = np.asarray(v)
         sd[k] = v.astype(np.float16) if v.dtype == np.float32 else v
@@ -74,6 +80,10 @@ def write_safetensors(path: str, sd: Dict[str, np.ndarray],
     an HF-style index when it exceeds ``shard_bytes``."""
     from safetensors.numpy import save_file
 
+    # save_file serializes raw memory: an F-contiguous (e.g. transposed or
+    # fancy-indexed) array would be written byte-transposed and read back
+    # scrambled — normalize every tensor to C order first
+    sd = {k: np.ascontiguousarray(v) for k, v in sd.items()}
     total = sum(v.nbytes for v in sd.values())
     if total <= shard_bytes:
         save_file(sd, os.path.join(path, "model.safetensors"))
