@@ -97,6 +97,7 @@ def _report(cfg, fp_params, variants, eval_stream, kl_tokens, header):
     with open("QUALITY.json", "w") as f:
         json.dump(report, f, indent=1)
     print("wrote QUALITY.json")
+    return report
 
 
 def run_artifact():
@@ -162,11 +163,76 @@ def run_synthetic():
              "w_bit": 4, "q_group_size": 128})
 
 
+def run_trained():
+    """The REAL quality gate (VERDICT r3 #3): pretrain a tiny llama on a
+    deterministic synthetic language until its perplexity is meaningfully
+    low (fp ppl << 100 on a HELD-OUT slice of the same corpus), inject
+    function-preserving activation outliers (the regime AWQ's scale
+    search exists for — train/pretrain.roughen_activations), then measure
+    the WikiText-2-style gate quantities: fp vs RTN vs AWQ perplexity on
+    held-out text plus KL/top-k agreement. Mirrors the reference's
+    evaluation procedure (awq/evaluation/eval_utils.py:22-58) with an
+    in-repo corpus because this environment has zero network egress.
+
+    AWQ_TPU_QUALITY_STEPS overrides the training length (default 300,
+    ~9 min CPU; the trained weights are deterministic in (seed, steps))."""
+    from autoawq_tpu.config import AwqConfig
+    from autoawq_tpu.models.config import ModelConfig
+    from autoawq_tpu.quantize.quantizer import AwqQuantizer
+    from autoawq_tpu.train import pretrain
+
+    vocab = 512
+    cfg = ModelConfig(
+        model_type="llama", vocab_size=vocab, hidden_size=256,
+        intermediate_size=1024, num_hidden_layers=4, num_attention_heads=8,
+        num_key_value_heads=4, head_dim=32, max_position_embeddings=SEQ + 1)
+    steps = int(os.environ.get("AWQ_TPU_QUALITY_STEPS", "300"))
+    corpus = pretrain.synth_corpus(vocab, 420_000, seed=0)
+    train, hold = corpus[:400_000], corpus[400_000:]
+
+    t0 = time.time()
+    params, loss = pretrain.train_tiny(cfg, train, steps=steps, batch=16,
+                                       seq=64, log_every=max(steps // 6, 1))
+    print(f"trained {steps} steps in {time.time() - t0:.0f}s, "
+          f"final loss {loss:.4f}", flush=True)
+    params = pretrain.roughen_activations(cfg, params)
+
+    calib = np.stack([train[i * 128:(i + 1) * 128]
+                      for i in range(N_CALIB)])
+    qcfg = AwqConfig()  # 4-bit, g128, zero-point — the reference default
+    variants = {"fp32": params, "rtn_w4g128": _rtn(cfg, params, qcfg)}
+    t0 = time.time()
+    variants["awq_w4g128"] = AwqQuantizer(
+        cfg, qcfg, params, calib, progress=False).quantize()
+    print(f"AWQ calibration: {time.time() - t0:.0f}s", flush=True)
+    report = _report(
+        cfg, params, variants, hold[:N_EVAL_TOKENS],
+        np.stack([hold[N_EVAL_TOKENS + i * 128:
+                       N_EVAL_TOKENS + (i + 1) * 128] for i in range(4)]),
+        {"model": f"trained synthetic-language llama ({steps} steps, "
+                  "train/pretrain.py; outliers re-injected "
+                  "function-preservingly)",
+         "train_steps": steps, "final_train_loss": round(loss, 4),
+         "w_bit": 4, "q_group_size": 128})
+    fp_ppl = report["fp32"]["ppl"]
+    d_awq = report["awq_w4g128"]["delta_ppl"]
+    assert fp_ppl < 100, f"model did not train: fp ppl {fp_ppl}"
+    # paper-proportional gate: the AWQ paper holds Δppl <= 0.2-0.3 at
+    # fp ppl ~5 (4-bit g128) — <= 6% relative; allow 10% for a 5M model
+    assert d_awq <= 0.10 * fp_ppl, (d_awq, fp_ppl)
+    print(f"GATE OK: fp ppl {fp_ppl:.3f}, AWQ dppl {d_awq:.3f} "
+          f"(<= 10% of fp)")
+
+
 def main():
-    if os.path.isfile(os.path.join(ARTIFACT_DIR, "ARTIFACT.json")):
+    mode = os.environ.get("AWQ_TPU_QUALITY", "trained")
+    if mode == "artifact" and os.path.isfile(
+            os.path.join(ARTIFACT_DIR, "ARTIFACT.json")):
         run_artifact()
-    else:
+    elif mode == "synthetic":
         run_synthetic()
+    else:
+        run_trained()
 
 
 if __name__ == "__main__":
