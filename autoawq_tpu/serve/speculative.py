@@ -148,7 +148,15 @@ def generate_speculative(
     warpers (see accept_resample).
     """
     if prompt.shape[0] != 1:
-        raise NotImplementedError("speculative decoding serves batch 1")
+        # B > 1 routes through the pool speculative engine — ONE compiled
+        # speculation code path serves every batch size (per-slot
+        # acceptance in a single device call per round) instead of a
+        # second hand-rolled batched loop here. Greedy streams bit-match
+        # per-row target-only greedy exactly like the B == 1 loop.
+        return _generate_speculative_pool(
+            cfg, params, draft_cfg, draft_params, prompt, max_new_tokens,
+            k=k, method=method, dtype=dtype, kv_quant=kv_quant,
+            temperature=temperature, top_k=top_k, top_p=top_p, seed=seed)
     if cfg.vocab_size != draft_cfg.vocab_size:
         raise ValueError("draft and target must share a tokenizer/vocab")
     b, s = prompt.shape
@@ -232,3 +240,39 @@ def generate_speculative(
     stats = {"accept_rate": accepted / max(proposed, 1), "rounds": rounds,
              "tokens_per_round": (len(out) - 0) / max(rounds, 1)}
     return jnp.concatenate([prompt, toks], axis=1), stats
+
+
+def _generate_speculative_pool(
+    cfg, params, draft_cfg, draft_params, prompt, max_new_tokens, *,
+    k, method, dtype, kv_quant, temperature, top_k, top_p, seed,
+) -> Tuple[jax.Array, Dict[str, float]]:
+    """Batched speculative generation via the pool engine
+    (serve/spec_batch.SpeculativeBatchingEngine): each row is one slot,
+    every round drafts k and verifies for the whole pool in single
+    compiled calls. No EOS/stop handling here — like the solo loop, each
+    row generates exactly ``max_new_tokens``."""
+    from autoawq_tpu.serve.spec_batch import SpeculativeBatchingEngine
+
+    if cfg.vocab_size != draft_cfg.vocab_size:
+        raise ValueError("draft and target must share a tokenizer/vocab")
+    pnp = np.asarray(prompt)
+    b, s = pnp.shape
+    eng = SpeculativeBatchingEngine(
+        cfg, params, draft_cfg, draft_params, k=k, max_batch=b,
+        max_seq_len=s + max_new_tokens + k + 2, method=method,
+        dtype=dtype, kv_quant=kv_quant, seed=seed)
+    for i in range(b):
+        eng.add_request(i, pnp[i], max_new_tokens,
+                        temperature=temperature, top_k=top_k, top_p=top_p)
+    rounds = 0
+    while eng.has_work:
+        eng.step()
+        rounds += 1
+    outs = {r.id: r.output for r in eng.finished}
+    toks = jnp.asarray(np.stack([
+        np.asarray(outs[i][:max_new_tokens], pnp.dtype) for i in range(b)]))
+    total = sum(len(outs[i]) for i in range(b))
+    stats = {"accept_rate": eng.accepted / max(eng.proposed, 1),
+             "rounds": rounds,
+             "tokens_per_round": total / max(rounds, 1)}
+    return jnp.concatenate([jnp.asarray(pnp), toks], axis=1), stats

@@ -50,6 +50,23 @@ def test_self_draft_accepts_everything(rng):
     assert stats["accept_rate"] == 1.0
 
 
+def test_batched_speculative_matches_greedy(rng):
+    """B > 1 routes through the pool engine; every row's greedy stream
+    still bit-matches target-only greedy generation."""
+    params = init_random_params(TARGET, seed=3)
+    draft_params = init_random_params(DRAFT, seed=11)
+    prompt = jnp.asarray(rng.integers(0, 128, (3, 9)))
+
+    want = np.asarray(gen.generate_compiled(
+        TARGET, params, prompt, 14, method="jnp", dtype=jnp.float32))
+    got, stats = generate_speculative(
+        TARGET, params, DRAFT, draft_params, prompt, 14, k=3,
+        method="jnp", dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert 0.0 <= stats["accept_rate"] <= 1.0
+    assert stats["rounds"] > 0
+
+
 def test_vocab_mismatch_rejected(rng):
     bad = ModelConfig(
         model_type="llama", vocab_size=64, hidden_size=32,
