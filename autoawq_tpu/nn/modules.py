@@ -875,17 +875,36 @@ def mla_attention(
         # optimization the paper describes and the reference lacks.)
         pos = kv_cache["pos"]
         dc_rank = cfg.kv_lora_rank
-        ce = jnp.concatenate([c, k_pe[:, :, 0, :]], axis=-1)  # [B, S, dc+dr]
+        quant = "c_s" in kv_cache  # int8 latent cache (kv_quant=True)
+        pe_new = k_pe[:, :, 0, :]
+        if quant:
+            # separate absmax scales for the compressed-kv and rope parts
+            # (magnitudes differ; a shared scale would crush the smaller)
+            c8, sc8 = _kv_quantize(c)
+            p8, sp8 = _kv_quantize(pe_new)
+            ce = jnp.concatenate([c8, p8], axis=-1)   # [B, S, dc+dr] int8
+            s_new = jnp.stack([sc8, sp8], axis=-1)    # [B, S, 2]
+        else:
+            ce = jnp.concatenate([c, pe_new], axis=-1)  # [B, S, dc+dr]
         if getattr(pos, "ndim", 0) == 1:
             # per-slot write offsets (continuous batching)
-            cc = jax.vmap(lambda cache, u, p_: jax.lax.dynamic_update_slice(
-                cache, u.astype(cache.dtype), (0, p_, 0)))(
-                kv_cache["c"], ce[:, None], pos)
+            def _updc(cache, u, p_):
+                return jax.lax.dynamic_update_slice(
+                    cache, u.astype(cache.dtype), (0, p_, 0))
+
+            cc = jax.vmap(_updc)(kv_cache["c"], ce[:, None], pos)
+            if quant:
+                cs = jax.vmap(_updc)(kv_cache["c_s"], s_new[:, None], pos)
         else:
             cc = jax.lax.dynamic_update_slice(
                 kv_cache["c"], ce[:, None].astype(kv_cache["c"].dtype),
                 (0, 0, pos, 0))
+            if quant:
+                cs = jax.lax.dynamic_update_slice(
+                    kv_cache["c_s"], s_new[:, None], (0, 0, pos, 0))
         kv_cache = {"c": cc, "pos": pos + s}
+        if quant:
+            kv_cache["c_s"] = cs
         if not causal_prefill:
             wkv = _dense_weight(p["kv_b_proj"], nh * (dn + dv))
             w3 = wkv.reshape(dc_rank, nh, dn + dv)
@@ -893,13 +912,21 @@ def mla_attention(
             pe_cache = cc[:, 0, :, dc_rank:].astype(jnp.float32)
             q_abs = jnp.einsum("bshd,chd->bshc",
                                q_nope.astype(jnp.float32), w3[..., :dn])
-            scores = jnp.einsum("bshc,btc->bhst", q_abs, c_cache)
-            scores = scores + jnp.einsum(
+            s_c = jnp.einsum("bshc,btc->bhst", q_abs, c_cache)
+            s_pe = jnp.einsum(
                 "bshr,btr->bhst", q_pe.astype(jnp.float32), pe_cache)
-            scores = scores * scale
+            if quant:
+                # fold the per-token part scales into the score matrices —
+                # the int8 latent slab is never dequantized to a buffer
+                sb = cs[:, 0]  # [B, T, 2]
+                s_c = s_c * sb[..., 0][:, None, None, :]
+                s_pe = s_pe * sb[..., 1][:, None, None, :]
+            scores = (s_c + s_pe) * scale
             if mask is not None:
                 scores = scores + mask
             probs = jax.nn.softmax(scores, axis=-1)
+            if quant:
+                probs = probs * sb[..., 0][:, None, None, :]
             ov = jnp.einsum("bhst,btc->bshc", probs, c_cache)
             out = jnp.einsum("bshc,chd->bshd", ov, w3[..., dn:]).reshape(
                 b, s, nh * dv).astype(x.dtype)

@@ -466,9 +466,6 @@ class BatchingEngine(SamplingSlots):
         steps, so running requests never stall behind a 100k-token arrival
         (the continuous-batching "chunked prefill" discipline). ``None``
         prefills each prompt whole at admission."""
-        if cfg.is_mla and kv_quant:
-            raise NotImplementedError("int8 KV not supported for the MLA "
-                                      "latent cache")
         self.cfg, self.params = cfg, params
         self.max_batch, self.max_seq = max_batch, max_seq_len
         self.eos = eos_token_id

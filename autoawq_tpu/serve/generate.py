@@ -47,6 +47,17 @@ def init_kv_cache(cfg: ModelConfig, batch: int, max_seq_len: int,
             # step instead of [T, nh, dk]+[T, nh, dv] — a ~nh*(dk+dv)/(dc
             # +dr) ≈ 100x cache-bandwidth reduction at deepseek_v2 shapes.
             dc = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+            if kv_quant:
+                # int8 latent rows with separate absmax scales for the
+                # compressed-kv and rope parts (their magnitudes differ;
+                # a shared scale would crush the smaller part) — same
+                # scheme as the paged engine's c_page_s
+                return [
+                    {"c": jnp.zeros((batch, 1, max_seq_len, dc), jnp.int8),
+                     "c_s": jnp.zeros((batch, 1, max_seq_len, 2),
+                                      jnp.float32)}
+                    for _ in range(cfg.num_hidden_layers)
+                ]
             return [
                 {"c": jnp.zeros((batch, 1, max_seq_len, dc), dtype)}
                 for _ in range(cfg.num_hidden_layers)
