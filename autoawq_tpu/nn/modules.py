@@ -295,28 +295,25 @@ import os as _os
 _GQA_GROUPED = _os.environ.get("AWQ_TPU_GQA_GROUPED", "auto")
 
 
-def _decode_kernel_ok(cfg: ModelConfig, method: str, nh: int, nkv: int,
-                      hd: int, t: int) -> bool:
-    """Fused decode-attention eligibility (ops/decode_attn.py): plain
-    causal/sliding-window decode only — softcap and ALiBi fall back to the
-    XLA path; kernel runs interpreted off-TPU when forced via "pallas"."""
-    if method == "jnp" or cfg.attn_softcap or cfg.pos_embed == "alibi":
+def _gqa_grouped_wins(cfg, b: int, nh: int, nkv: int, hd: int) -> bool:
+    """Pick the GQA decode formulation from on-chip A/B data
+    (CHIP_AB_R3/R4_RESULTS.json). The grouped batched-dims dot reads each
+    cached KV byte once but issues B*nkv small [rep, hd] x [hd, T]
+    matmuls; the repeat path materializes the cache nh/nkv times but runs
+    one wide [B*nh, T] GEMM that the MXU and the DMA scheduler like.
+    Measured: repeat wins tinyllama bs1 (784.4 vs 741.6 — rep 8, hd 64)
+    and mistral bs8 (1201.5 vs 1147.0); grouped wins mistral bs1
+    (156.2 vs 143.2 — rep 4, hd 128); exact ties at ctx2048. Data rule:
+    grouped only for SINGLE-row decode with wide heads (hd >= 128), where
+    the per-group matmuls are big enough to keep the MXU busy and the
+    repeat blow-up is 4x cache traffic. AWQ_TPU_GQA_GROUPED overrides:
+    "1" always grouped, "0" never (int8 caches always group — the scale
+    folding requires the grouped layout)."""
+    if _GQA_GROUPED == "1":
+        return True
+    if _GQA_GROUPED == "0":
         return False
-    # Default OFF: the kernel wins on device-busy time (-265 us/step on
-    # TinyLlama decode) but loses ~290 us/step of wall time to pallas_call
-    # pipeline-drain bubbles between the 22 per-layer launches — the XLA
-    # chain overlaps with the surrounding int4 GEMMs, the kernel does not.
-    # Measured on-chip: 789 tok/s (XLA) vs 643 tok/s (kernel), bs1 ctx64.
-    # Revisit when fusing attention into the adjacent GEMM kernels.
-    # method="pallas" forces the kernel (tests / explicit opt-in).
-    if method != "pallas" and _os.environ.get(
-            "AWQ_TPU_DECODE_KERNEL", "0") != "1":
-        return False
-    from autoawq_tpu.ops import decode_attn
-
-    if not decode_attn.supported(nh, nkv, hd, t):
-        return False
-    return jax.default_backend() == "tpu" or method == "pallas"
+    return b == 1 and hd >= 128
 
 
 def _flash_ok(cfg: ModelConfig, method: str, q: jax.Array, k: jax.Array) -> bool:
@@ -392,12 +389,11 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
     kv_cache: {"k_pages"/"v_pages": [nkv, P, page, hd], "page_table":
     [B, PPS] int32, "pos": [B] int32} — plus "k_page_s"/"v_page_s"
     [nkv, P, page] f32 when the pool is int8-quantized (serve/paged.py
-    kv_quant=True). s == 1 decode only; ALiBi models stay on the
-    contiguous path (serve/paged.py gates admission); sliding windows
-    mask in the bespoke kernel / gather path. On TPU
-    bf16 pools run the stock Pallas paged-attention kernel and int8
-    pools run the bespoke block-table kernel (ops/paged_attn.py — the
-    stock kernel can't fold the absmax scales); off-TPU a gather +
+    kv_quant=True). s == 1 decode only. On TPU every pool (bf16 and
+    int8, windows and ALiBi included) runs the bespoke block-table
+    kernel (ops/paged_attn.py); the stock jax.experimental kernel is
+    opt-in via AWQ_TPU_PAGED_ATTN=stock (it failed Mosaic lowering at
+    tinyllama shapes in the r3 chip A/B). Off-TPU a gather +
     grouped-GQA path keeps the math identical (scales fold into the
     score/prob matrices exactly as the contiguous int8 branch in
     `attention`; no dequantized pages ever materialize)."""
@@ -420,21 +416,22 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
     lengths = pos + 1
     new_cache.update(k_pages=kp, v_pages=vp)
 
-    # TPU kernel selection (AWQ_TPU_PAGED_ATTN): "1" (default) = stock
-    # Pallas kernel for bf16 pools, bespoke block-table kernel
-    # (ops/paged_attn.py) for int8 pools (the stock kernel can't fold
-    # scales) and sliding-window models (the stock kernel has no window
-    # mask); "bespoke" = bespoke for bf16 too (chip A/B); "force" =
-    # bespoke in interpret mode off-TPU (tests); "0" = gather fallback.
+    # TPU kernel selection (AWQ_TPU_PAGED_ATTN): "1"/"bespoke" (default) =
+    # bespoke block-table kernel (ops/paged_attn.py) for EVERY pool —
+    # bf16 and int8 (absmax scales fold in-kernel), sliding windows and
+    # ALiBi included; "stock" = the stock jax.experimental Pallas paged
+    # kernel for plain bf16 pools (measured r3 on-chip: it fails Mosaic
+    # lowering at tinyllama shapes — hd 64, page 32 — with a block-shape
+    # constraint, so it is opt-in, not the default); "force" = bespoke in
+    # interpret mode off-TPU (tests); "0" = gather fallback.
     flag = _os.environ.get("AWQ_TPU_PAGED_ATTN", "1")
     on_tpu = jax.default_backend() == "tpu"
-    if method != "jnp" and flag != "0" and (on_tpu or flag == "force"):
+    if method != "jnp" and flag not in ("0", "stock") \
+            and (on_tpu or flag == "force"):
         from autoawq_tpu.ops import paged_attn
 
         is_alibi = cfg.pos_embed == "alibi"
-        if paged_attn.supported(nh, nkv, hd, ps) \
-                and (quant or cfg.sliding_window or is_alibi
-                     or flag in ("bespoke", "force")):
+        if paged_attn.supported(nh, nkv, hd, ps):
             out = paged_attn.paged_decode_attention(
                 q[:, 0], kp, vp, table, lengths, scale=scale,
                 k_scales=kss, v_scales=vss,
@@ -445,7 +442,7 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
                 interpret=not on_tpu)
             return out.reshape(b, 1, nh * hd), new_cache
 
-    if not quant and not cfg.sliding_window \
+    if flag == "stock" and not quant and not cfg.sliding_window \
             and cfg.pos_embed != "alibi" and method != "jnp" and on_tpu:
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             paged_attention as _stock_paged)
@@ -549,6 +546,7 @@ def attention(
         from autoawq_tpu.ops import fused_attn_step
 
         pos = kv_cache["pos"]
+        quant = "k_s" in kv_cache  # int8 cache: scales fold in-kernel
         scale = cfg.attn_scale if cfg.attn_scale is not None else hd**-0.5
         cs = jnp.broadcast_to(cos[:, 0], (b, cos.shape[-1]))
         sn = jnp.broadcast_to(sin[:, 0], (b, sin.shape[-1]))
@@ -556,7 +554,11 @@ def attention(
             x[:, 0], p["qkv_proj"], p["o_proj"], kv_cache["k"],
             kv_cache["v"], cs, sn, pos, nh=nh, nkv=nkv, hd=hd,
             scale=scale, window=cfg.sliding_window,
+            k_scales=kv_cache.get("k_s"), v_scales=kv_cache.get("v_s"),
             interpret=jax.default_backend() != "tpu")
+        if quant:
+            k_new, ks_new = _kv_quantize(k_new)
+            v_new, vs_new = _kv_quantize(v_new)
         kc = jax.lax.dynamic_update_slice(
             kv_cache["k"], k_new[:, :, None, :].astype(kv_cache["k"].dtype),
             (0, 0, pos, 0))
@@ -566,7 +568,13 @@ def attention(
         y = y[:, None, : cfg.hidden_size].astype(x.dtype)
         if p["o_proj"].get("bias") is not None:
             y = y + p["o_proj"]["bias"].astype(y.dtype)
-        return y, {"k": kc, "v": vc, "pos": pos + 1}
+        out_cache = {"k": kc, "v": vc, "pos": pos + 1}
+        if quant:
+            out_cache["k_s"] = jax.lax.dynamic_update_slice(
+                kv_cache["k_s"], ks_new[:, :, None], (0, 0, pos))
+            out_cache["v_s"] = jax.lax.dynamic_update_slice(
+                kv_cache["v_s"], vs_new[:, :, None], (0, 0, pos))
+        return y, out_cache
 
     if "qkv_proj" in p:  # fused projection (nn/fuse.py or phi3-style)
         _tap(taps, "self_attn.qkv_proj", x)
@@ -632,25 +640,16 @@ def attention(
         if quant:
             kv_cache.update(k_s=kcs, v_s=vcs)
         if not causal_prefill:
-            if (s == 1 and not quant and getattr(pos, "ndim", 0) == 0
-                    and _decode_kernel_ok(cfg, method, nh, nkv, hd,
-                                          kc.shape[2])):
-                # fused decode attention against the cache — the analogue
-                # of flash_attn_with_kvcache (awq/modules/fused/attn.py:
-                # 269-293); GQA-native, one kernel instead of the XLA
-                # repeat/einsum/softmax/einsum chain (ops/decode_attn.py)
-                from autoawq_tpu.ops import decode_attn
-
-                out = decode_attn.decode_attention(
-                    q[:, 0], kc, vc, pos + 1, scale=scale,
-                    window=cfg.sliding_window,
-                    interpret=jax.default_backend() != "tpu",
-                ).astype(x.dtype)[:, None, :]
-                _tap(taps, "self_attn.o_proj", out)
-                y = linear(p["o_proj"], out, cfg.hidden_size, method)
-                return y, kv_cache
+            # (A standalone Pallas decode-attention kernel was A/B'd and
+            # deleted in r4: 643 vs 789 tok/s at ctx64, exact tie at
+            # ctx2048 — every pallas_call boundary drains the DMA
+            # pipeline, while the XLA chain overlaps cache reads with the
+            # adjacent int4 GEMMs' weight streaming. The real fusion is
+            # ops/fused_attn_step.py, which absorbs attention INTO the
+            # qkv/o GEMM launch; see CHIP_AB_R4_RESULTS.json.)
             if (s == 1 and method != "jnp"
-                    and (quant or (nkv != nh and _GQA_GROUPED != "0"))):
+                    and (quant or (nkv != nh and _gqa_grouped_wins(
+                        cfg, b, nh, nkv, hd)))):
                 # GQA-native grouped decode on the cache's natural layout
                 # [B, nkv, T, hd]: (batch, group) become dot_general BATCH
                 # dims, so XLA lowers one batched MXU GEMM per product and
@@ -993,7 +992,7 @@ def _fused_attn_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
     if method == "jnp":
         return False
     flag = _os.environ.get("AWQ_TPU_FUSED_ATTN", "auto")
-    if flag == "0" or "k_s" in kv_cache:  # int8 cache: kernel is bf16-only
+    if flag == "0":
         return False
     if flag != "force" and not (jax.default_backend() == "tpu"
                                 and jax.device_count() == 1):
@@ -1004,6 +1003,7 @@ def _fused_attn_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
         return False
     from autoawq_tpu.ops import fused_attn_step
 
+    # int8 caches fold their absmax scales in-kernel (k_scales/v_scales)
     return fused_attn_step.supported(cfg, p, x, k_cache)
 
 

@@ -54,8 +54,11 @@ def _rope_neox(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 def _kernel(vl_ref, x_ref, qwq_ref, scq_ref, qwo_ref, sco_ref, kc_ref,
             vc_ref, cs_ref, *rest, sa: int, lq: int, lo: int, gq: int,
             go: int, b: int, nh: int, nkv: int, hd: int, scale: float,
-            window: Optional[int], has_qkv_bias: bool):
+            window: Optional[int], has_qkv_bias: bool,
+            has_kv_scales: bool = False):
     it = iter(rest)
+    kcs_ref = next(it) if has_kv_scales else None
+    vcs_ref = next(it) if has_kv_scales else None
     qzq_ref = next(it) if gq > 0 else None
     qzo_ref = next(it) if go > 0 else None
     qb_ref = next(it) if has_qkv_bias else None
@@ -117,6 +120,10 @@ def _kernel(vl_ref, x_ref, qwq_ref, scq_ref, qwo_ref, sco_ref, kc_ref,
                 s = jax.lax.dot_general(
                     qg, ks, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale  # [rep, T]
+                if kcs_ref is not None:
+                    # int8 cache: fold the per-token absmax K scales into
+                    # the score row — the int8 slab is never dequantized
+                    s = s * kcs_ref[bi, j]  # [1, T] broadcasts over rep
                 idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                 ok = idx < vl
                 if window is not None:
@@ -127,8 +134,9 @@ def _kernel(vl_ref, x_ref, qwq_ref, scq_ref, qwo_ref, sco_ref, kc_ref,
                 p = jnp.where(ok, jnp.exp(s - m), 0.0)
                 pd = jnp.exp(diag - m)  # [rep, 1]
                 l = jnp.sum(p, axis=1, keepdims=True) + pd
+                pv = p if vcs_ref is None else p * vcs_ref[bi, j]
                 o = (jax.lax.dot_general(
-                    p, vs, dimension_numbers=(((1,), (0,)), ((), ())),
+                    pv, vs, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32) + pd * vn) / l
                 o_scr[bi * nh + j * rep : bi * nh + (j + 1) * rep] = o
         for bi in range(b):
@@ -193,7 +201,7 @@ def fused_attention_step(
     x: jax.Array,  # [B, H] current-step hidden rows
     qkv: Dict[str, jax.Array],
     o: Dict[str, jax.Array],
-    k_cache: jax.Array,  # [B, nkv, T, hd] (pre-update)
+    k_cache: jax.Array,  # [B, nkv, T, hd] (pre-update; bf16/f32 or int8)
     v_cache: jax.Array,
     cos: jax.Array,  # [B, hd/2] fp32 for the current position
     sin: jax.Array,
@@ -201,12 +209,18 @@ def fused_attention_step(
     *,
     nh: int, nkv: int, hd: int, scale: float,
     window: Optional[int] = None,
+    k_scales: Optional[jax.Array] = None,  # [B, nkv, T] f32 (int8 cache)
+    v_scales: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (y [B, H_out], k_new [B, nkv, hd], v_new [B, nkv, hd]).
 
     ``y`` is the o-projection of the attention output (o bias NOT added);
-    k_new/v_new are the post-RoPE rows for the caller's cache write.
+    k_new/v_new are the post-RoPE FP rows for the caller's cache write
+    (the caller quantizes them when the cache is int8). With
+    k_scales/v_scales the cache refs are int8 and the per-token absmax
+    scales fold into the score/prob matrices in-kernel — attention reads
+    HALF the cache bytes and no dequantized slab ever exists.
     """
     b, h = x.shape
     bm = max(8, b)
@@ -245,6 +259,14 @@ def fused_attention_step(
         o["scales"].astype(jnp.float32).reshape(1, go, 4 * n4o),
         k_cache, v_cache, cs,
     ]
+    has_kvs = k_scales is not None
+    if has_kvs:
+        t_len = k_cache.shape[2]
+        for s_arr in (k_scales, v_scales):
+            in_specs.append(pl.BlockSpec((b, nkv, 1, t_len),
+                                         lambda t, vl: (0, 0, 0, 0)))
+            operands.append(s_arr.astype(jnp.float32)
+                            .reshape(b, nkv, 1, t_len))
     if qkv.get("qzeros") is not None:
         in_specs.append(pl.BlockSpec((1, gq // 2, lq),
                                      lambda t, vl: (0, 0, cq(t))))
@@ -267,7 +289,7 @@ def fused_attention_step(
             gq=gq if qkv.get("qzeros") is not None else 0,
             go=go if o.get("qzeros") is not None else 0,
             b=b, nh=nh, nkv=nkv, hd=hd, scale=scale, window=window,
-            has_qkv_bias=has_qb),
+            has_qkv_bias=has_qb, has_kv_scales=has_kvs),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(sa + 1 + sc,),

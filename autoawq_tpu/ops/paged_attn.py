@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-REP_PAD = 8  # query-head sublane tile (matches ops/decode_attn.py)
+REP_PAD = 8  # query-head sublane tile
 
 
 def _make_kernel(n_pages: int, ps: int, scale: float,

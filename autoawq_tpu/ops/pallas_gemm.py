@@ -68,7 +68,10 @@ import os as _os
 # the weights-stationary mode extracts once per column superblock. 1024
 # was measured as the crossover on mistral gate_up shapes; shorter-prompt
 # regimes (M 256-768) are candidates for lowering it once measured.
-WS_MIN_M = int(_os.environ.get("AWQ_TPU_WS_MIN_M", "1024"))
+# r4 on-chip A/B (CHIP_AB_R3_RESULTS.json ws_m*): floor 256 beats 1024
+# at every measured M — 28.6 vs 22.5 TFLOP/s (M=256), 50.9 vs 30.5
+# (M=512), 64.6 vs 36.1 (M=768) — so WS engages from M=256 up.
+WS_MIN_M = int(_os.environ.get("AWQ_TPU_WS_MIN_M", "256"))
 # resident-x sweet spot (measured, mistral gate_up): a 33.5 MB slab
 # (M=4096 @ K=4096) runs 116 TFLOP/s; a 42 MB slab falls off a VMEM cliff
 # to ~50 (the operand double-buffers, 2x42 + scratches > 96 MB). A single
@@ -180,11 +183,13 @@ def _kernel_ws(x_ref, qw_ref, sc_ref, *rest, group_size: int, lanes: int,
     out_ref[:] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 
 
-def _ws_ok(m_pad: int, k: int, lanes: int, group_size: int) -> bool:
-    # no upper bound on M here: _ws_matmul slabs oversized inputs at the
-    # sweet-spot size itself
+def _ws_ok(m: int, k: int, lanes: int, group_size: int) -> bool:
+    # ``m`` is the REAL row count (callers must not pre-pad: decode M=1
+    # padded to a 256-row slab would do 256x the MXU work). No upper
+    # bound on M here: _ws_matmul slabs oversized inputs at the
+    # sweet-spot size itself.
     return (
-        m_pad >= WS_MIN_M
+        m >= WS_MIN_M
         and PAIRS * k * lanes * 2 <= WS_WBF_MAX
         and k % (2 * group_size) == 0
         and (k // group_size) % 2 == 0
@@ -318,7 +323,10 @@ def awq_matmul_pallas(
 
     group_size_ = k // g
     lanes_ = _lanes(n4)
-    if block_k is None and _ws_ok(-(-m // 256) * 256, k, lanes_, group_size_):
+    # gate on the REAL row count, not the 256-padded one: padding decode
+    # M=1 to a 256-row WS slab would burn 256x the MXU work (r4 measured
+    # 527 vs 783 tok/s when the padded M leaked into this gate)
+    if block_k is None and _ws_ok(m, k, lanes_, group_size_):
         y = _ws_matmul(x2, qweight, scales, qzeros, lanes=lanes_,
                        interpret=interpret)
         y = y[:m, :out_features]

@@ -101,6 +101,7 @@ class AwqQuantizer:
         resume_dir: Optional[str] = None,
         n_parallel_calib_samples: Optional[int] = None,
         offload_taps: bool = False,
+        max_chunk_memory: Optional[int] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         quantize_lm_head: bool = False,
     ):
@@ -137,6 +138,16 @@ class AwqQuantizer:
         # choreography.
         self.n_parallel = n_parallel_calib_samples
         self.offload_taps = offload_taps
+        # byte budget for the fp32 statistics intermediates — the direct
+        # analogue of the reference's max_chunk_memory
+        # (awq/quantize/quantizer.py:329-348 chunks the x_mean sums,
+        # :444-474 the clip-search MSE buffers). Here it bounds (a) the
+        # token-chunk size of the |x| channel-mean accumulation and
+        # (b) the clip search's out-channel chunk width so its
+        # [T', K/g, nc] org/cur fp32 buffers fit. None = single pass
+        # (XLA fuses most of these anyway; the knob exists for truly
+        # huge layers where even the fused buffers exceed HBM).
+        self.max_chunk_memory = max_chunk_memory
         # opt-in: the reference (and AWQ generally) leaves lm_head fp16 —
         # but at bs1 decode the bf16 lm_head matvec is ~10-20% of the
         # weight stream (h*V*2 bytes vs the int4 body). Clip-searched
@@ -411,7 +422,22 @@ class AwqQuantizer:
                 wg = jnp.abs(w_cat).reshape(k // gs, gs, -1)
                 wg = wg / (wg.max(axis=1, keepdims=True) + 1e-6)
                 w_mean = wg.reshape(k, -1).mean(axis=1)
-                x_mean = jnp.abs(inp.astype(jnp.float32)).reshape(-1, k).mean(0)
+                flat = inp.reshape(-1, k)
+                t_tot = flat.shape[0]
+                rows = (t_tot if self.max_chunk_memory is None
+                        else max(1, self.max_chunk_memory // (4 * k)))
+                if rows >= t_tot:
+                    x_mean = jnp.abs(flat.astype(jnp.float32)).mean(0)
+                else:
+                    # byte-budgeted accumulation (reference
+                    # max_chunk_memory, quantizer.py:329-348): sum of
+                    # chunk sums / total — identical result, bounded
+                    # fp32 intermediates
+                    acc = jnp.zeros((k,), jnp.float32)
+                    for s0 in range(0, t_tot, rows):
+                        acc = acc + jnp.abs(
+                            flat[s0:s0 + rows].astype(jnp.float32)).sum(0)
+                    x_mean = acc / t_tot
                 fp_out = chunked_inspect(lp, inp, cos, sin, mask).astype(
                     jnp.float32)
 
@@ -462,6 +488,17 @@ class AwqQuantizer:
             n_chunk = 256 if n % 256 == 0 else (64 if n % 64 == 0 else n)
             t_total = int(np.prod(inp.shape[:-1]))
             step = max(1, t_total // self.n_clip_sample_tokens)
+            if self.max_chunk_memory is not None:
+                # bound the out-channel chunk so the search's two
+                # [T', K/g, nc] fp32 buffers fit the byte budget
+                # (reference max_chunk_memory, quantizer.py:444-474)
+                t_eff = -(-t_total // step)
+                nc_max = max(1, self.max_chunk_memory
+                             // (8 * t_eff * max(k // g, 1)))
+                cand = [c for c in (256, 128, 64, 32, 16, 8, 4, 2, 1)
+                        if n % c == 0 and c <= min(nc_max, n_chunk)]
+                if cand:
+                    n_chunk = cand[0]
 
             def search(w, inp):
                 x = inp.astype(jnp.float32).reshape(-1, k)[::step]  # [T', K]

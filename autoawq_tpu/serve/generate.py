@@ -26,8 +26,8 @@ def init_kv_cache(cfg: ModelConfig, batch: int, max_seq_len: int,
                   kv_quant: bool = False) -> List[Dict[str, jax.Array]]:
     """Per-layer K/V buffers in the canonical TPU attention layout
     [B, heads, T, head_dim] — (T, head_dim) trailing dims tile directly
-    into the fused decode-attention kernel's VMEM blocks
-    (ops/decode_attn.py) and shard on the head dim under TP. MLA models
+    into the fused attention-step kernel's VMEM blocks
+    (ops/fused_attn_step.py) and shard on the head dim under TP. MLA models
     default to the compressed latent cache (``mla_latent=False`` restores
     the full per-head materialization).
 
@@ -190,11 +190,15 @@ def decode_step(
     pos: jax.Array,  # scalar int32: number of tokens already in cache
     method: str = "auto",
     dtype=jnp.bfloat16,
+    embeds: Optional[jax.Array] = None,  # [B, 1, H] precomputed input row
 ) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
-    """One decode step; donates and returns the KV caches."""
+    """One decode step; donates and returns the KV caches. ``embeds``
+    replaces the token-embedding lookup (e.g. the omni talker feeds
+    projected codec+reply embeds, models/talker.py)."""
     max_t = _cache_len(caches)
     positions = pos[None, None] if pos.ndim == 0 else pos
-    x = modules.embed(cfg, params, token, dtype, positions)
+    x = (embeds.astype(dtype) if embeds is not None
+         else modules.embed(cfg, params, token, dtype, positions))
     ki = jnp.arange(max_t)[None, :]
     ok = ki <= pos
     if cfg.sliding_window:

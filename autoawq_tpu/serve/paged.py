@@ -423,8 +423,13 @@ class PagedBatchingEngine(SamplingSlots):
                 suffix_len = len(req.prompt) - lo0
                 t_row = lo0 + max(
                     -(-suffix_len // self.chunk) * self.chunk, self.ps)
-                row = gen.init_kv_cache(self.cfg, 1, t_row, self.dtype,
-                                        kv_quant=self.kv_quant)
+                row = gen.init_kv_cache(
+                    self.cfg, 1, t_row, self.dtype,
+                    # MLA prefill rows stay FP: _install_pages quantizes
+                    # latent rows into int8 pages (and _gather_pages
+                    # dequantizes back) — an int8 row here would be
+                    # double-quantized on install
+                    kv_quant=self.kv_quant and not self.cfg.is_mla)
                 if n_shared:
                     row = _gather_pages(self.pages, row,
                                         jnp.asarray(shared), n_shared,
@@ -440,8 +445,9 @@ class PagedBatchingEngine(SamplingSlots):
             # the shared pages
             n_prompt_pages = -(-len(req.prompt) // self.ps)
             t_row = n_prompt_pages * self.ps
-            row = gen.init_kv_cache(self.cfg, 1, t_row, self.dtype,
-                                    kv_quant=self.kv_quant)
+            row = gen.init_kv_cache(
+                self.cfg, 1, t_row, self.dtype,
+                kv_quant=self.kv_quant and not self.cfg.is_mla)
             if n_shared:
                 row = _gather_pages(self.pages, row, jnp.asarray(shared),
                                     n_shared, mla_dc=self._mla_dc)

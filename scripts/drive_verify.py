@@ -49,21 +49,8 @@ def main():
             assert float(jnp.abs(out - ref2).max()) < 2e-3, spec
     print("2. pallas kernel (interpret) single + TP col/row OK")
 
-    # 3. fused decode attention vs oracle
-    from autoawq_tpu.ops.decode_attn import decode_attention
-    qq = rng.standard_normal((1, 8, 64)).astype(np.float32)
-    kc = rng.standard_normal((1, 2, 128, 64)).astype(np.float32)
-    vc = rng.standard_normal((1, 2, 128, 64)).astype(np.float32)
-    got = np.asarray(decode_attention(jnp.asarray(qq), jnp.asarray(kc),
-                                      jnp.asarray(vc), jnp.int32(50),
-                                      scale=0.125, interpret=True))
-    k = np.repeat(kc, 4, 1); v = np.repeat(vc, 4, 1)
-    sc_ = np.einsum("bhd,bhtd->bht", qq, k) * 0.125
-    sc_[..., 50:] = -np.inf
-    pr = np.exp(sc_ - sc_.max(-1, keepdims=True)); pr /= pr.sum(-1, keepdims=True)
-    want = np.einsum("bht,bhtd->bhd", pr, v).reshape(1, -1)
-    assert np.abs(got - want).max() < 2e-5
-    print("3. fused decode attention OK")
+    # 3. (standalone decode-attention kernel deleted in r4 — fused into
+    # ops/fused_attn_step.py; see CHIP_AB_R4_RESULTS.json)
 
     # 4. e2e: quantize tiny llama -> save -> load -> generate -> ppl
     from autoawq_tpu.api import AwqCausalLM, AutoAWQForCausalLM

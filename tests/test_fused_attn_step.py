@@ -173,3 +173,31 @@ def test_auto_policy_gate(rng, monkeypatch):
     assert not modules._fused_attn_ok(cfg, p, x3, "auto", small)
     monkeypatch.setenv("AWQ_TPU_FUSED_ATTN", "0")
     assert not modules._fused_attn_ok(cfg, p, x3, "auto", big)
+
+
+def test_fused_attn_int8_cache_matches_grouped(rng, monkeypatch):
+    """int8 KV cache through the megakernel (k_scales/v_scales folded
+    in-kernel) vs the XLA grouped int8 path — same quantized cache, same
+    math, logits must agree tightly and greedy streams exactly."""
+    from autoawq_tpu.serve import generate as gen
+    from autoawq_tpu.utils.synth import random_quantized_params
+
+    cfg = ModelConfig(model_type="llama", vocab_size=128, hidden_size=256,
+                      intermediate_size=512, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      head_dim=64, max_position_embeddings=128)
+    p = jax.device_put(random_quantized_params(cfg, seed=0, fused=True,
+                                               fp_dtype=jnp.bfloat16))
+    pr = jnp.asarray(rng.integers(0, 128, (1, 8)))
+    monkeypatch.setenv("AWQ_TPU_FUSED_ATTN", "force")
+    monkeypatch.setenv("AWQ_TPU_FUSED_MLP", "0")
+    o1 = np.asarray(gen.generate(cfg, p, pr, 12, method="auto",
+                                 dtype=jnp.bfloat16, kv_quant=True))
+    monkeypatch.setenv("AWQ_TPU_FUSED_ATTN", "0")
+    o2 = np.asarray(gen.generate(cfg, p, pr, 12, method="auto",
+                                 dtype=jnp.bfloat16, kv_quant=True))
+    # both paths read the same int8 cache; the megakernel keeps the
+    # CURRENT token's K/V in fp32 for its diagonal term while the grouped
+    # path reads it back quantized — tokens may rarely differ there, so
+    # compare streams with a high agreement floor instead of equality
+    assert (o1 == o2).mean() > 0.9, (o1, o2)

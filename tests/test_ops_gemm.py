@@ -58,7 +58,19 @@ def test_pallas_kernel_matches_jnp(rng, m, k, n):
         out_features=n, interpret=jax.default_backend() != "tpu",
     )
     assert y.shape == (m, n)
-    np.testing.assert_allclose(np.asarray(y), x @ wdq, rtol=5e-3, atol=5e-3)
+    ref = x @ wdq
+    from autoawq_tpu.ops import pallas_gemm
+
+    if m >= pallas_gemm.WS_MIN_M:
+        # weights-stationary regime dequantizes into a bf16 scratch
+        # (the MXU operand dtype): per-element error is bounded by bf16
+        # weight rounding, ~0.4% of |w| — check against output scale
+        # (the streaming grid's group-factored f32 scaling is exact-er)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=0,
+                                   atol=4e-3 * np.abs(ref).max())
+    else:
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=5e-3,
+                                   atol=5e-3)
 
 
 def test_pallas_kernel_bias_and_3d(rng):

@@ -181,3 +181,41 @@ def test_phi3_quantize_end_to_end(rng):
     tokens = rng.integers(0, cfg.vocab_size, (1, 8))
     err = rel_logit_err(cfg, params, qparams, tokens)
     assert np.isfinite(err) and err < 0.2, err
+
+
+def test_max_chunk_memory_matches_unbudgeted(rng):
+    """max_chunk_memory (reference quantizer.py:329-348, 444-474) bounds
+    the fp32 statistics buffers without changing results: same chosen
+    scales/clips and packed weights as the single-pass run (sum-of-chunk
+    accumulation is associativity-equal to fp32 tolerance)."""
+    calib = rng.integers(0, TINY.vocab_size, (6, 32))
+
+    q_full = AwqQuantizer(TINY, QCFG, make_outlier_params(TINY), calib,
+                          progress=False)
+    p_full = q_full.quantize()
+    # a few KB forces multi-chunk x_mean AND a narrowed clip chunk
+    q_budget = AwqQuantizer(TINY, QCFG, make_outlier_params(TINY), calib,
+                            progress=False, max_chunk_memory=16 * 1024)
+    p_budget = q_budget.quantize()
+
+    # the chunked x_mean accumulation is sum-of-sums — scales must agree
+    # to fp32 association tolerance
+    for (g1, s1), (g2, s2) in zip(q_full.all_scales[0],
+                                  q_budget.all_scales[0]):
+        assert g1 == g2
+        np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+    # the narrowed clip chunk reassociates fp32 reductions, which can
+    # flip near-tied grid points (the reference's max_chunk_memory does
+    # the same); require near-total agreement, not bit equality
+    for c1, c2 in zip(q_full.all_clips, q_budget.all_clips):
+        for (path, a), (_, b) in zip(c1, c2):
+            agree = np.isclose(a, b, rtol=1e-5, atol=1e-6).mean()
+            assert agree > 0.97, (path, agree)
+    # end to end the quantized weights stay overwhelmingly identical
+    same = tot = 0
+    for lp1, lp2 in zip(p_full["layers"], p_budget["layers"]):
+        for (path, a), (_, b) in zip(iter_linears(lp1), iter_linears(lp2)):
+            qa, qb = np.asarray(a["qweight"]), np.asarray(b["qweight"])
+            same += (qa == qb).sum()
+            tot += qa.size
+    assert same / tot > 0.98, same / tot
