@@ -319,3 +319,34 @@ def test_spec_pool_sampled_penalty_runs(rng):
     rng = np.random.default_rng(11)
     out2 = run(3)
     assert out1 == out2 and len(out1) == 12
+
+
+def test_spec_pool_mla_target_matches_plain(rng):
+    """MLA targets (latent cache) speculate too: pool streams must equal
+    the plain engine's greedy streams."""
+    mla = ModelConfig(
+        model_type="deepseek_v2", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, q_lora_rank=None, kv_lora_rank=16,
+        qk_rope_head_dim=8, qk_nope_head_dim=16, v_head_dim=16,
+        max_position_embeddings=128)
+    from autoawq_tpu.io.hf import init_random_params as irp
+
+    params = irp(mla, seed=21, scale=0.08)
+    dparams = irp(DRAFT, seed=22, scale=0.08)
+    work = [(f"r{i}", rng.integers(0, 64, (l,)), n)
+            for i, (l, n) in enumerate([(5, 8), (9, 6), (3, 10)])]
+
+    plain = BatchingEngine(mla, params, max_batch=3, max_seq_len=96,
+                           method="jnp", dtype=jnp.float32)
+    for rid, prompt, n in work:
+        plain.add_request(rid, prompt, n)
+    want = plain.run()
+
+    eng = SpeculativeBatchingEngine(
+        mla, params, DRAFT, dparams, k=3, max_batch=3, max_seq_len=96,
+        method="jnp", dtype=jnp.float32)
+    for rid, prompt, n in work:
+        eng.add_request(rid, prompt, n)
+    got = eng.run()
+    assert got == want
