@@ -105,17 +105,17 @@ def _make_kernel(n_pages: int, ps: int, scale: float,
             pl.when(pl.program_id(2) == 0)(
                 lambda: init_scratch(m_ref, l_ref, acc_ref))
             s, vl, pb = start(tbl_ref, len_ref, q_ref, k_ref)
-            finish(s, ks_ref[0, 0], v_ref[0, 0].astype(jnp.float32),
-                   vs_ref[0, 0], sl_ref[0], vl, pb, o_ref, m_ref, l_ref,
-                   acc_ref)
+            finish(s, ks_ref[0, 0, 0], v_ref[0, 0].astype(jnp.float32),
+                   vs_ref[0, 0, 0], sl_ref[0], vl, pb, o_ref, m_ref,
+                   l_ref, acc_ref)
     elif quant:
         def kernel(tbl_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                    o_ref, m_ref, l_ref, acc_ref):
             pl.when(pl.program_id(2) == 0)(
                 lambda: init_scratch(m_ref, l_ref, acc_ref))
             s, vl, pb = start(tbl_ref, len_ref, q_ref, k_ref)
-            finish(s, ks_ref[0, 0], v_ref[0, 0].astype(jnp.float32),
-                   vs_ref[0, 0], None, vl, pb, o_ref, m_ref, l_ref,
+            finish(s, ks_ref[0, 0, 0], v_ref[0, 0].astype(jnp.float32),
+                   vs_ref[0, 0, 0], None, vl, pb, o_ref, m_ref, l_ref,
                    acc_ref)
     elif alibi:
         def kernel(tbl_ref, len_ref, q_ref, k_ref, v_ref, sl_ref,
@@ -182,13 +182,20 @@ def paged_decode_attention(
     ]
     operands = [qg, k_pages, v_pages]
     if quant:
+        # a unit sublane dim keeps the scale blocks Mosaic-legal: block
+        # (1, 1, ps) on [nkv, P, ps] fails the (8, 128)-tiling check on
+        # real TPU (r4b on-chip finding); (1, 1, 1, ps) on
+        # [nkv, P, 1, ps] has both trailing block dims equal to the
+        # array's and lowers fine
+        n_pool = k_scales.shape[1]
         in_specs += [
-            pl.BlockSpec((1, 1, ps),
-                         lambda i, j, pb, tbl, ln: (j, tbl[i, pb], 0)),
-            pl.BlockSpec((1, 1, ps),
-                         lambda i, j, pb, tbl, ln: (j, tbl[i, pb], 0)),
+            pl.BlockSpec((1, 1, 1, ps),
+                         lambda i, j, pb, tbl, ln: (j, tbl[i, pb], 0, 0)),
+            pl.BlockSpec((1, 1, 1, ps),
+                         lambda i, j, pb, tbl, ln: (j, tbl[i, pb], 0, 0)),
         ]
-        operands += [k_scales, v_scales]
+        operands += [k_scales.reshape(nkv, n_pool, 1, ps),
+                     v_scales.reshape(nkv, n_pool, 1, ps)]
     if alibi:
         # group-major [nkv, REP_PAD] slope sheet; each program reads its
         # kv group's query-head rows (padded rows never leave the kernel)
