@@ -220,6 +220,57 @@ def _penalize_batched(logits: jax.Array, penalty: jax.Array,
     return jnp.where(presence & (penalty[:, None] != 1.0), pen, logits)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "n", "method", "dtype", "tracking", "sampling", "want_lp"),
+    donate_argnums=(2, 6))
+def batched_decode_burst(
+    cfg: ModelConfig,
+    params: Dict[str, Any],
+    caches: List[Dict[str, jax.Array]],
+    tokens: jax.Array,   # [B] last token per slot
+    pos: jax.Array,      # [B] int32 per-slot lengths
+    key: jax.Array,      # base PRNG key (engine self._key)
+    pres: jax.Array,     # [B, V] bool presence (dummy when not tracking)
+    steps0: jax.Array,   # scalar int32: engine's step counter so far
+    temp: jax.Array, topk: jax.Array, topp: jax.Array,
+    penalty: jax.Array,
+    *, n: int, method: str = "auto", dtype=jnp.bfloat16,
+    tracking: bool = False, sampling: bool = False, want_lp: bool = False,
+):
+    """``n`` pool decode+sample steps in ONE dispatch (lax.scan) —
+    the multi-step scheduling move: per-step host dispatch costs ~30 ms
+    through a device tunnel (and ~0.1-1 ms even locally), which at bs8
+    decode dominates the math. Bit-identical to ``n`` successive
+    ``BatchingEngine.step()`` pool phases: the same key schedule
+    (fold_in(key, steps0 + 1 + i)), the same penalty-presence updates,
+    the same warpers. Returns (toks [B, n], lps [B, n] | None, caches,
+    presence). Slots that retire mid-burst keep decoding garbage the
+    host discards — their cache rows past the host's pos are masked on
+    every later step, so nothing leaks."""
+
+    def body(carry, i):
+        tok, p, caches, pres = carry
+        logits, caches = batched_decode_step(
+            cfg, params, tok[:, None], caches, p, method, dtype)
+        lp_in = logits
+        if tracking:
+            logits = _penalize_batched(logits, penalty, pres)
+        if sampling:
+            nxt = sample_batched(logits, temp, topk, topp,
+                                 jax.random.fold_in(key, steps0 + 1 + i))
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        if tracking:
+            pres = _presence_note(pres, nxt)
+        lp = (_token_logprobs(lp_in, nxt) if want_lp
+              else jnp.zeros((logits.shape[0],), jnp.float32))
+        return (nxt, p + 1, caches, pres), (nxt, lp)
+
+    (tok, p, caches, pres), (toks, lps) = jax.lax.scan(
+        body, (tokens, pos, caches, pres), jnp.arange(n))
+    return (toks.T, (lps.T if want_lp else None), caches, pres)
+
+
 @functools.partial(jax.jit, donate_argnums=())
 def sample_batched(
     logits: jax.Array,  # [B, V]
@@ -619,8 +670,78 @@ class BatchingEngine(SamplingSlots):
                 emitted.append((req.id, tok))
         return emitted
 
-    def run(self) -> Dict[Any, List[int]]:
-        """Drain all queued/active requests; returns id -> generated tokens."""
+    def step_burst(self, n: int) -> List[Tuple[Any, int]]:
+        """``n`` decode steps for the whole pool in ONE device dispatch
+        (batched_decode_burst) — amortizes the per-step dispatch cost
+        that dominates engine throughput (measured r4b: per-token
+        dispatch held the bs8 slot pool at ~284 tok/s while the same
+        math scan-compiled runs 4x that). Emission, EOS/stop/budget
+        retirement and logprobs replay host-side token-by-token, so
+        streams are IDENTICAL to ``n`` single steps — slots that retire
+        mid-burst just waste their remaining burst rows (masked-out
+        garbage). Falls back to step() when admissions are pending or
+        top_logprobs alternatives are requested."""
+        self._admit()
+        if self.inflight or self.top_logprobs or n <= 1 or getattr(
+                self, "dcaches", None) is not None:
+            # chunked admissions interleave with decode; top_logprobs
+            # wants per-step alternatives; the speculative subclass has
+            # its own multi-token rounds (a plain burst would desync its
+            # draft caches)
+            return self.step()
+        active = [i for i, s in enumerate(self.slots) if s is not None]
+        if not active:
+            return []
+        # cache-capacity clamp: no ACTIVE slot's writes may run past its
+        # buffer (dynamic_update_slice would clamp and corrupt row T-1)
+        n = min(n, min(self.max_seq - 1 - int(self.pos[s])
+                       for s in active))
+        if n <= 1:
+            return self.step()
+        tracking = self._tracking()
+        sampling = bool(np.any(self.temp > 0.0))
+        want_lp = bool(getattr(self, "return_logprobs", False))
+        b = self.max_batch
+        pres = (self._pres_dev if tracking
+                else jnp.zeros((b, 1), jnp.bool_))
+        toks, lps, self.caches, pres = batched_decode_burst(
+            self.cfg, self.params, self.caches,
+            jnp.asarray(self.last_token), jnp.asarray(self.pos),
+            self._key, pres, jnp.int32(self._steps),
+            jnp.asarray(self.temp), jnp.asarray(self.topk),
+            jnp.asarray(self.topp), jnp.asarray(self.penalty),
+            n=n, method=self.method, dtype=self.dtype,
+            tracking=tracking, sampling=sampling, want_lp=want_lp)
+        self._steps += n
+        if tracking:
+            self._pres_dev = pres
+        toks = np.asarray(toks)
+        lps = np.asarray(lps) if want_lp else None
+        emitted = []
+        for i in range(n):
+            for slot in active:
+                req = self.slots[slot]
+                if req is None:
+                    continue  # retired earlier in this burst
+                tok = int(toks[slot, i])
+                req.output.append(tok)
+                if want_lp:
+                    req.logprobs.append(float(lps[slot, i]))
+                self.pos[slot] += 1
+                self.last_token[slot] = tok
+                self._retire_if_done(slot)
+                if not req._stopped:
+                    emitted.append((req.id, tok))
+        return emitted
+
+    def run(self, burst: int = 1) -> Dict[Any, List[int]]:
+        """Drain all queued/active requests; returns id -> generated
+        tokens. ``burst`` > 1 decodes that many tokens per dispatch once
+        admissions settle (see step_burst) — same streams, far fewer
+        device round-trips."""
         while self.has_work:
-            self.step()
+            if burst > 1:
+                self.step_burst(burst)
+            else:
+                self.step()
         return {r.id: r.output for r in self.finished}

@@ -421,3 +421,65 @@ def test_stop_boundary_and_longest_match(rng):
     eng2.add_request("r", prompt, 6,
                      stop=[[full[5]], [full[4], full[5]]])
     assert eng2.run()["r"] == full[:4]
+
+
+def _burst_vs_step(rng, **req_kw):
+    params = init_random_params(CFG, seed=15, scale=0.08)
+    prompts = {f"r{i}": rng.integers(0, 64, (l,))
+               for i, l in enumerate([5, 9, 3])}
+    budgets = {"r0": 9, "r1": 6, "r2": 12}
+
+    def drive(burst):
+        eng = BatchingEngine(CFG, params, max_batch=3, max_seq_len=48,
+                             method="jnp", dtype=jnp.float32,
+                             return_logprobs=True, seed=3)
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, budgets[rid], **req_kw)
+        out = eng.run(burst=burst)
+        lps = {r.id: list(r.logprobs) for r in eng.finished}
+        return out, lps
+
+    return drive(1), drive(4)
+
+
+def test_burst_matches_single_step_greedy(rng):
+    """run(burst=4) — n pool steps in one dispatch — must reproduce the
+    single-step streams AND logprobs exactly, including mid-burst
+    budget retirements."""
+    (o1, l1), (o4, l4) = _burst_vs_step(rng)
+    assert o1 == o4
+    for rid in l1:
+        np.testing.assert_allclose(l1[rid], l4[rid], rtol=1e-6, atol=1e-6)
+
+
+def test_burst_matches_single_step_sampled_penalized(rng):
+    """Sampled + repetition-penalty bursts share the single-step key
+    schedule and presence updates — streams bit-match."""
+    (o1, l1), (o4, l4) = _burst_vs_step(
+        rng, temperature=0.8, top_k=12, repetition_penalty=1.3)
+    assert o1 == o4
+
+
+def test_burst_eos_and_stop_mid_burst(rng):
+    """EOS and stop-sequence retirements landing inside a burst trim and
+    retire exactly like single steps."""
+    params = init_random_params(CFG, seed=15, scale=0.08)
+    prompt = rng.integers(0, 64, (5,))
+    ref = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                         method="jnp", dtype=jnp.float32)
+    ref.add_request("a", prompt, 12)
+    want = ref.run()["a"]
+    eos, stop_tok = want[2], want[4]
+
+    def drive(burst):
+        eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                             method="jnp", dtype=jnp.float32,
+                             eos_token_id=eos)
+        eng.add_request("a", prompt, 12)
+        eng.add_request("b", prompt, 12, stop=[[stop_tok]])
+        return eng.run(burst=5)
+
+    got = drive(5)
+    assert got == drive(1)
+    assert got["a"] == want[: want.index(eos) + 1]
+    assert stop_tok not in got["b"]
