@@ -72,7 +72,9 @@ from autoawq_tpu.models.config import ModelConfig
 from autoawq_tpu.nn import modules
 from autoawq_tpu.serve import generate as gen
 from autoawq_tpu.serve.batching import (Request, SamplingSlots,
-                                         advance_one_chunk, prefill_chunk)
+                                         _penalize_batched, _presence_note,
+                                         _token_logprobs, advance_one_chunk,
+                                         prefill_chunk, sample_batched)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "method", "dtype"),
@@ -101,6 +103,54 @@ def paged_decode_step(
         new_caches.append({key: kv[key] for key in pc})
     logits = modules.logits_fn(cfg, params, x, method)
     return logits[:, 0, :], new_caches
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "n", "method", "dtype", "tracking", "sampling", "want_lp"),
+    donate_argnums=(2, 7))
+def paged_decode_burst(
+    cfg: ModelConfig,
+    params: Dict[str, Any],
+    page_caches: List[Dict[str, jax.Array]],
+    tokens: jax.Array,   # [B] last token per slot
+    table: jax.Array,    # [B, PPS] int32 (fixed: pages reserve at admit)
+    pos: jax.Array,      # [B] int32
+    key: jax.Array,
+    pres: jax.Array,
+    steps0: jax.Array,
+    temp: jax.Array, topk: jax.Array, topp: jax.Array,
+    penalty: jax.Array,
+    *, n: int, method: str = "auto", dtype=jnp.bfloat16,
+    tracking: bool = False, sampling: bool = False, want_lp: bool = False,
+):
+    """``n`` paged pool steps in ONE dispatch — the page-pool twin of
+    batching.batched_decode_burst (same key schedule / penalty presence
+    / warpers, so streams bit-match single steps). The page table is
+    loop-invariant: every slot's pages are RESERVED at admission, so a
+    burst never needs an allocation; sliding-window page recycling and
+    retirements replay host-side afterwards."""
+
+    def body(carry, i):
+        tok, p, caches, pres = carry
+        logits, caches = paged_decode_step(
+            cfg, params, tok[:, None], caches, table, p, method, dtype)
+        lp_in = logits
+        if tracking:
+            logits = _penalize_batched(logits, penalty, pres)
+        if sampling:
+            nxt = sample_batched(logits, temp, topk, topp,
+                                 jax.random.fold_in(key, steps0 + 1 + i))
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        if tracking:
+            pres = _presence_note(pres, nxt)
+        lp = (_token_logprobs(lp_in, nxt) if want_lp
+              else jnp.zeros((logits.shape[0],), jnp.float32))
+        return (nxt, p + 1, caches, pres), (nxt, lp)
+
+    (tok, p, caches, pres), (toks, lps) = jax.lax.scan(
+        body, (tokens, pos, page_caches, pres), jnp.arange(n))
+    return (toks.T, (lps.T if want_lp else None), caches, pres)
 
 
 # pool key <-> contiguous-row key pairs; the scale entries exist only in
@@ -608,8 +658,69 @@ class PagedBatchingEngine(SamplingSlots):
                 emitted.append((req.id, tok))
         return emitted
 
-    def run(self) -> Dict[Any, List[int]]:
-        """Drain all queued/active requests; returns id -> tokens."""
+    def step_burst(self, n: int) -> List[Tuple[Any, int]]:
+        """``n`` paged decode steps in ONE dispatch (paged_decode_burst).
+        Identical streams to ``n`` single steps — see
+        batching.BatchingEngine.step_burst for the replay contract.
+        Page tables are admission-reserved so no allocation can be
+        needed mid-burst; window recycling runs once afterwards."""
+        self._admit()
+        if self.inflight or self.top_logprobs or n <= 1:
+            return self.step()
+        active = [i for i, s in enumerate(self.slots) if s is not None]
+        if not active:
+            return []
+        cap = self.pps * self.ps
+        n = min(n, min(cap - 1 - int(self.pos[s]) for s in active))
+        if n <= 1:
+            return self.step()
+        tracking = self._tracking()
+        sampling = bool(np.any(self.temp > 0.0))
+        want_lp = bool(getattr(self, "return_logprobs", False))
+        pres = (self._pres_dev if tracking
+                else jnp.zeros((self.max_batch, 1), jnp.bool_))
+        toks, lps, self.pages, pres = paged_decode_burst(
+            self.cfg, self.params, self.pages,
+            jnp.asarray(self.last_token), jnp.asarray(self.table),
+            jnp.asarray(self.pos), self._key, pres,
+            jnp.int32(self._steps), jnp.asarray(self.temp),
+            jnp.asarray(self.topk), jnp.asarray(self.topp),
+            jnp.asarray(self.penalty), n=n, method=self.method,
+            dtype=self.dtype, tracking=tracking, sampling=sampling,
+            want_lp=want_lp)
+        self._steps += n
+        if tracking:
+            self._pres_dev = pres
+        toks = np.asarray(toks)
+        lps = np.asarray(lps) if want_lp else None
+        emitted = []
+        for i in range(n):
+            for slot in active:
+                req = self.slots[slot]
+                if req is None:
+                    continue
+                tok = int(toks[slot, i])
+                req.output.append(tok)
+                if want_lp:
+                    req.logprobs.append(float(lps[slot, i]))
+                self.pos[slot] += 1
+                self.last_token[slot] = tok
+                self._retire_if_done(slot)
+                if not req._stopped:
+                    emitted.append((req.id, tok))
+        if self.cfg.sliding_window:
+            for slot in active:
+                if self.slots[slot] is not None:
+                    self._recycle_window_pages(slot)
+        return emitted
+
+    def run(self, burst: int = 1) -> Dict[Any, List[int]]:
+        """Drain all queued/active requests; returns id -> tokens.
+        ``burst`` > 1 decodes that many tokens per dispatch once
+        admissions settle (same streams, far fewer round-trips)."""
         while self.has_work:
-            self.step()
+            if burst > 1:
+                self.step_burst(burst)
+            else:
+                self.step()
         return {r.id: r.output for r in self.finished}

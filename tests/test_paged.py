@@ -679,3 +679,48 @@ def test_paged_alibi_int8_kernel_matches_gather(rng, monkeypatch):
     via_kernel = run()
     monkeypatch.setenv("AWQ_TPU_PAGED_ATTN", "0")
     assert via_kernel == run()
+
+
+def test_paged_burst_matches_single_step(rng):
+    """run(burst=n) on the page pool reproduces single-step streams
+    exactly (greedy + sampled + penalty), incl. mid-burst retirements."""
+    params = init_random_params(CFG, seed=15, scale=0.08)
+    prompts = {f"r{i}": rng.integers(0, 64, (l,))
+               for i, l in enumerate([5, 9, 3])}
+    budgets = {"r0": 9, "r1": 6, "r2": 12}
+
+    def drive(burst, **kw):
+        eng = PagedBatchingEngine(CFG, params, max_batch=3, page_size=8,
+                                  total_pages=24, pages_per_seq=4,
+                                  method="jnp", dtype=jnp.float32, seed=3)
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, budgets[rid], **kw)
+        return eng.run(burst=burst)
+
+    assert drive(1) == drive(4)
+    kw = dict(temperature=0.7, top_k=12, repetition_penalty=1.2)
+    assert drive(1, **kw) == drive(4, **kw)
+
+
+def test_paged_burst_sliding_window_recycles(rng):
+    """Bursts on a windowed model still recycle behind-window pages
+    (after each burst) and match single-step streams."""
+    wcfg = ModelConfig(
+        model_type="mistral", vocab_size=64, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, max_position_embeddings=128,
+        sliding_window=16)
+    params = init_random_params(wcfg, seed=9, scale=0.08)
+    prompt = rng.integers(0, 64, (10,))
+
+    def drive(burst):
+        eng = PagedBatchingEngine(wcfg, params, max_batch=2, page_size=8,
+                                  total_pages=16, pages_per_seq=8,
+                                  method="jnp", dtype=jnp.float32)
+        eng.add_request("a", prompt, 40)
+        out = eng.run(burst=burst)
+        return out, eng.stats()["free_pages"]
+
+    (o1, f1), (o4, f4) = drive(1), drive(4)
+    assert o1 == o4
+    assert f1 == f4  # recycling converges to the same pool state
