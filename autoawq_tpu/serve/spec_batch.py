@@ -152,6 +152,59 @@ def _presence_scatter(presence: jax.Array, toks: jax.Array) -> jax.Array:
     return presence.at[jnp.arange(presence.shape[0]), toks].set(True)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "dcfg", "k", "method", "dtype", "sampling", "tracking"),
+    donate_argnums=(2,))
+def draft_burst(
+    dcfg: ModelConfig,
+    dparams: Dict[str, Any],
+    dcaches,
+    tok0: jax.Array,     # [B] last emitted token per slot
+    dpos: jax.Array,     # [B] draft cache lengths
+    key: jax.Array,
+    pres: jax.Array,     # [B, V] presence (dummy when not tracking)
+    steps0: jax.Array,
+    temp: jax.Array, topk: jax.Array, topp: jax.Array,
+    penalty: jax.Array,
+    *, k: int, method: str = "auto", dtype=jnp.bfloat16,
+    sampling: bool = False, tracking: bool = False,
+):
+    """The whole draft phase — k proposals + the catch-up step — in ONE
+    dispatch (lax.scan over batched_decode_step). Replaces k+1 per-step
+    host round-trips per speculation round; numerics identical to the
+    unrolled loop: same key schedule (fold_in(key, steps0+1+i), sampled
+    steps only advance the counter), same local penalty-presence
+    updates. Returns (drafts [B, k], q-logits [B, k, V] | None,
+    dcaches)."""
+
+    def step(carry, i):
+        tok, pres, caches = carry
+        dlog, caches = batched_decode_step(
+            dcfg, dparams, tok[:, None], caches, dpos + i, method, dtype)
+        if tracking:
+            dlog = _penalize_batched(dlog, penalty, pres)
+        if sampling:
+            nxt = sample_batched(dlog, temp, topk, topp,
+                                 jax.random.fold_in(key, steps0 + 1 + i))
+        else:
+            nxt = jnp.argmax(dlog, axis=-1)
+        # the catch-up step (i == k) only warms the draft cache: keep the
+        # carry's token unchanged so its output row is never used
+        take = i < k
+        nxt = jnp.where(take, nxt, tok)
+        if tracking:
+            pres = jnp.where(take, _presence_scatter(pres, nxt), pres)
+        out = (nxt, dlog if sampling else jnp.zeros((tok.shape[0], 1),
+                                                    jnp.float32))
+        return (nxt, pres, caches), out
+
+    (tok, pres, dcaches), (toks, dlogs) = jax.lax.scan(
+        step, (tok0, pres, dcaches), jnp.arange(k + 1))
+    drafts = toks[:k].T  # [B, k]
+    q = dlogs[:k].transpose(1, 0, 2) if sampling else None
+    return drafts, q, dcaches
+
+
 @functools.partial(jax.jit, donate_argnums=())
 def _penalize_chunk(logits: jax.Array, penalty: jax.Array,
                     presence: jax.Array, drafts: jax.Array) -> jax.Array:
@@ -302,30 +355,23 @@ class SpeculativeBatchingEngine(BatchingEngine):
         sampling = bool(np.any(self.temp > 0.0))
         tracking = self._tracking()  # any repetition_penalty live
         pen = jnp.asarray(self.penalty) if tracking else None
-        pres_chunk = self._pres_dev if tracking else None
-        drafts = np.zeros((self.max_batch, k), np.int64)
-        dlogs: List[jax.Array] = []
-        tok = self.last_token.copy()
-        for i in range(k + 1):
-            dlog, self.dcaches = batched_decode_step(
-                self.dcfg, self.dparams, jnp.asarray(tok[:, None]),
-                self.dcaches, jnp.asarray(self.dpos + i), self.method,
-                self.dtype)
-            if i < k:
-                if tracking:  # penalize with base + earlier chunk drafts
-                    dlog = _penalize_batched(dlog, pen, pres_chunk)
-                if sampling:  # propose from each slot's warped q
-                    dlogs.append(dlog)
-                    tok = np.asarray(sample_batched(
-                        dlog, jnp.asarray(self.temp),
-                        jnp.asarray(self.topk), jnp.asarray(self.topp),
-                        self._next_key()))
-                else:
-                    tok = np.asarray(jnp.argmax(dlog, axis=-1))
-                drafts[:, i] = tok
-                if tracking:
-                    pres_chunk = _presence_scatter(pres_chunk,
-                                                   jnp.asarray(tok))
+        # the whole draft phase (k proposals + catch-up) is ONE dispatch
+        # (draft_burst: scanned decode+penalize+sample); numerics match
+        # the former unrolled loop exactly, incl. the key schedule
+        pres0 = (self._pres_dev if tracking
+                 else jnp.zeros((self.max_batch, 1), jnp.bool_))
+        drafts_d, qlogs, self.dcaches = draft_burst(
+            self.dcfg, self.dparams, self.dcaches,
+            jnp.asarray(self.last_token), jnp.asarray(self.dpos),
+            self._key, pres0, jnp.int32(self._steps),
+            jnp.asarray(self.temp), jnp.asarray(self.topk),
+            jnp.asarray(self.topp),
+            pen if tracking else jnp.ones((self.max_batch,), jnp.float32),
+            k=k, method=self.method, dtype=self.dtype,
+            sampling=sampling, tracking=tracking)
+        if sampling:
+            self._steps += k  # the unrolled loop drew k keys per round
+        drafts = np.asarray(drafts_d)
 
         # ---- target: one verify pass for the whole pool
         chunk = np.concatenate([self.last_token[:, None], drafts], axis=1)
@@ -339,7 +385,7 @@ class SpeculativeBatchingEngine(BatchingEngine):
             tlog, pen, self._pres_dev, jnp.asarray(drafts))
         if sampling:
             acc, nxt = pool_accept(
-                tlog_acc, jnp.stack(dlogs, axis=1), jnp.asarray(drafts),
+                tlog_acc, qlogs, jnp.asarray(drafts),
                 jnp.asarray(self.temp), jnp.asarray(self.topk),
                 jnp.asarray(self.topp), self._next_key())
             acc, nxt = np.asarray(acc), np.asarray(nxt)
