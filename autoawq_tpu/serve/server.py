@@ -63,11 +63,18 @@ class EngineServer:
     and decode(ids)->str; pass None to speak raw token-id lists."""
 
     def __init__(self, engine, tokenizer=None, model_name: str = "model",
-                 max_queue: int = 256):
+                 max_queue: int = 256, burst: int = 1):
         self.engine = engine
         self.tok = tokenizer
         self.model_name = model_name
         self.max_queue = max_queue
+        # burst > 1 = multi-step scheduling: the engine decodes that many
+        # tokens per device dispatch (engine.step_burst) — 4.7-5.6x pool
+        # throughput, at the cost of flushing streams every `burst`
+        # tokens instead of every token. Engines without step_burst (or
+        # the speculative pool, which has its own rounds) fall back to
+        # per-token steps inside step_burst itself.
+        self.burst = max(1, int(burst))
         self._pending: "Queue[_Pending]" = Queue()
         self._cancel_q: "Queue[Any]" = Queue()
         self._live: Dict[Any, _Pending] = {}
@@ -129,7 +136,10 @@ class EngineServer:
                 self._wake.clear()
                 continue
             try:
-                self.engine.step()
+                if self.burst > 1 and hasattr(self.engine, "step_burst"):
+                    self.engine.step_burst(self.burst)
+                else:
+                    self.engine.step()
             except Exception as e:  # fail loudly but keep serving
                 for live in self._live.values():
                     live.error = f"engine step failed: {e}"
@@ -437,10 +447,13 @@ class EngineServer:
 
 
 def serve_http(engine, tokenizer=None, host: str = "127.0.0.1",
-               port: int = 8000, model_name: str = "model"):
+               port: int = 8000, model_name: str = "model",
+               burst: int = 1):
     """Blocking: serve the engine over HTTP. Returns (never) — use
-    start_server for a background instance."""
-    es, httpd = start_server(engine, tokenizer, host, port, model_name)
+    start_server for a background instance. ``burst`` > 1 enables
+    multi-step scheduling (tokens flush every `burst` steps)."""
+    es, httpd = start_server(engine, tokenizer, host, port, model_name,
+                             burst=burst)
     try:
         httpd.serve_forever()
     finally:
@@ -449,11 +462,12 @@ def serve_http(engine, tokenizer=None, host: str = "127.0.0.1",
 
 def start_server(engine, tokenizer=None, host: str = "127.0.0.1",
                  port: int = 0, model_name: str = "model",
-                 max_queue: int = 256):
+                 max_queue: int = 256, burst: int = 1):
     """Non-blocking: returns (EngineServer, ThreadingHTTPServer) with the
     HTTP loop on a daemon thread. port=0 picks a free port
     (httpd.server_address[1])."""
-    es = EngineServer(engine, tokenizer, model_name, max_queue)
+    es = EngineServer(engine, tokenizer, model_name, max_queue,
+                      burst=burst)
     httpd = ThreadingHTTPServer((host, port), es.make_handler())
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     return es, httpd

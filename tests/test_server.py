@@ -353,3 +353,26 @@ def test_http_streaming_stop_holds_back_match(rng):
     finally:
         httpd.shutdown()
         es.shutdown()
+
+
+def test_http_burst_server_matches_single_step(rng):
+    """A burst>1 server emits the same completions as the single-step
+    server (tokens just arrive in bigger flushes)."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    prompt = [int(t) for t in rng.integers(0, 64, (5,))]
+
+    def serve_once(burst):
+        eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=48,
+                             method="jnp", dtype=jnp.float32, seed=3)
+        es, httpd = start_server(eng, tokenizer=None, burst=burst)
+        port = httpd.server_address[1]
+        try:
+            status, body = _post(port, {"prompt": prompt,
+                                        "max_tokens": 9})
+            assert status == 200
+            return json.loads(body)["choices"][0]["token_ids"]
+        finally:
+            httpd.shutdown()
+            es.shutdown()
+
+    assert serve_once(4) == serve_once(1)
