@@ -309,3 +309,38 @@ def test_lora_adamw_training_reduces_loss(rng):
     np.testing.assert_array_equal(
         base_leaf,
         np.asarray(base["layers"][0]["self_attn"]["q_proj"]["qweight"]))
+
+
+def test_batching_engine_over_tp_mesh(rng, requires_multidevice):
+    """Continuous batching (and burst decode) composes with Megatron-TP
+    sharded params: the engine's streams bit-match the unsharded run —
+    GSPMD partitions the pool decode step like any other forward."""
+    import jax.numpy as jnp
+
+    from autoawq_tpu.models.config import ModelConfig
+    from autoawq_tpu.parallel.mesh import build_mesh
+    from autoawq_tpu.parallel.specs import shard_params
+    from autoawq_tpu.serve.batching import BatchingEngine
+    from autoawq_tpu.utils.synth import random_quantized_params
+
+    cfg = ModelConfig(
+        model_type="llama", vocab_size=512, hidden_size=256,
+        intermediate_size=4096, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        max_position_embeddings=64)
+    params = random_quantized_params(cfg, seed=1, fp_dtype=jnp.float32)
+    prompts = [rng.integers(0, 512, (n,)) for n in (5, 9)]
+
+    def drive(p, burst=1):
+        eng = BatchingEngine(cfg, p, max_batch=2, max_seq_len=48,
+                             method="jnp", dtype=jnp.float32)
+        for i, pr in enumerate(prompts):
+            eng.add_request(i, pr, 8)
+        return eng.run(burst=burst)
+
+    ref = drive(params)
+    mesh = build_mesh(tensor=4, data=2)
+    with mesh:
+        sharded = shard_params(params, mesh, dtype=jnp.float32)
+        assert drive(sharded) == ref
+        assert drive(sharded, burst=4) == ref
