@@ -999,8 +999,17 @@ def _fused_attn_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
         return False
     k_cache = kv_cache["k"]
     bt_floor = int(_os.environ.get("AWQ_TPU_FUSED_ATTN_BT", "2048"))
-    if flag == "auto" and k_cache.shape[0] * k_cache.shape[2] < bt_floor:
-        return False
+    if flag == "auto":
+        # int8 caches halve the attention-phase bytes AND their grouped
+        # XLA chain batches especially well, so the crossover moves to
+        # per-SEQUENCE context length: at mistral bs8 ctx64+256 the
+        # grouped int8 chain beats the int8 megakernel 1214.0 vs 1144.8
+        # tok/s (and the 4090's 1185.25), while at bs1 ctx2048 the int8
+        # megakernel still wins 153.3 vs 148.7 (CHIP_AB_R4C/R4B_RESULTS).
+        bt = (k_cache.shape[2] if "k_s" in kv_cache
+              else k_cache.shape[0] * k_cache.shape[2])
+        if bt < bt_floor:
+            return False
     from autoawq_tpu.ops import fused_attn_step
 
     # int8 caches fold their absmax scales in-kernel (k_scales/v_scales)

@@ -41,12 +41,16 @@ MODELS = {
                        head_dim=128),
 }
 
-RUNS = [  # (model, batch, ctx, gen)
-    ("tinyllama", 1, 64, 512),
-    ("mistral-7b", 1, 64, 256),
-    ("mistral-7b", 1, 2048, 256),
-    ("mistral-7b", 8, 64, 256),
-    ("llama2-13b", 1, 64, 128),
+RUNS = [  # (model, batch, ctx, gen, kv-cache dtype)
+    ("tinyllama", 1, 64, 512, "bf16"),
+    ("mistral-7b", 1, 64, 256, "bf16"),
+    ("mistral-7b", 1, 2048, 256, "bf16"),
+    ("mistral-7b", 8, 64, 256, "bf16"),
+    # int8 KV halves the per-step cache stream — the best measured bs8
+    # config (CHIP_AB_R4C_RESULTS.json); reported as its own row since the
+    # 4090 baseline runs an fp16 cache
+    ("mistral-7b", 8, 64, 256, "int8"),
+    ("llama2-13b", 1, 64, 128, "bf16"),
 ]
 
 
@@ -105,6 +109,18 @@ def weight_stream_bytes(cfg) -> int:
     return L * (q + scales) + lm_head
 
 
+def cache_stream_bytes(cfg, b: int, capacity: int, kv: str = "bf16") -> int:
+    """KV-cache bytes READ per decode step. Shapes are static, so attention
+    reads the full cache CAPACITY every step (masked, not skipped); writes
+    are one row/step — negligible. int8 halves the payload but adds
+    per-(b, head, token) f32 absmax scales."""
+    nkv, hd, L = cfg.num_key_value_heads, cfg.head_dim_, cfg.num_hidden_layers
+    rows = L * b * nkv * capacity
+    if kv == "int8":
+        return rows * hd * 2 * 1 + rows * 2 * 4  # int8 k+v, f32 scales
+    return rows * hd * 2 * 2  # bf16 k+v
+
+
 def flops_per_token(cfg) -> int:
     h, inter, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
     nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
@@ -135,7 +151,7 @@ def main():
                                     "hbm_gbps": round(gbps, 0)},
                        "rows": rows}, f, indent=1)
 
-    def run_one(cfg, params, name, b, ctx, n_gen):
+    def run_one(cfg, params, name, b, ctx, n_gen, kv_quant=False):
         prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, ctx)))
         total = ctx + n_gen
 
@@ -167,7 +183,8 @@ def main():
             t0 = time.perf_counter()
             np.asarray(gen.generate_compiled(cfg, params, prompt, n,
                                              method="auto",
-                                             dtype=jnp.bfloat16))
+                                             dtype=jnp.bfloat16,
+                                             kv_quant=kv_quant))
             return time.perf_counter() - t0
 
         timed_gen(n_small), timed_gen(n_gen)  # compile both shapes
@@ -176,7 +193,7 @@ def main():
         best = b * (n_gen - n_small) / (t_big - t_small)
         return pre_tps, best
 
-    for name, b, ctx, n_gen in RUNS:
+    for name, b, ctx, n_gen, kv in RUNS:
         cfg = ModelConfig(model_type="llama", max_position_embeddings=8192,
                           **MODELS[name])
         if name != last_model:
@@ -187,7 +204,8 @@ def main():
         # retry each configuration once before skipping it
         for attempt in (1, 2):
             try:
-                pre_tps, best = run_one(cfg, params, name, b, ctx, n_gen)
+                pre_tps, best = run_one(cfg, params, name, b, ctx, n_gen,
+                                        kv_quant=kv == "int8")
                 break
             except Exception as e:
                 print(f"run {name} b{b} ctx{ctx} attempt {attempt}: {e}")
@@ -200,16 +218,21 @@ def main():
             continue
 
         wbytes = weight_stream_bytes(cfg)
+        kvbytes = cache_stream_bytes(cfg, b, ctx + n_gen, kv)
         ftok = flops_per_token(cfg)
-        dec_bw = best / b * wbytes / 1e9  # GB/s streamed at this rate
+        # decode streams the weights once per STEP plus the full (static-
+        # shape) KV cache; both count toward the HBM roofline claim
+        dec_bw = best / b * (wbytes + kvbytes) / 1e9
         pre_mfu = pre_tps * ftok / (tflops * 1e12)
         for kind, tps in (("prefill", pre_tps), ("decode", best)):
+            if kind == "prefill" and kv != "bf16":
+                continue  # prefill doesn't re-read the cache; bf16 row covers it
             base = BASELINES.get((name, b, ctx, kind))
             rows.append(dict(
-                model=name, batch=b, ctx=ctx, gen=n_gen, kind=kind,
+                model=name, batch=b, ctx=ctx, gen=n_gen, kind=kind, kv=kv,
                 tok_s=round(tps, 1),
                 vs_rtx4090=round(tps / base, 3) if base else None,
-                roofline=(f"{dec_bw:.0f}/{gbps:.0f} GB/s weight stream"
+                roofline=(f"{dec_bw:.0f}/{gbps:.0f} GB/s weights+KV stream"
                           if kind == "decode" else
                           f"{100 * pre_mfu:.0f}% of measured peak FLOPs"),
             ))

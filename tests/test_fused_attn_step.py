@@ -174,6 +174,26 @@ def test_auto_policy_gate(rng, monkeypatch):
     monkeypatch.setenv("AWQ_TPU_FUSED_ATTN", "0")
     assert not modules._fused_attn_ok(cfg, p, x3, "auto", big)
 
+    # int8 caches key the auto threshold on per-SEQUENCE context, not B*T:
+    # batched short-ctx int8 decode is faster through the grouped XLA
+    # chain (1214.0 vs 1144.8 tok/s at mistral bs8, CHIP_AB_R4C_RESULTS),
+    # while bs1 long-ctx int8 still wants the megakernel (153.3 vs 148.7).
+    monkeypatch.setenv("AWQ_TPU_FUSED_ATTN", "auto")
+
+    def int8_cache(b, t):
+        return {"k": jnp.zeros((b, 2, t, hd), jnp.int8),
+                "v": jnp.zeros((b, 2, t, hd), jnp.int8),
+                "k_s": jnp.zeros((b, 2, t), jnp.float32),
+                "v_s": jnp.zeros((b, 2, t), jnp.float32),
+                "pos": jnp.int32(3)}
+
+    x8 = jnp.zeros((8, 1, h), jnp.bfloat16)
+    # b*t = 2560 >= 2048 but t = 320 < 2048: grouped chain, never the kernel
+    assert not modules._fused_attn_ok(cfg, p, x8, "auto", int8_cache(8, 320))
+    # t = 4096 >= 2048: megakernel (on TPU)
+    assert modules._fused_attn_ok(
+        cfg, p, x3, "auto", int8_cache(1, 4096)) == on_tpu
+
 
 def test_fused_attn_int8_cache_matches_grouped(rng, monkeypatch):
     """int8 KV cache through the megakernel (k_scales/v_scales folded
