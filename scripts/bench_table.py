@@ -23,6 +23,8 @@ BASELINES = {  # reference README.md tok/s on RTX 4090 (GEMM kernel)
     ("mistral-7b", 1, 2048, "decode"): 114.41,
     ("mistral-7b", 1, 2048, "prefill"): 3897.02,
     ("mistral-7b", 8, 64, "decode"): 1185.25,
+    ("mistral-7b", 8, 2048, "prefill"): 3661.46,
+    ("mistral-7b", 8, 2048, "decode"): 829.75,
     ("llama2-13b", 1, 64, "decode"): 96.7,
 }
 
@@ -50,6 +52,9 @@ RUNS = [  # (model, batch, ctx, gen, kv-cache dtype)
     # config (CHIP_AB_R4C_RESULTS.json); reported as its own row since the
     # 4090 baseline runs an fp16 cache
     ("mistral-7b", 8, 64, 256, "int8"),
+    # reference README.md:213 also publishes bs8 ctx2048 (829.75 decode)
+    ("mistral-7b", 8, 2048, 256, "bf16"),
+    ("mistral-7b", 8, 2048, 256, "int8"),
     ("llama2-13b", 1, 64, 128, "bf16"),
 ]
 
