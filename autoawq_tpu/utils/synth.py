@@ -57,6 +57,13 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
     nh, nkv, inter = (cfg.num_attention_heads, cfg.num_key_value_heads,
                       cfg.intermediate_size)
 
+    def norm_p(n=None):
+        n = h if n is None else n
+        p = {"weight": np.ones((n,), fp_dtype)}
+        if cfg.norm_kind == "ln":
+            p["bias"] = np.zeros((n,), fp_dtype)
+        return p
+
     def mla_attn():
         dq = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
         attn = {
@@ -81,7 +88,7 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
             "weight": (rng.standard_normal((cfg.vocab_size, h)) * 0.02)
             .astype(fp_dtype)
         },
-        "norm": {"weight": np.ones((h,), fp_dtype)},
+        "norm": norm_p(),
         "lm_head": None if cfg.tie_word_embeddings else {
             "kernel": (rng.standard_normal((h, cfg.vocab_size)) * 0.02)
             .astype(fp_dtype)
@@ -90,8 +97,8 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
     }
     for _ in range(cfg.num_hidden_layers):
         lp = {
-            "input_layernorm": {"weight": np.ones((h,), fp_dtype)},
-            "post_attention_layernorm": {"weight": np.ones((h,), fp_dtype)},
+            "input_layernorm": norm_p(),
+            "post_attention_layernorm": norm_p(),
             "self_attn": (
                 mla_attn() if cfg.is_mla else
                 {"qkv_proj": qlin(h, (nh + 2 * nkv) * hd),
@@ -130,6 +137,11 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
                     "down_proj": qlin(si, h)}
                 lp["mlp"]["shared_expert_gate"] = {"kernel": (
                     rng.standard_normal((h, 1)) * 0.02).astype(fp_dtype)}
+        elif not cfg.gated_mlp:  # fc1 -> act -> fc2 (mpt/falcon/opt/bloom)
+            lp["mlp"] = {
+                "fc1": qlin(h, inter),
+                "fc2": qlin(inter, h),
+            }
         elif fused:
             lp["mlp"] = {
                 "gate_up_proj": qlin(h, 2 * inter),

@@ -26,6 +26,9 @@ BASELINES = {  # reference README.md tok/s on RTX 4090 (GEMM kernel)
     ("mistral-7b", 8, 2048, "prefill"): 3661.46,
     ("mistral-7b", 8, 2048, "decode"): 829.75,
     ("llama2-13b", 1, 64, "decode"): 96.7,
+    ("llama2-13b", 3, 2048, "decode"): 189.57,  # README.md:226
+    ("mpt-7b", 1, 64, "decode"): 161.34,        # README.md:228
+    ("falcon-7b", 1, 64, "decode"): 133.59,     # README.md:231
 }
 
 MODELS = {
@@ -41,6 +44,24 @@ MODELS = {
                        intermediate_size=13824, num_hidden_layers=40,
                        num_attention_heads=40, num_key_value_heads=40,
                        head_dim=128),
+    # MPT-7B: ALiBi, LayerNorm, non-gated gelu MLP, tied embeddings
+    # (reference README.md:228 row; knobs per models/config._adapt_mpt)
+    "mpt-7b": dict(model_type="mpt", vocab_size=50432, hidden_size=4096,
+                   intermediate_size=16384, num_hidden_layers=32,
+                   num_attention_heads=32, num_key_value_heads=32,
+                   head_dim=128, hidden_act="gelu", norm_kind="ln",
+                   pos_embed="alibi", gated_mlp=False,
+                   tie_word_embeddings=True),
+    # Falcon-7B: multi-query (1 kv head), parallel residual w/ shared
+    # input norm, LayerNorm, non-gated gelu MLP, tied embeddings
+    # (reference README.md:231 row; knobs per models/config._adapt_falcon)
+    "falcon-7b": dict(model_type="falcon", vocab_size=65024,
+                      hidden_size=4544, intermediate_size=18176,
+                      num_hidden_layers=32, num_attention_heads=71,
+                      num_key_value_heads=1, head_dim=64,
+                      hidden_act="gelu", norm_kind="ln",
+                      parallel_residual=True, shared_input_norm=True,
+                      gated_mlp=False, tie_word_embeddings=True),
 }
 
 RUNS = [  # (model, batch, ctx, gen, kv-cache dtype)
@@ -56,6 +77,11 @@ RUNS = [  # (model, batch, ctx, gen, kv-cache dtype)
     ("mistral-7b", 8, 2048, 256, "bf16"),
     ("mistral-7b", 8, 2048, 256, "int8"),
     ("llama2-13b", 1, 64, 128, "bf16"),
+    # bs3 ctx2048 is the reference's other published 13B row (README.md:226);
+    # bf16 KV at b3 cap 2176 = 5.4 GB + 7 GB weights still fits 16 GB HBM
+    ("llama2-13b", 3, 2048, 128, "bf16"),
+    ("mpt-7b", 1, 64, 256, "bf16"),
+    ("falcon-7b", 1, 64, 256, "bf16"),
 ]
 
 
@@ -106,11 +132,12 @@ def weight_stream_bytes(cfg) -> int:
     h, inter, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
     nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                    cfg.head_dim_)
+    n_mlp = 3 if cfg.gated_mlp else 2  # fc1/fc2 vs gate/up/down
     per_layer_params = (h * (nh + 2 * nkv) * hd + nh * hd * h
-                        + 3 * h * inter)
+                        + n_mlp * h * inter)
     q = per_layer_params // 2  # int4
     scales = per_layer_params // 128 * 2  # fp(16->32 on load, stored f32)
-    lm_head = h * cfg.vocab_size * 2  # bf16
+    lm_head = h * cfg.vocab_size * 2  # bf16 (tied models read embed.T)
     return L * (q + scales) + lm_head
 
 
@@ -130,7 +157,9 @@ def flops_per_token(cfg) -> int:
     h, inter, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
     nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                    cfg.head_dim_)
-    per_layer = 2 * (h * (nh + 2 * nkv) * hd + nh * hd * h + 3 * h * inter)
+    n_mlp = 3 if cfg.gated_mlp else 2
+    per_layer = 2 * (h * (nh + 2 * nkv) * hd + nh * hd * h
+                     + n_mlp * h * inter)
     return L * per_layer + 2 * h * cfg.vocab_size
 
 
@@ -199,8 +228,8 @@ def main():
         return pre_tps, best
 
     for name, b, ctx, n_gen, kv in RUNS:
-        cfg = ModelConfig(model_type="llama", max_position_embeddings=8192,
-                          **MODELS[name])
+        knobs = {"model_type": "llama", **MODELS[name]}
+        cfg = ModelConfig(max_position_embeddings=8192, **knobs)
         if name != last_model:
             params = jax.device_put(random_quantized_params(
                 cfg, seed=0, fp_dtype=jnp.bfloat16, fused=True))
