@@ -37,24 +37,34 @@ class AwqCausalLM:
         self.params = params
         self.quant_config = qcfg
         self._quantizer: Optional[AwqQuantizer] = None
+        # source checkpoint dir, so save_quantized can carry the tokenizer /
+        # processor / generation_config files along (reference
+        # base.py:294-301)
+        self._src_path: Optional[str] = None
 
     # ------------------------------------------------------------- loading
     @classmethod
     def from_pretrained(cls, path: str) -> "AwqCausalLM":
-        cfg, params = serialize.from_pretrained(path)
-        return cls(cfg, params)
+        src = serialize.resolve_model_path(path)
+        cfg, params = serialize.from_pretrained(src)
+        m = cls(cfg, params)
+        m._src_path = src
+        return m
 
     @classmethod
     def from_quantized(cls, path: str, fuse_layers: bool = False) -> "AwqCausalLM":
         """Load an AutoAWQ checkpoint. ``fuse_layers=True`` concatenates
         q/k/v and gate/up packed weights for fewer kernel launches
         (reference base.py:409-570 + fuse_layers hook)."""
-        cfg, qcfg, params = serialize.from_quantized(path)
+        src = serialize.resolve_model_path(path)
+        cfg, qcfg, params = serialize.from_quantized(src)
         if fuse_layers:
             from autoawq_tpu.nn.fuse import fuse_model
 
             params = fuse_model(cfg, params)
-        return cls(cfg, params, qcfg)
+        m = cls(cfg, params, qcfg)
+        m._src_path = src
+        return m
 
     # ---------------------------------------------------------- quantizing
     def quantize(
@@ -115,7 +125,8 @@ class AwqCausalLM:
     def save_quantized(self, path: str) -> None:
         if self.quant_config is None:
             raise RuntimeError("model is not quantized")
-        serialize.save_quantized(path, self.cfg, self.quant_config, self.params)
+        serialize.save_quantized(path, self.cfg, self.quant_config,
+                                 self.params, src_path=self._src_path)
 
     # ----------------------------------------------------------- inference
     def __call__(self, input_ids, method: str = "auto") -> jax.Array:
@@ -233,6 +244,7 @@ class AwqLlavaModel:
         self.raw_config = raw_config
         self.params = params
         self.quant_config = qcfg
+        self._src_path: Optional[str] = None
 
     # ------------------------------------------------------------- loading
     @classmethod
@@ -250,7 +262,9 @@ class AwqLlavaModel:
         params = llava_params_from_state_dict(text_cfg, sd)
         qcfg = (AwqConfig.from_dict(raw["quantization_config"])
                 if "quantization_config" in raw else None)
-        return cls(text_cfg, raw["vision_config"], raw, params, qcfg)
+        m = cls(text_cfg, raw["vision_config"], raw, params, qcfg)
+        m._src_path = path
+        return m
 
     @classmethod
     def from_pretrained(cls, path: str) -> "AwqLlavaModel":
@@ -291,6 +305,9 @@ class AwqLlavaModel:
         if self.quant_config is None:
             raise RuntimeError("model is not quantized")
         os.makedirs(path, exist_ok=True)
+        # carry the processor/tokenizer files so the dir is drop-in for HF
+        # pipelines (reference saves the processor: base.py:294-301)
+        serialize.copy_aux_files(self._src_path, path)
         raw = dict(self.raw_config)
         raw["quantization_config"] = self.quant_config.to_transformers_dict()
         raw.setdefault("text_config", {})["autoawq_tpu_config"] = (
@@ -371,6 +388,7 @@ class AwqQwen2VLModel:
         self.raw_config = raw_config
         self.params = params
         self.quant_config = qcfg
+        self._src_path: Optional[str] = None
 
     @property
     def _is_25(self) -> bool:
@@ -397,7 +415,9 @@ class AwqQwen2VLModel:
         params = conv(text_cfg, vcfg, sd)
         qcfg = (AwqConfig.from_dict(raw["quantization_config"])
                 if "quantization_config" in raw else None)
-        return cls(text_cfg, vcfg, raw, params, qcfg)
+        m = cls(text_cfg, vcfg, raw, params, qcfg)
+        m._src_path = path
+        return m
 
     @classmethod
     def from_pretrained(cls, path: str) -> "AwqQwen2VLModel":
@@ -473,6 +493,7 @@ class AwqQwen2VLModel:
         if self.quant_config is None:
             raise RuntimeError("model is not quantized")
         os.makedirs(path, exist_ok=True)
+        serialize.copy_aux_files(self._src_path, path)
         raw = dict(self.raw_config)
         raw["quantization_config"] = self.quant_config.to_transformers_dict()
         raw["autoawq_tpu_config"] = (

@@ -23,6 +23,60 @@ from autoawq_tpu.models.config import ModelConfig
 
 SHARD_BYTES = 4 * 1024**3
 
+# Tokenizer / processor / generation files that make a saved checkpoint
+# drop-in loadable by transformers AutoTokenizer / AutoProcessor with zero
+# manual copying (reference: awq/models/base.py:294-301 saves the processor
+# for vision models; HF save_pretrained writes the rest alongside).
+AUX_FILE_PATTERNS = (
+    "tokenizer.json", "tokenizer_config.json", "special_tokens_map.json",
+    "vocab.json", "vocab.txt", "merges.txt", "added_tokens.json",
+    "*.model",  # sentencepiece (tokenizer.model, spiece.model, ...)
+    "preprocessor_config.json", "processor_config.json",
+    "image_processor_config.json", "video_preprocessor_config.json",
+    "chat_template.json", "chat_template.jinja",
+    "generation_config.json", "spk_dict.pt",
+)
+
+
+def copy_aux_files(src_path: Optional[str], dst_path: str) -> list:
+    """Copy tokenizer / processor / generation_config files from the source
+    checkpoint directory into a save_quantized output dir, and synthesize a
+    minimal generation_config.json from config.json token ids when the
+    source has none (reference: awq/models/base.py:294-301 — the processor
+    is saved with vision models and generation_config ships with the HF
+    model; without these a quantized dir can't be used by AutoTokenizer /
+    transformers pipelines without hand-copying). Returns copied names."""
+    import fnmatch
+    import shutil
+
+    copied = []
+    if src_path and os.path.isdir(src_path) and (
+            os.path.abspath(src_path) != os.path.abspath(dst_path)):
+        for name in sorted(os.listdir(src_path)):
+            full = os.path.join(src_path, name)
+            if not os.path.isfile(full):
+                continue
+            if any(fnmatch.fnmatch(name, p) for p in AUX_FILE_PATTERNS):
+                if name.endswith(".safetensors"):  # *.model can't match, but
+                    continue  # be safe against pattern additions
+                shutil.copy2(full, os.path.join(dst_path, name))
+                copied.append(name)
+    if "generation_config.json" not in copied:
+        gen: Dict[str, Any] = {}
+        src_cfg = os.path.join(src_path or "", "config.json")
+        if src_path and os.path.isfile(src_cfg):
+            with open(src_cfg) as f:
+                raw = json.load(f)
+            for k in ("bos_token_id", "eos_token_id", "pad_token_id"):
+                if raw.get(k) is not None:
+                    gen[k] = raw[k]
+        if gen:
+            with open(os.path.join(dst_path, "generation_config.json"),
+                      "w") as f:
+                json.dump(gen, f, indent=2)
+            copied.append("generation_config.json")
+    return copied
+
 
 def resolve_model_path(model_name_or_path: str, **download_kwargs) -> str:
     """Local directory passthrough, or HF-hub ``snapshot_download`` for a
@@ -52,10 +106,12 @@ def save_quantized(
     qcfg: AwqConfig,
     params: Dict[str, Any],
     shard_bytes: int = SHARD_BYTES,
+    src_path: Optional[str] = None,
 ) -> None:
     from safetensors.numpy import save_file
 
     os.makedirs(path, exist_ok=True)
+    copy_aux_files(src_path, path)
     hf_cfg = cfg.to_hf_dict()
     hf_cfg["quantization_config"] = qcfg.to_transformers_dict()
     with open(os.path.join(path, "config.json"), "w") as f:

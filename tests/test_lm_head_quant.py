@@ -40,11 +40,20 @@ def test_lm_head_quantized_and_bounded(rng, tmp_path):
                                      dtype=np.float32))
     got = np.asarray(modules.forward(CFG, withhead, tokens, method="jnp",
                                      dtype=np.float32))
-    # int4 g32 on h=64 is coarse (error accumulates over only 64 taps);
-    # the functional gate is top-1 agreement, the abs bound is a sanity rail
+    # int4 g32 on h=64 is coarse (error accumulates over only 64 taps) and
+    # the random net's logits are near-tied, so top-1 agreement is
+    # seed-brittle (it broke when init_random_params changed its draw
+    # order). The functional gate is KL(ref || quant-head): measured
+    # ~7e-4 across seeds vs entropy ~5.5 nats; a broken head gives O(1).
     assert np.abs(got - ref).max() < 0.5 * np.abs(ref).max()
-    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
-    assert agree > 0.8, agree
+
+    def logsm(x):
+        m = x.max(-1, keepdims=True)
+        return x - m - np.log(np.exp(x - m).sum(-1, keepdims=True))
+
+    lr, lg = logsm(ref), logsm(got)
+    kl = (np.exp(lr) * (lr - lg)).sum(-1)
+    assert kl.max() < 0.05, kl.max()
 
     # save/load round-trip through the public API
     model = AwqCausalLM(CFG, withhead, AwqConfig(q_group_size=32))
