@@ -88,15 +88,18 @@ def prefill_chunk(
     pos0: jax.Array,  # scalar int32: tokens already prefilled
     method: str = "auto",
     dtype=jnp.bfloat16,
+    embeds: Optional[jax.Array] = None,  # [1, C, H] multimodal chunk rows
 ) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
     """One prompt chunk against a single-request cache; returns the chunk's
     [1, C, V] logits (the caller indexes the last REAL position — padded
     tail positions write cache rows that decode overwrites before they are
-    ever unmasked)."""
+    ever unmasked). ``embeds`` replaces the token-embedding lookup
+    (multimodal prompts — the paged engine's shared-prefix suffix path)."""
     _, c = tokens.shape
     max_t = gen._cache_len(row_caches)
     positions = pos0 + jnp.arange(c)[None, :]
-    x = modules.embed(cfg, params, tokens, dtype, positions)
+    x = (embeds.astype(dtype) if embeds is not None
+         else modules.embed(cfg, params, tokens, dtype, positions))
     ki = jnp.arange(max_t)[None, :]
     ok = ki <= positions[0][:, None]  # [C, T]
     if cfg.sliding_window:

@@ -338,12 +338,18 @@ class PagedBatchingEngine(SamplingSlots):
                     repetition_penalty: float = 1.0,
                     stop: Optional[List[List[int]]] = None,
                     prompt_embeds=None):
-        if prompt_embeds is not None:
-            raise NotImplementedError(
-                "embed (multimodal) prompts serve from BatchingEngine — "
-                "the prefix cache hashes token ids, which don't identify "
-                "an image-conditioned prompt")
         prompt = np.asarray(prompt).reshape(-1)
+        if prompt_embeds is not None:
+            # multimodal prompt: precomputed [S, H] input embeds (vision
+            # features spliced at image-token positions). Prefix caching
+            # stays sound because the chain hash then covers the embed
+            # CONTENT per page, not just the (placeholder) token ids —
+            # see _page_chain_hashes.
+            prompt_embeds = np.asarray(prompt_embeds)
+            if prompt_embeds.ndim == 3:  # [1, S, H] -> [S, H]
+                prompt_embeds = prompt_embeds[0]
+            if prompt_embeds.shape[0] != len(prompt):
+                raise ValueError("prompt_embeds length != prompt length")
         budget = len(prompt) + max_new_tokens + 1
         if budget > self.pps * self.ps:
             raise ValueError(
@@ -351,16 +357,30 @@ class PagedBatchingEngine(SamplingSlots):
                 f"({self.pps * self.ps})")
         self.queue.append(Request(req_id, prompt, max_new_tokens,
                                   temperature, top_k, top_p,
-                                  repetition_penalty, stop))
+                                  repetition_penalty, stop, prompt_embeds))
 
     # ------------------------------------------------------ prefix cache
     @staticmethod
-    def _page_chain_hashes(prompt: np.ndarray, ps: int,
-                           max_pages: int) -> List[int]:
-        """Chain hashes for the first ``max_pages`` full pages."""
+    def _page_chain_hashes(prompt: np.ndarray, ps: int, max_pages: int,
+                           embeds: Optional[np.ndarray] = None) -> List[int]:
+        """Chain hashes for the first ``max_pages`` full pages. Multimodal
+        prompts additionally hash each page's EMBED rows (content digest):
+        token ids alone don't identify an image — every llava prompt
+        carries the same <image> placeholder run — so embed-carrying
+        requests only share prefix pages with requests presenting
+        bit-identical embeds for that span (the repeated-image /
+        repeated-system-prompt case), and never cross-match a text-only
+        prompt with coincidentally equal ids."""
+        import hashlib
+
         out, h = [], 0
         for i in range(max_pages):
-            h = hash((h, tuple(int(t) for t in prompt[i * ps:(i + 1) * ps])))
+            key: Any = tuple(int(t) for t in prompt[i * ps:(i + 1) * ps])
+            if embeds is not None:
+                d = hashlib.sha1(np.ascontiguousarray(
+                    embeds[i * ps:(i + 1) * ps]).tobytes()).digest()
+                key = (key, d)
+            h = hash((h, key))
             out.append(h)
         return out
 
@@ -424,7 +444,8 @@ class PagedBatchingEngine(SamplingSlots):
             if self.prefix_enabled:
                 max_sharable = (len(req.prompt) - 1) // self.ps
                 chain = self._page_chain_hashes(req.prompt, self.ps,
-                                                max_sharable)
+                                                max_sharable,
+                                                embeds=req.prompt_embeds)
                 for h in chain:
                     pid = self.prefix_cache.get(h)
                     if pid is None:
@@ -460,10 +481,12 @@ class PagedBatchingEngine(SamplingSlots):
                 self.prefix_hits += 1
                 self.prefix_pages_reused += n_shared
 
-            if self.chunk is not None:
+            if self.chunk is not None and req.prompt_embeds is None:
                 # chunked admission: reserve now, advance one chunk per
                 # engine step so running requests never stall behind a
                 # long arrival (same discipline as serve/batching.py).
+                # Embed prompts prefill whole below (same policy as the
+                # contiguous engine).
                 # Chunking starts at the shared-prefix boundary
                 # (n_shared*ps — a page multiple but NOT necessarily a
                 # chunk multiple), so round the row capacity up from the
@@ -509,14 +532,23 @@ class PagedBatchingEngine(SamplingSlots):
                 pad_to = -(-real // self.ps) * self.ps
                 if pad_to > real:
                     suffix = np.pad(suffix, (0, pad_to - real))
+                emb = None
+                if req.prompt_embeds is not None:
+                    e = req.prompt_embeds[n_shared * self.ps:]
+                    if pad_to > real:  # padded rows are dead (see above)
+                        e = np.pad(e, ((0, pad_to - real), (0, 0)))
+                    emb = jnp.asarray(e[None])
                 logits, row = prefill_chunk(
                     self.cfg, self.params, jnp.asarray(suffix[None]), row,
-                    jnp.int32(n_shared * self.ps), self.method, self.dtype)
+                    jnp.int32(n_shared * self.ps), self.method, self.dtype,
+                    embeds=emb)
                 logits = logits[:, real - 1]
             else:
                 logits, row = gen.prefill(
                     self.cfg, self.params, jnp.asarray(req.prompt[None]),
-                    row, self.method, self.dtype)
+                    row, self.method, self.dtype,
+                    embeds=(None if req.prompt_embeds is None
+                            else jnp.asarray(req.prompt_embeds[None])))
             self._finish_admission(slot, req, row, logits, pages, chain,
                                    n_shared)
 

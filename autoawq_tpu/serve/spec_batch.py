@@ -249,10 +249,9 @@ class SpeculativeBatchingEngine(BatchingEngine):
         # chunked prefill composes as-is: the TARGET admits in chunks
         # (inherited _admit/_advance_prefill); the DRAFT — small by
         # design — still prefills whole at activation (_activate below).
-        if kw.get("top_logprobs"):
-            raise NotImplementedError(
-                "top_logprobs alternatives are not recorded on the "
-                "speculative verify path (chosen-token logprobs are)")
+        # top_logprobs composes too: the verify pass already holds
+        # full-vocab target logits for every emitted position (tlog), so
+        # the top-N alternatives come for free from the chunk.
         super().__init__(cfg, params, **kw)
         if cfg.vocab_size != draft_cfg.vocab_size:
             raise ValueError("draft and target must share a tokenizer")
@@ -263,20 +262,15 @@ class SpeculativeBatchingEngine(BatchingEngine):
         self.dpos = np.zeros((self.max_batch,), np.int32)
         self.accepted = self.proposed = 0
 
-    def add_request(self, req_id, prompt, max_new_tokens: int = 128,
-                    temperature: float = 0.0, top_k=None, top_p=None,
-                    repetition_penalty: float = 1.0, stop=None,
-                    prompt_embeds=None):
-        if prompt_embeds is not None:
-            raise NotImplementedError(
-                "embed (multimodal) prompts are not speculated: the draft "
-                "has its own hidden size and cannot prefill the target's "
-                "spliced embeds")
-        super().add_request(req_id, prompt, max_new_tokens, temperature,
-                            top_k, top_p, repetition_penalty, stop=stop)
-
     def _activate(self, slot: int, req: Request, row, logits):
-        # target slot install (base behavior) + draft prefill/install
+        # target slot install (base behavior) + draft prefill/install.
+        # Multimodal (prompt_embeds) requests compose: the TARGET prefills
+        # from the spliced embeds (base _admit); the DRAFT — which has its
+        # own hidden size and cannot consume the target's embeds — simply
+        # prefills the token ids, image placeholders included. Draft
+        # quality only moves the ACCEPTANCE RATE; the verify pass scores
+        # every emitted token under the image-conditioned target, so the
+        # output stream is exactly the plain engine's (tested).
         drow = gen.init_kv_cache(self.dcfg, 1, self.max_seq, self.dtype)
         _, drow = gen.prefill(self.dcfg, self.dparams,
                               jnp.asarray(req.prompt[None]), drow,
@@ -285,7 +279,8 @@ class SpeculativeBatchingEngine(BatchingEngine):
         self.dpos[slot] = len(req.prompt)
         super()._activate(slot, req, row, logits)
 
-    def _emit(self, slot: int, toks: List[int], emitted, lps=None):
+    def _emit(self, slot: int, toks: List[int], emitted, lps=None,
+              tops=None):
         """Append accepted tokens, honoring EOS/budget/stop mid-run."""
         req = self.slots[slot]
         n0 = len(req.output)
@@ -296,6 +291,8 @@ class SpeculativeBatchingEngine(BatchingEngine):
             self._note_token(slot, t)  # keep penalty presence current
             if lps is not None:
                 req.logprobs.append(float(lps[j]))
+            if tops is not None:
+                req.top_logprobs.append(tops[j])
             emitted.append((req.id, t))
             self.pos[slot] += 1
             self.last_token[slot] = t
@@ -399,6 +396,15 @@ class SpeculativeBatchingEngine(BatchingEngine):
             lp_mat = np.asarray(_spec_logprobs(
                 tlog, jnp.asarray(drafts), jnp.asarray(acc),
                 jnp.asarray(nxt)))
+        top_vals = top_ids = None
+        if self.top_logprobs:
+            # the verify pass computed full-vocab target logits for every
+            # chunk row; the top-N alternatives per emitted position are in
+            # hand (raw tlog — unwarped, like the plain engine's reporting)
+            from autoawq_tpu.serve.batching import _top_n_logprobs
+
+            tv, ti = _top_n_logprobs(tlog, self.top_logprobs)
+            top_vals, top_ids = np.asarray(tv), np.asarray(ti)
 
         emitted: List[Tuple[Any, int]] = []
         for slot in active:
@@ -406,8 +412,14 @@ class SpeculativeBatchingEngine(BatchingEngine):
             new = [int(t) for t in drafts[slot, :a]] + [int(nxt[slot])]
             self.accepted += a
             self.proposed += k
+            tops = None
+            if top_vals is not None:
+                tops = [
+                    {int(t): float(v)
+                     for t, v in zip(top_ids[slot, j], top_vals[slot, j])}
+                    for j in range(a + 1)]
             self._emit(slot, new, emitted,
-                       None if lp_mat is None else lp_mat[slot])
+                       None if lp_mat is None else lp_mat[slot], tops)
         return emitted
 
     @property

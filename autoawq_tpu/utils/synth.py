@@ -98,7 +98,6 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
     for _ in range(cfg.num_hidden_layers):
         lp = {
             "input_layernorm": norm_p(),
-            "post_attention_layernorm": norm_p(),
             "self_attn": (
                 mla_attn() if cfg.is_mla else
                 {"qkv_proj": qlin(h, (nh + 2 * nkv) * hd),
@@ -110,6 +109,11 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
                  "o_proj": qlin(nh * hd, h)}
             ),
         }
+        if not (cfg.parallel_residual and cfg.shared_input_norm):
+            # falcon-7b's single shared input norm never reads a
+            # post-attention norm; emitting one would only pad the
+            # device_put tree vs a real converted checkpoint
+            lp["post_attention_layernorm"] = norm_p()
         if cfg.qk_norm:
             lp["self_attn"]["q_norm"] = {"weight": np.ones((hd,), fp_dtype)}
             lp["self_attn"]["k_norm"] = {"weight": np.ones((hd,), fp_dtype)}
@@ -137,7 +141,9 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
                     "down_proj": qlin(si, h)}
                 lp["mlp"]["shared_expert_gate"] = {"kernel": (
                     rng.standard_normal((h, 1)) * 0.02).astype(fp_dtype)}
-        elif not cfg.gated_mlp:  # fc1 -> act -> fc2 (mpt/falcon/opt/bloom)
+        elif not cfg.gated_mlp:  # fc1 -> act -> fc2 (mpt/falcon-shaped
+            # blocks; NOT opt/bloom — those also need embed_positions /
+            # embed_ln / bias leaves this synthesizer does not emit)
             lp["mlp"] = {
                 "fc1": qlin(h, inter),
                 "fc2": qlin(inter, h),

@@ -1,11 +1,28 @@
 """BASELINE.md-shaped benchmark table on the real chip -> BENCH_TABLE.json.
 
 Rows mirror the reference's published table (reference README.md:196-238,
-RTX 4090): TinyLlama-1.1B + Mistral-7B + Llama-2-13B shapes, prefill and
-decode, bs1/bs8, ctx 64/2048. Synthetic random int4 weights (throughput is
-weight-streaming-bound; values are irrelevant). Also probes the chip's
-attainable bf16 matmul rate and HBM stream rate so each row carries a
-roofline utilization claim.
+RTX 4090: columns are batch / prefill length / DECODE length — a ctx-64 row
+decodes 64 tokens, cache growing 64->128; a ctx-2048 row decodes 2048,
+cache to 4096). Synthetic random int4 weights (throughput is
+weight-streaming-bound; values are irrelevant).
+
+Like-for-like discipline (round-4 advisor + judge items):
+* Each row's KV capacity equals the reference run's END working set
+  (ctx + reference decode length). Our static shapes read the FULL
+  capacity every step, the reference reads a growing cache that only
+  reaches that size on its last step — so the comparison is conservative
+  against us.
+* Decode is timed as a lax.scan of decode steps at pos = capacity-1
+  (full-cache steady state), two scan lengths differenced so prefill and
+  the tunnel's ~30 ms dispatch RPC cancel.
+* The HBM stream rate is re-probed per MODEL GROUP (same-run probe) and
+  each decode row records the probe it was scored against; fractions are
+  capped at 100% (a >100% fraction means the probe was low that minute,
+  not that the kernel beat physics).
+* Rows that cannot fit the chip's HBM at the reference working set are
+  SKIPPED with the fit math recorded (e.g. CodeLlama-34B int4 weights
+  alone exceed a 16 GB chip; the 4090 has 24 GB — that row needs tp=2,
+  which the sharded kernels + multichip dryrun cover).
 
 Run: env PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_table.py
 """
@@ -17,18 +34,26 @@ import time
 import numpy as np
 
 BASELINES = {  # reference README.md tok/s on RTX 4090 (GEMM kernel)
-    ("tinyllama", 1, 64, "decode"): 548.99,   # GEMV row, README.md:220
+    ("tinyllama", 1, 64, "decode"): 548.99,    # GEMV row, README.md:220
+    ("tinyllama", 1, 64, "prefill"): 1088.63,  # README.md:220
     ("mistral-7b", 1, 64, "decode"): 156.32,
-    ("mistral-7b", 1, 64, "prefill"): 3184.74,
-    ("mistral-7b", 1, 2048, "decode"): 114.41,
+    ("mistral-7b", 1, 64, "prefill"): 1093.35,   # README.md:210
+    ("mistral-7b", 1, 2048, "decode"): 114.36,
     ("mistral-7b", 1, 2048, "prefill"): 3897.02,
     ("mistral-7b", 8, 64, "decode"): 1185.25,
+    ("mistral-7b", 8, 64, "prefill"): 4199.18,
     ("mistral-7b", 8, 2048, "prefill"): 3661.46,
     ("mistral-7b", 8, 2048, "decode"): 829.75,
-    ("llama2-13b", 1, 64, "decode"): 96.7,
+    ("llama2-13b", 1, 64, "decode"): 96.74,
+    ("llama2-13b", 1, 64, "prefill"): 820.34,
     ("llama2-13b", 3, 2048, "decode"): 189.57,  # README.md:226
+    ("llama2-13b", 3, 2048, "prefill"): 2226.7,
     ("mpt-7b", 1, 64, "decode"): 161.34,        # README.md:228
+    ("mpt-7b", 1, 64, "prefill"): 1079.06,
     ("falcon-7b", 1, 64, "decode"): 133.59,     # README.md:231
+    ("falcon-7b", 1, 64, "prefill"): 1139.93,
+    ("codellama-34b", 1, 64, "decode"): 41.01,  # README.md:234
+    ("codellama-34b", 1, 64, "prefill"): 681.74,
 }
 
 MODELS = {
@@ -62,40 +87,67 @@ MODELS = {
                       hidden_act="gelu", norm_kind="ln",
                       parallel_residual=True, shared_input_norm=True,
                       gated_mlp=False, tie_word_embeddings=True),
+    # CodeLlama-34B (llama arch, GQA 8): reference README.md:234 row
+    "codellama-34b": dict(vocab_size=32000, hidden_size=8192,
+                          intermediate_size=22016, num_hidden_layers=48,
+                          num_attention_heads=64, num_key_value_heads=8,
+                          head_dim=128),
 }
 
-RUNS = [  # (model, batch, ctx, gen, kv-cache dtype)
-    ("tinyllama", 1, 64, 512, "bf16"),
-    ("mistral-7b", 1, 64, 256, "bf16"),
-    ("mistral-7b", 1, 2048, 256, "bf16"),
-    ("mistral-7b", 8, 64, 256, "bf16"),
+# (model, batch, ctx, reference decode length, kv-cache dtype)
+# KV capacity for the row = ctx + dec (the reference run's end working set)
+RUNS = [
+    ("tinyllama", 1, 64, 64, "bf16"),
+    ("mistral-7b", 1, 64, 64, "bf16"),
+    ("mistral-7b", 1, 2048, 2048, "bf16"),
+    ("mistral-7b", 8, 64, 64, "bf16"),
     # int8 KV halves the per-step cache stream — the best measured bs8
     # config (CHIP_AB_R4C_RESULTS.json); reported as its own row since the
     # 4090 baseline runs an fp16 cache
-    ("mistral-7b", 8, 64, 256, "int8"),
+    ("mistral-7b", 8, 64, 64, "int8"),
     # reference README.md:213 also publishes bs8 ctx2048 (829.75 decode)
-    ("mistral-7b", 8, 2048, 256, "bf16"),
-    ("mistral-7b", 8, 2048, 256, "int8"),
-    ("llama2-13b", 1, 64, 128, "bf16"),
-    # bs3 ctx2048 is the reference's other published 13B row (README.md:226);
-    # bf16 KV at b3 cap 2176 = 5.4 GB + 7 GB weights still fits 16 GB HBM
-    ("llama2-13b", 3, 2048, 128, "bf16"),
-    ("mpt-7b", 1, 64, 256, "bf16"),
-    ("falcon-7b", 1, 64, 256, "bf16"),
+    ("mistral-7b", 8, 2048, 2048, "bf16"),
+    ("mistral-7b", 8, 2048, 2048, "int8"),
+    ("llama2-13b", 1, 64, 64, "bf16"),
+    # bs3 ctx2048 is the reference's other published 13B row (README.md:226).
+    # bf16 KV at the reference's 4096-token capacity is 10.1 GB + ~7.2 GB
+    # weights > 16 GB HBM (fit check skips it with the math); int8 KV fits.
+    ("llama2-13b", 3, 2048, 2048, "bf16"),
+    ("llama2-13b", 3, 2048, 2048, "int8"),
+    ("mpt-7b", 1, 64, 64, "bf16"),
+    ("falcon-7b", 1, 64, 64, "bf16"),
+    # 34B-class single-chip row: int4 weights alone are ~17.8 GB — the fit
+    # check records the math if the chip can't hold it (4090: 24 GB)
+    ("codellama-34b", 1, 64, 64, "bf16"),
 ]
 
 
-def probe_roofline():
-    """Measured peak bf16 matmul TFLOP/s and HBM stream GB/s.
-
-    Both probes chain their repetitions INSIDE one jit via a value-dependent
-    fori_loop — per-dispatch tunnel RPC (~30 ms) would otherwise dominate
-    and under-report by ~5x (observed: 108 TFLOP/s / 149 GB/s with one
-    dispatch per rep vs the real rates below)."""
+def probe_streams(reps: int = 32):
+    """Measured HBM stream GB/s (chained scaled-copy inside one jit —
+    per-dispatch tunnel RPC would otherwise dominate; reductions
+    under-report TPU HBM bandwidth by ~2-3x)."""
     import jax
     import jax.numpy as jnp
 
-    n, reps = 4096, 32
+    big = jnp.ones((1 << 27,), jnp.bfloat16)  # 256 MB
+
+    @jax.jit
+    def stream(x):
+        return jax.lax.fori_loop(
+            0, reps, lambda i, x: x * jnp.bfloat16(0.9999), x)
+
+    stream(big).block_until_ready()
+    t0 = time.perf_counter()
+    stream(big).block_until_ready()
+    return reps * 2 * big.nbytes / (time.perf_counter() - t0) / 1e9
+
+
+def probe_matmul(reps: int = 32):
+    """Measured peak bf16 matmul TFLOP/s (chained a@b inside one jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096
     b = jnp.full((n, n), 0.01, jnp.bfloat16)
 
     @jax.jit
@@ -108,27 +160,13 @@ def probe_roofline():
     mm(a0).block_until_ready()
     t0 = time.perf_counter()
     mm(a0).block_until_ready()
-    tflops = reps * 2 * n**3 / (time.perf_counter() - t0) / 1e12
-
-    big = jnp.ones((1 << 27,), jnp.bfloat16)  # 256 MB
-
-    @jax.jit
-    def stream(x):
-        # chained scaled-copy: each iteration reads + writes the full
-        # buffer (reductions under-report TPU HBM bandwidth by ~2-3x)
-        return jax.lax.fori_loop(
-            0, reps, lambda i, x: x * jnp.bfloat16(0.9999), x)
-
-    stream(big).block_until_ready()
-    t0 = time.perf_counter()
-    stream(big).block_until_ready()
-    gbps = reps * 2 * big.nbytes / (time.perf_counter() - t0) / 1e9
-    return tflops, gbps
+    return reps * 2 * n**3 / (time.perf_counter() - t0) / 1e12
 
 
 def weight_stream_bytes(cfg) -> int:
-    """Bytes read from HBM per decode step: packed int4 + scales/zeros for
-    every quantized linear, plus the bf16 lm_head / embeddings matvec."""
+    """Bytes read from HBM per decode step: packed int4 + f32 scales +
+    packed int4 qzeros for every quantized linear, plus the bf16
+    lm_head / embeddings matvec."""
     h, inter, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
     nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                    cfg.head_dim_)
@@ -136,9 +174,18 @@ def weight_stream_bytes(cfg) -> int:
     per_layer_params = (h * (nh + 2 * nkv) * hd + nh * hd * h
                         + n_mlp * h * inter)
     q = per_layer_params // 2  # int4
-    scales = per_layer_params // 128 * 2  # fp(16->32 on load, stored f32)
+    scales = per_layer_params // 128 * 4  # f32 as stored (synth + loader)
+    qzeros = per_layer_params // 256  # one int4 zero per group, packed
     lm_head = h * cfg.vocab_size * 2  # bf16 (tied models read embed.T)
-    return L * (q + scales) + lm_head
+    return L * (q + scales + qzeros) + lm_head
+
+
+def weight_resident_bytes(cfg) -> int:
+    """Approximate HBM residency of the quantized model: the streamed
+    weights plus the (bf16) embedding table when untied."""
+    extra = 0 if cfg.tie_word_embeddings else \
+        cfg.hidden_size * cfg.vocab_size * 2
+    return weight_stream_bytes(cfg) + extra
 
 
 def cache_stream_bytes(cfg, b: int, capacity: int, kv: str = "bf16") -> int:
@@ -163,6 +210,28 @@ def flops_per_token(cfg) -> int:
     return L * per_layer + 2 * h * cfg.vocab_size
 
 
+def hbm_limit_bytes() -> int:
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return int(stats["bytes_limit"])
+    except Exception:
+        return 16 * 1024**3  # v5e default
+
+
+def fits(cfg, b: int, cap: int, kv: str, limit: int) -> (bool, str):
+    """Conservative fit check BEFORE allocating on chip (an OOM through
+    the tunnel can wedge the process mid-table). ~1.5 GB margin for
+    activations, logits buffers and compiler scratch."""
+    w = weight_resident_bytes(cfg)
+    c = cache_stream_bytes(cfg, b, cap, kv)
+    need = w + c + (3 * cfg.vocab_size * b * 4) + int(1.5e9)
+    note = (f"weights {w / 1e9:.1f} GB + KV[{cap}] {c / 1e9:.1f} GB "
+            f"vs {limit / 1e9:.1f} GB HBM")
+    return need <= limit, note
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -171,23 +240,26 @@ def main():
     from autoawq_tpu.serve import generate as gen
     from autoawq_tpu.utils.synth import random_quantized_params
 
-    tflops, gbps = probe_roofline()
-    print(f"measured roofline: {tflops:.1f} bf16 TFLOP/s, "
-          f"{gbps:.0f} GB/s HBM stream")
+    tflops = probe_matmul()
+    gbps = probe_streams()
+    limit = hbm_limit_bytes()
+    print(f"measured roofline: {tflops:.1f} bf16 TFLOP/s, {gbps:.0f} GB/s "
+          f"HBM stream, {limit / 1e9:.1f} GB HBM")
 
     rng = np.random.default_rng(0)
     rows = []
     last_model = None
+    group_gbps = gbps
 
     def flush():
         with open("BENCH_TABLE.json", "w") as f:
             json.dump({"roofline": {"bf16_tflops": round(tflops, 1),
-                                    "hbm_gbps": round(gbps, 0)},
+                                    "hbm_gbps": round(gbps, 0),
+                                    "hbm_limit_gb": round(limit / 1e9, 1)},
                        "rows": rows}, f, indent=1)
 
-    def run_one(cfg, params, name, b, ctx, n_gen, kv_quant=False):
+    def run_one(cfg, params, b, ctx, cap, kv_quant=False):
         prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, ctx)))
-        total = ctx + n_gen
 
         # prefill timing: 8 loop-variant reps chained inside ONE jit —
         # per-dispatch tunnel RPC (~30 ms) would otherwise swamp a
@@ -198,7 +270,8 @@ def main():
         def prefill_reps(params, prompt):
             def body(i, acc):
                 p = jnp.roll(prompt, i, axis=1)  # loop-variant: no hoisting
-                caches = gen.init_kv_cache(cfg, b, total, jnp.bfloat16)
+                caches = gen.init_kv_cache(cfg, b, cap, jnp.bfloat16,
+                                           kv_quant=kv_quant)
                 logits, _ = gen.prefill(cfg, params, p, caches, "auto",
                                         jnp.bfloat16)
                 return acc + logits.mean().astype(jnp.float32)
@@ -209,66 +282,108 @@ def main():
         np.asarray(prefill_reps(params, prompt))
         pre_tps = reps * b * ctx / (time.perf_counter() - t0)
 
-        # decode timing by difference quotient of two generation lengths:
-        # prefill time and the constant dispatch RPC cancel in the subtraction
-        n_small = 32
+        # decode timing: scan of decode steps at pos = cap-1, i.e. the
+        # full-cache steady state the reference only reaches on its LAST
+        # step (conservative). Two scan lengths differenced: prefill and
+        # the constant dispatch RPC cancel in the subtraction.
+        def decode_steps(n):
+            @jax.jit
+            def f(params, prompt):
+                caches = gen.init_kv_cache(cfg, b, cap, jnp.bfloat16,
+                                           kv_quant=kv_quant)
+                logits, caches = gen.prefill(cfg, params, prompt, caches,
+                                             "auto", jnp.bfloat16)
 
-        def timed_gen(n):
-            t0 = time.perf_counter()
-            np.asarray(gen.generate_compiled(cfg, params, prompt, n,
-                                             method="auto",
-                                             dtype=jnp.bfloat16,
-                                             kv_quant=kv_quant))
-            return time.perf_counter() - t0
+                def step(carry, i):
+                    logits, caches = carry
+                    tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+                    logits, caches = gen.decode_step(
+                        cfg, params, tok, caches, jnp.int32(cap - 1),
+                        "auto", jnp.bfloat16)
+                    return (logits, caches), ()
 
-        timed_gen(n_small), timed_gen(n_gen)  # compile both shapes
-        t_small = min(timed_gen(n_small) for _ in range(2))
-        t_big = min(timed_gen(n_gen) for _ in range(2))
-        best = b * (n_gen - n_small) / (t_big - t_small)
+                (logits, _), _ = jax.lax.scan(step, (logits, caches),
+                                              jnp.arange(n))
+                return logits
+            return f
+
+        n_small, n_big = 32, 256
+        f_small, f_big = decode_steps(n_small), decode_steps(n_big)
+        np.asarray(f_small(params, prompt))  # compile
+        np.asarray(f_big(params, prompt))
+        t_small = min(_timed(f_small, params, prompt) for _ in range(2))
+        t_big = min(_timed(f_big, params, prompt) for _ in range(2))
+        best = b * (n_big - n_small) / (t_big - t_small)
         return pre_tps, best
 
-    for name, b, ctx, n_gen, kv in RUNS:
+    def _timed(f, params, prompt):
+        t0 = time.perf_counter()
+        np.asarray(f(params, prompt))
+        return time.perf_counter() - t0
+
+    for name, b, ctx, dec, kv in RUNS:
         knobs = {"model_type": "llama", **MODELS[name]}
         cfg = ModelConfig(max_position_embeddings=8192, **knobs)
+        cap = ctx + dec
+        ok, fit_note = fits(cfg, b, cap, kv, limit)
+        if not ok:
+            print(f"SKIP {name} b{b} ctx{ctx} cap{cap} {kv}: {fit_note}")
+            rows.append(dict(model=name, batch=b, ctx=ctx, dec=dec,
+                             cache_cap=cap, kv=kv, skipped=fit_note,
+                             needs="tp>=2 (sharded kernels + multichip "
+                                   "dryrun cover the sharding)"))
+            flush()
+            continue
         if name != last_model:
             params = jax.device_put(random_quantized_params(
                 cfg, seed=0, fp_dtype=jnp.bfloat16, fused=True))
             last_model = name
+            # same-run probe for this model group: the chip's attainable
+            # stream rate swings ~15% by the hour — score each row against
+            # a probe from its own minute, not the table's first
+            group_gbps = probe_streams()
+            print(f"[{name}] group HBM probe: {group_gbps:.0f} GB/s")
         # the compile tunnel occasionally drops a connection mid-request —
         # retry each configuration once before skipping it
+        pre_tps = None
         for attempt in (1, 2):
             try:
-                pre_tps, best = run_one(cfg, params, name, b, ctx, n_gen,
+                pre_tps, best = run_one(cfg, params, b, ctx, cap,
                                         kv_quant=kv == "int8")
                 break
             except Exception as e:
                 print(f"run {name} b{b} ctx{ctx} attempt {attempt}: {e}")
                 if attempt == 2:
                     rows.append(dict(model=name, batch=b, ctx=ctx,
-                                     gen=n_gen, error=str(e)[:200]))
+                                     dec=dec, error=str(e)[:200]))
                     flush()
-                    pre_tps = None
         if pre_tps is None:
             continue
 
         wbytes = weight_stream_bytes(cfg)
-        kvbytes = cache_stream_bytes(cfg, b, ctx + n_gen, kv)
+        kvbytes = cache_stream_bytes(cfg, b, cap, kv)
         ftok = flops_per_token(cfg)
         # decode streams the weights once per STEP plus the full (static-
         # shape) KV cache; both count toward the HBM roofline claim
         dec_bw = best / b * (wbytes + kvbytes) / 1e9
+        frac = dec_bw / group_gbps
         pre_mfu = pre_tps * ftok / (tflops * 1e12)
         for kind, tps in (("prefill", pre_tps), ("decode", best)):
             if kind == "prefill" and kv != "bf16":
                 continue  # prefill doesn't re-read the cache; bf16 row covers it
             base = BASELINES.get((name, b, ctx, kind))
             rows.append(dict(
-                model=name, batch=b, ctx=ctx, gen=n_gen, kind=kind, kv=kv,
-                tok_s=round(tps, 1),
+                model=name, batch=b, ctx=ctx, dec=dec, cache_cap=cap,
+                kind=kind, kv=kv, tok_s=round(tps, 1),
                 vs_rtx4090=round(tps / base, 3) if base else None,
-                roofline=(f"{dec_bw:.0f}/{gbps:.0f} GB/s weights+KV stream"
-                          if kind == "decode" else
-                          f"{100 * pre_mfu:.0f}% of measured peak FLOPs"),
+                probe_gbps=round(group_gbps, 0),
+                roofline=(
+                    f"{dec_bw:.0f}/{group_gbps:.0f} GB/s weights+KV "
+                    f"stream ({min(frac, 1.0) * 100:.0f}%"
+                    + (", probe low this window" if frac > 1.0 else "")
+                    + ")"
+                    if kind == "decode" else
+                    f"{100 * pre_mfu:.0f}% of measured peak FLOPs"),
             ))
             print(rows[-1])
         flush()

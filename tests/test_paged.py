@@ -724,3 +724,79 @@ def test_paged_burst_sliding_window_recycles(rng):
     (o1, f1), (o4, f4) = drive(1), drive(4)
     assert o1 == o4
     assert f1 == f4  # recycling converges to the same pool state
+
+
+def _fake_embeds(params, prompt, img_lo, img_hi, rng):
+    """Spliced-embeds stand-in: embedding rows with 'vision features'
+    (noise) replacing the placeholder span — the engines treat
+    prompt_embeds opaquely, so any [S, H] array drives the path."""
+    from autoawq_tpu.nn import modules
+
+    emb = np.array(modules.embed(
+        CFG, params, jnp.asarray(prompt[None]), jnp.float32,
+        jnp.arange(len(prompt))[None]))[0]
+    emb[img_lo:img_hi] = rng.standard_normal(
+        (img_hi - img_lo, emb.shape[1])).astype(np.float32) * 0.1
+    return emb
+
+
+def test_paged_embeds_matches_contiguous_engine(rng):
+    """Multimodal prompts serve from the PAGE pool: the stream matches the
+    contiguous engine's embeds stream, and differs from the text-only
+    (placeholder ids) stream — the image conditioned the output."""
+    from autoawq_tpu.serve.batching import BatchingEngine
+
+    params = init_random_params(CFG, seed=3, scale=0.08)
+    prompt = rng.integers(6, 128, (18,))
+    prompt[2:8] = 5  # placeholder run
+    embeds = _fake_embeds(params, prompt, 2, 8, rng)
+
+    ref_eng = BatchingEngine(CFG, params, max_batch=2, max_seq_len=64,
+                             method="jnp", dtype=jnp.float32)
+    ref_eng.add_request("img", prompt, 8, prompt_embeds=embeds)
+    ref_eng.add_request("txt", prompt, 8)
+    ref = ref_eng.run()
+    assert ref["img"] != ref["txt"]
+
+    eng = PagedBatchingEngine(CFG, params, max_batch=2, page_size=8,
+                              total_pages=32, pages_per_seq=5,
+                              method="jnp", dtype=jnp.float32)
+    eng.add_request("img", prompt, 8, prompt_embeds=embeds)
+    eng.add_request("txt", prompt, 8)
+    got = eng.run()
+    assert got["img"] == ref["img"]
+    assert got["txt"] == ref["txt"]
+
+
+def test_paged_embeds_prefix_reuse_same_image_only(rng):
+    """Prefix caching for image prompts hashes the embed CONTENT per page:
+    the same (ids, image) resubmitted hits the cache; the same ids with a
+    DIFFERENT image must NOT (placeholder ids alone don't identify an
+    image), and a text-only request with identical ids must not match the
+    embed pages either."""
+    params = init_random_params(CFG, seed=3, scale=0.08)
+    prompt = rng.integers(6, 128, (17,))  # 2 full pages + 1
+    prompt[1:7] = 5
+    emb_a = _fake_embeds(params, prompt, 1, 7, rng)
+    emb_b = _fake_embeds(params, prompt, 1, 7, rng)  # different image
+
+    eng = PagedBatchingEngine(CFG, params, max_batch=2, page_size=8,
+                              total_pages=32, pages_per_seq=5,
+                              method="jnp", dtype=jnp.float32)
+    eng.add_request("a1", prompt, 6, prompt_embeds=emb_a)
+    out_a1 = eng.run()["a1"]
+    assert eng.prefix_hits == 0
+
+    eng.add_request("a2", prompt, 6, prompt_embeds=emb_a)
+    out_a2 = eng.run()["a2"]
+    assert eng.prefix_hits == 1  # same image: pages reused
+    assert out_a2 == out_a1      # ... and the stream is identical
+
+    eng.add_request("b", prompt, 6, prompt_embeds=emb_b)
+    out_b = eng.run()["b"]
+    assert eng.prefix_hits == 1  # different image: NO reuse
+    assert out_b != out_a1
+
+    eng.add_request("txt", prompt, 6)
+    eng.run()
+    assert eng.prefix_hits == 1  # ids alone never match embed pages

@@ -350,3 +350,73 @@ def test_spec_pool_mla_target_matches_plain(rng):
         eng.add_request(rid, prompt, n)
     got = eng.run()
     assert got == want
+
+
+def test_spec_pool_top_logprobs_matches_plain(rng):
+    """top_logprobs on the verify path (the chunk pass holds full-vocab
+    target logits for every emitted position): chosen-token logprobs AND
+    the top-N alternative dicts must match the plain engine's exactly
+    (same model distribution — speculation changes scheduling, not
+    numerics)."""
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    dparams = init_random_params(DRAFT, seed=9, scale=0.08)
+    work = _work(rng)
+
+    plain = BatchingEngine(CFG, params, max_batch=3, max_seq_len=96,
+                           method="jnp", dtype=jnp.float32, top_logprobs=3)
+    for rid, prompt, n in work:
+        plain.add_request(rid, prompt, n)
+    plain.run()
+    want = {r.id: (r.output, r.logprobs, r.top_logprobs)
+            for r in plain.finished}
+
+    eng = SpeculativeBatchingEngine(
+        CFG, params, DRAFT, dparams, k=3, max_batch=3, max_seq_len=96,
+        method="jnp", dtype=jnp.float32, top_logprobs=3)
+    for rid, prompt, n in work:
+        eng.add_request(rid, prompt, n)
+    eng.run()
+    assert eng.proposed > 0
+    for req in eng.finished:
+        out, lps, tops = want[req.id]
+        assert req.output == out
+        assert len(req.top_logprobs) == len(req.output)
+        np.testing.assert_allclose(req.logprobs, lps, rtol=1e-5, atol=1e-5)
+        for got_d, want_d in zip(req.top_logprobs, tops):
+            assert set(got_d) == set(want_d)
+            np.testing.assert_allclose(
+                [got_d[t] for t in sorted(got_d)],
+                [want_d[t] for t in sorted(want_d)], rtol=1e-5, atol=1e-5)
+
+
+def test_spec_pool_embeds_matches_plain(rng):
+    """Multimodal prompts speculate: the target prefills from the spliced
+    embeds, the draft proposes from the placeholder token ids — draft
+    quality only moves acceptance, so the emitted stream must equal the
+    plain engine's image-conditioned stream."""
+    from autoawq_tpu.nn import modules
+
+    params = init_random_params(CFG, seed=5, scale=0.08)
+    dparams = init_random_params(DRAFT, seed=9, scale=0.08)
+    prompt = rng.integers(6, 64, (11,))
+    prompt[1:5] = 3  # image placeholder run
+    emb = np.array(modules.embed(
+        CFG, params, jnp.asarray(prompt[None]), jnp.float32,
+        jnp.arange(len(prompt))[None]))[0]
+    emb[1:5] = rng.standard_normal((4, emb.shape[1])).astype(np.float32) * 0.1
+
+    plain = BatchingEngine(CFG, params, max_batch=2, max_seq_len=96,
+                           method="jnp", dtype=jnp.float32)
+    plain.add_request("img", prompt, 9, prompt_embeds=emb)
+    plain.add_request("txt", prompt, 9)
+    ref = plain.run()
+    assert ref["img"] != ref["txt"]
+
+    eng = SpeculativeBatchingEngine(
+        CFG, params, DRAFT, dparams, k=3, max_batch=2, max_seq_len=96,
+        method="jnp", dtype=jnp.float32)
+    eng.add_request("img", prompt, 9, prompt_embeds=emb)
+    eng.add_request("txt", prompt, 9)
+    got = eng.run()
+    assert got == ref
+    assert eng.proposed > 0
