@@ -224,7 +224,8 @@ def _penalize_batched(logits: jax.Array, penalty: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "n", "method", "dtype", "tracking", "sampling", "want_lp"),
+    "cfg", "n", "method", "dtype", "tracking", "sampling", "want_lp",
+    "want_top"),
     donate_argnums=(2, 6))
 def batched_decode_burst(
     cfg: ModelConfig,
@@ -239,6 +240,7 @@ def batched_decode_burst(
     penalty: jax.Array,
     *, n: int, method: str = "auto", dtype=jnp.bfloat16,
     tracking: bool = False, sampling: bool = False, want_lp: bool = False,
+    want_top: int = 0,
 ):
     """``n`` pool decode+sample steps in ONE dispatch (lax.scan) —
     the multi-step scheduling move: per-step host dispatch costs ~30 ms
@@ -246,8 +248,8 @@ def batched_decode_burst(
     decode dominates the math. Bit-identical to ``n`` successive
     ``BatchingEngine.step()`` pool phases: the same key schedule
     (fold_in(key, steps0 + 1 + i)), the same penalty-presence updates,
-    the same warpers. Returns (toks [B, n], lps [B, n] | None, caches,
-    presence). Slots that retire mid-burst keep decoding garbage the
+    the same warpers. Returns (toks [B, n], lps [B, n] | None,
+    (top_vals, top_ids) [B, n, want_top] | None, caches, presence). Slots that retire mid-burst keep decoding garbage the
     host discards — their cache rows past the host's pos are masked on
     every later step, so nothing leaks."""
 
@@ -267,11 +269,15 @@ def batched_decode_burst(
             pres = _presence_note(pres, nxt)
         lp = (_token_logprobs(lp_in, nxt) if want_lp
               else jnp.zeros((logits.shape[0],), jnp.float32))
-        return (nxt, p + 1, caches, pres), (nxt, lp)
+        top = (_top_n_logprobs(lp_in, want_top) if want_top
+               else (jnp.zeros((logits.shape[0], 1), jnp.float32),) * 2)
+        return (nxt, p + 1, caches, pres), (nxt, lp, top)
 
-    (tok, p, caches, pres), (toks, lps) = jax.lax.scan(
+    (tok, p, caches, pres), (toks, lps, tops) = jax.lax.scan(
         body, (tokens, pos, caches, pres), jnp.arange(n))
-    return (toks.T, (lps.T if want_lp else None), caches, pres)
+    top_out = ((tops[0].transpose(1, 0, 2), tops[1].transpose(1, 0, 2))
+               if want_top else None)
+    return (toks.T, (lps.T if want_lp else None), top_out, caches, pres)
 
 
 @functools.partial(jax.jit, donate_argnums=())
@@ -682,15 +688,15 @@ class BatchingEngine(SamplingSlots):
         retirement and logprobs replay host-side token-by-token, so
         streams are IDENTICAL to ``n`` single steps — slots that retire
         mid-burst just waste their remaining burst rows (masked-out
-        garbage). Falls back to step() when admissions are pending or
-        top_logprobs alternatives are requested."""
+        garbage; top_logprobs alternatives come back as a [B, n, N]
+        top-k the scan computes in place). Falls back to step() while
+        admissions are pending."""
         self._admit()
-        if self.inflight or self.top_logprobs or n <= 1 or getattr(
+        if self.inflight or n <= 1 or getattr(
                 self, "dcaches", None) is not None:
-            # chunked admissions interleave with decode; top_logprobs
-            # wants per-step alternatives; the speculative subclass has
-            # its own multi-token rounds (a plain burst would desync its
-            # draft caches)
+            # chunked admissions interleave with decode; the speculative
+            # subclass has its own multi-token rounds (a plain burst
+            # would desync its draft caches)
             return self.step()
         active = [i for i, s in enumerate(self.slots) if s is not None]
         if not active:
@@ -707,19 +713,23 @@ class BatchingEngine(SamplingSlots):
         b = self.max_batch
         pres = (self._pres_dev if tracking
                 else jnp.zeros((b, 1), jnp.bool_))
-        toks, lps, self.caches, pres = batched_decode_burst(
+        n_top = int(getattr(self, "top_logprobs", 0) or 0)
+        toks, lps, tops, self.caches, pres = batched_decode_burst(
             self.cfg, self.params, self.caches,
             jnp.asarray(self.last_token), jnp.asarray(self.pos),
             self._key, pres, jnp.int32(self._steps),
             jnp.asarray(self.temp), jnp.asarray(self.topk),
             jnp.asarray(self.topp), jnp.asarray(self.penalty),
             n=n, method=self.method, dtype=self.dtype,
-            tracking=tracking, sampling=sampling, want_lp=want_lp)
+            tracking=tracking, sampling=sampling, want_lp=want_lp,
+            want_top=n_top)
         self._steps += n
         if tracking:
             self._pres_dev = pres
         toks = np.asarray(toks)
         lps = np.asarray(lps) if want_lp else None
+        if n_top:
+            top_vals, top_ids = (np.asarray(tops[0]), np.asarray(tops[1]))
         emitted = []
         for i in range(n):
             for slot in active:
@@ -730,6 +740,10 @@ class BatchingEngine(SamplingSlots):
                 req.output.append(tok)
                 if want_lp:
                     req.logprobs.append(float(lps[slot, i]))
+                if n_top:
+                    req.top_logprobs.append(
+                        {int(t): float(v) for t, v in
+                         zip(top_ids[slot, i], top_vals[slot, i])})
                 self.pos[slot] += 1
                 self.last_token[slot] = tok
                 self._retire_if_done(slot)

@@ -73,8 +73,9 @@ from autoawq_tpu.nn import modules
 from autoawq_tpu.serve import generate as gen
 from autoawq_tpu.serve.batching import (Request, SamplingSlots,
                                          _penalize_batched, _presence_note,
-                                         _token_logprobs, advance_one_chunk,
-                                         prefill_chunk, sample_batched)
+                                         _token_logprobs, _top_n_logprobs,
+                                         advance_one_chunk, prefill_chunk,
+                                         sample_batched)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "method", "dtype"),
@@ -106,7 +107,8 @@ def paged_decode_step(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "n", "method", "dtype", "tracking", "sampling", "want_lp"),
+    "cfg", "n", "method", "dtype", "tracking", "sampling", "want_lp",
+    "want_top"),
     donate_argnums=(2, 7))
 def paged_decode_burst(
     cfg: ModelConfig,
@@ -122,6 +124,7 @@ def paged_decode_burst(
     penalty: jax.Array,
     *, n: int, method: str = "auto", dtype=jnp.bfloat16,
     tracking: bool = False, sampling: bool = False, want_lp: bool = False,
+    want_top: int = 0,
 ):
     """``n`` paged pool steps in ONE dispatch — the page-pool twin of
     batching.batched_decode_burst (same key schedule / penalty presence
@@ -146,11 +149,15 @@ def paged_decode_burst(
             pres = _presence_note(pres, nxt)
         lp = (_token_logprobs(lp_in, nxt) if want_lp
               else jnp.zeros((logits.shape[0],), jnp.float32))
-        return (nxt, p + 1, caches, pres), (nxt, lp)
+        top = (_top_n_logprobs(lp_in, want_top) if want_top
+               else (jnp.zeros((logits.shape[0], 1), jnp.float32),) * 2)
+        return (nxt, p + 1, caches, pres), (nxt, lp, top)
 
-    (tok, p, caches, pres), (toks, lps) = jax.lax.scan(
+    (tok, p, caches, pres), (toks, lps, tops) = jax.lax.scan(
         body, (tokens, pos, page_caches, pres), jnp.arange(n))
-    return (toks.T, (lps.T if want_lp else None), caches, pres)
+    top_out = ((tops[0].transpose(1, 0, 2), tops[1].transpose(1, 0, 2))
+               if want_top else None)
+    return (toks.T, (lps.T if want_lp else None), top_out, caches, pres)
 
 
 # pool key <-> contiguous-row key pairs; the scale entries exist only in
@@ -697,7 +704,7 @@ class PagedBatchingEngine(SamplingSlots):
         Page tables are admission-reserved so no allocation can be
         needed mid-burst; window recycling runs once afterwards."""
         self._admit()
-        if self.inflight or self.top_logprobs or n <= 1:
+        if self.inflight or n <= 1:
             return self.step()
         active = [i for i, s in enumerate(self.slots) if s is not None]
         if not active:
@@ -711,7 +718,8 @@ class PagedBatchingEngine(SamplingSlots):
         want_lp = bool(getattr(self, "return_logprobs", False))
         pres = (self._pres_dev if tracking
                 else jnp.zeros((self.max_batch, 1), jnp.bool_))
-        toks, lps, self.pages, pres = paged_decode_burst(
+        n_top = int(getattr(self, "top_logprobs", 0) or 0)
+        toks, lps, tops, self.pages, pres = paged_decode_burst(
             self.cfg, self.params, self.pages,
             jnp.asarray(self.last_token), jnp.asarray(self.table),
             jnp.asarray(self.pos), self._key, pres,
@@ -719,12 +727,14 @@ class PagedBatchingEngine(SamplingSlots):
             jnp.asarray(self.topk), jnp.asarray(self.topp),
             jnp.asarray(self.penalty), n=n, method=self.method,
             dtype=self.dtype, tracking=tracking, sampling=sampling,
-            want_lp=want_lp)
+            want_lp=want_lp, want_top=n_top)
         self._steps += n
         if tracking:
             self._pres_dev = pres
         toks = np.asarray(toks)
         lps = np.asarray(lps) if want_lp else None
+        if n_top:
+            top_vals, top_ids = (np.asarray(tops[0]), np.asarray(tops[1]))
         emitted = []
         for i in range(n):
             for slot in active:
@@ -735,6 +745,10 @@ class PagedBatchingEngine(SamplingSlots):
                 req.output.append(tok)
                 if want_lp:
                     req.logprobs.append(float(lps[slot, i]))
+                if n_top:
+                    req.top_logprobs.append(
+                        {int(t): float(v) for t, v in
+                         zip(top_ids[slot, i], top_vals[slot, i])})
                 self.pos[slot] += 1
                 self.last_token[slot] = tok
                 self._retire_if_done(slot)

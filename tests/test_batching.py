@@ -483,3 +483,37 @@ def test_burst_eos_and_stop_mid_burst(rng):
     assert got == drive(1)
     assert got["a"] == want[: want.index(eos) + 1]
     assert stop_tok not in got["b"]
+
+
+def test_burst_top_logprobs_matches_single_step(rng):
+    """top_logprobs no longer forces single-step: the burst scan computes
+    the top-N alternatives in place; streams, logprobs AND the top-N
+    dicts must match the single-step run exactly."""
+    params = init_random_params(CFG, seed=15, scale=0.08)
+    prompts = {f"r{i}": rng.integers(0, 64, (l,))
+               for i, l in enumerate([5, 9, 3])}
+    budgets = {"r0": 9, "r1": 6, "r2": 12}
+
+    def drive(burst):
+        eng = BatchingEngine(CFG, params, max_batch=3, max_seq_len=48,
+                             method="jnp", dtype=jnp.float32,
+                             top_logprobs=3, seed=3)
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, budgets[rid])
+        out = eng.run(burst=burst)
+        fin = {r.id: r for r in eng.finished}
+        return out, fin
+
+    o1, f1 = drive(1)
+    o4, f4 = drive(4)
+    assert o1 == o4
+    for rid in f1:
+        r1, r4 = f1[rid], f4[rid]
+        np.testing.assert_allclose(r1.logprobs, r4.logprobs,
+                                   rtol=1e-5, atol=1e-5)
+        assert len(r4.top_logprobs) == len(r4.output)
+        for d1, d4 in zip(r1.top_logprobs, r4.top_logprobs):
+            assert set(d1) == set(d4)
+            np.testing.assert_allclose(
+                [d1[t] for t in sorted(d1)], [d4[t] for t in sorted(d4)],
+                rtol=1e-5, atol=1e-5)

@@ -800,3 +800,34 @@ def test_paged_embeds_prefix_reuse_same_image_only(rng):
     eng.add_request("txt", prompt, 6)
     eng.run()
     assert eng.prefix_hits == 1  # ids alone never match embed pages
+
+
+def test_paged_burst_top_logprobs_matches_single_step(rng):
+    """top_logprobs no longer forces the page pool to single-step: the
+    paged burst scan computes top-N alternatives in place; streams,
+    logprobs and the alternative dicts must match single-step runs."""
+    params = init_random_params(CFG, seed=3, scale=0.08)
+    prompts = {f"r{i}": rng.integers(0, 128, (l,))
+               for i, l in enumerate([5, 9, 3])}
+
+    def drive(burst):
+        eng = PagedBatchingEngine(CFG, params, max_batch=3, page_size=8,
+                                  total_pages=32, pages_per_seq=4,
+                                  method="jnp", dtype=jnp.float32,
+                                  top_logprobs=3, seed=3)
+        for rid, p in prompts.items():
+            eng.add_request(rid, p, 8)
+        out = eng.run(burst=burst)
+        fin = {r.id: r for r in eng.finished}
+        return out, fin
+
+    o1, f1 = drive(1)
+    o4, f4 = drive(4)
+    assert o1 == o4
+    for rid in f1:
+        r1, r4 = f1[rid], f4[rid]
+        np.testing.assert_allclose(r1.logprobs, r4.logprobs,
+                                   rtol=1e-5, atol=1e-5)
+        assert len(r4.top_logprobs) == len(r4.output)
+        for d1, d4 in zip(r1.top_logprobs, r4.top_logprobs):
+            assert set(d1) == set(d4)
