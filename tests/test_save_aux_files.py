@@ -104,3 +104,35 @@ def test_copy_aux_files_same_dir(tmp_path):
     copied = serialize.copy_aux_files(str(d), str(d))
     assert copied == []
     assert (d / "tokenizer.json").read_text() == "{}"
+
+
+def test_transformers_ecosystem_loads_saved_dir(tmp_path, rng):
+    """The reference's saved dirs work with AutoTokenizer/AutoConfig out of
+    the box (HF save_pretrained writes tokenizer files alongside;
+    base.py:294-301). Ours must too: build a REAL (minimal) fast
+    tokenizer, quantize+save, then load the saved dir through
+    transformers' AutoTokenizer + AutoConfig with zero manual copying."""
+    transformers = pytest.importorskip("transformers")
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    src = _fp_src(tmp_path, rng, with_gen_cfg=True)
+    vocab = {f"w{i}": i for i in range(60)}
+    vocab["[UNK]"] = 60
+    tk = Tokenizer(WordLevel(vocab, unk_token="[UNK]"))
+    tk.pre_tokenizer = Whitespace()
+    tk.save(str(src / "tokenizer.json"))
+    (src / "tokenizer_config.json").write_text(
+        '{"tokenizer_class": "PreTrainedTokenizerFast"}')
+
+    out = tmp_path / "q"
+    _quantize_save(src, out, rng)
+
+    tok = transformers.AutoTokenizer.from_pretrained(str(out))
+    assert tok("w1 w2")["input_ids"] == [1, 2]
+    cfg = transformers.AutoConfig.from_pretrained(str(out))
+    assert cfg.model_type == "llama"
+    assert cfg.quantization_config["quant_method"] == "awq"
+    gen = transformers.GenerationConfig.from_pretrained(str(out))
+    assert gen.eos_token_id == 2
