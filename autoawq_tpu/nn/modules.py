@@ -295,25 +295,30 @@ import os as _os
 _GQA_GROUPED = _os.environ.get("AWQ_TPU_GQA_GROUPED", "auto")
 
 
-def _gqa_grouped_wins(cfg, b: int, nh: int, nkv: int, hd: int) -> bool:
+def _gqa_grouped_wins(cfg, b: int, nh: int, nkv: int, hd: int,
+                      t: int = 0) -> bool:
     """Pick the GQA decode formulation from on-chip A/B data
     (CHIP_AB_R3/R4_RESULTS.json). The grouped batched-dims dot reads each
     cached KV byte once but issues B*nkv small [rep, hd] x [hd, T]
     matmuls; the repeat path materializes the cache nh/nkv times but runs
     one wide [B*nh, T] GEMM that the MXU and the DMA scheduler like.
     Measured: repeat wins tinyllama bs1 (784.4 vs 741.6 — rep 8, hd 64)
-    and mistral bs8 (1201.5 vs 1147.0); grouped wins mistral bs1
-    (156.2 vs 143.2 — rep 4, hd 128); exact ties at ctx2048. Data rule:
-    grouped only for SINGLE-row decode with wide heads (hd >= 128), where
-    the per-group matmuls are big enough to keep the MXU busy and the
-    repeat blow-up is 4x cache traffic. AWQ_TPU_GQA_GROUPED overrides:
-    "1" always grouped, "0" never (int8 caches always group — the scale
-    folding requires the grouped layout)."""
+    and mistral bs8 cap 320 (1201.5 vs 1147.0); grouped wins mistral bs1
+    (156.2 vs 143.2 — rep 4, hd 128); exact ties at cap ~2176; and at
+    cap 4096 bs8 the repeat blow-up COLLAPSES decode (75.6 tok/s, 15% of
+    the stream roofline, vs the grouped int8 twin at 784 — r5 table run):
+    rep x cache materialization is pure HBM waste once cache bytes rival
+    weight bytes. Data rule: grouped for single-row decode with wide
+    heads (hd >= 128), and for ANY shape whose total cache footprint
+    b*T reaches 16384 rows (between the measured tie at 17408 and the
+    repeat win at 2560). AWQ_TPU_GQA_GROUPED overrides: "1" always
+    grouped, "0" never (int8 caches always group — the scale folding
+    requires the grouped layout)."""
     if _GQA_GROUPED == "1":
         return True
     if _GQA_GROUPED == "0":
         return False
-    return b == 1 and hd >= 128
+    return (b == 1 and hd >= 128) or b * t >= 16384
 
 
 def _flash_ok(cfg: ModelConfig, method: str, q: jax.Array, k: jax.Array) -> bool:
@@ -649,7 +654,7 @@ def attention(
             # qkv/o GEMM launch; see CHIP_AB_R4_RESULTS.json.)
             if (s == 1 and method != "jnp"
                     and (quant or (nkv != nh and _gqa_grouped_wins(
-                        cfg, b, nh, nkv, hd)))):
+                        cfg, b, nh, nkv, hd, kc.shape[2])))):
                 # GQA-native grouped decode on the cache's natural layout
                 # [B, nkv, T, hd]: (batch, group) become dot_general BATCH
                 # dims, so XLA lowers one batched MXU GEMM per product and

@@ -233,12 +233,25 @@ def fits(cfg, b: int, cap: int, kv: str, limit: int) -> (bool, str):
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
 
     from autoawq_tpu.models.config import ModelConfig
     from autoawq_tpu.serve import generate as gen
     from autoawq_tpu.utils.synth import random_quantized_params
+
+    # optional row filters: `bench_table.py mistral-7b:8:2048:bf16 ...`
+    # re-measures only the matching RUNS and MERGES them into the existing
+    # BENCH_TABLE.json (for re-running a row after a fix without paying
+    # the whole exclusive window again)
+    filters = []
+    for a in sys.argv[1:]:
+        m, b, ctx, kv = a.split(":")
+        filters.append((m, int(b), int(ctx), kv))
+    runs = [r for r in RUNS
+            if not filters or (r[0], r[1], r[2], r[4]) in filters]
 
     tflops = probe_matmul()
     gbps = probe_streams()
@@ -248,6 +261,15 @@ def main():
 
     rng = np.random.default_rng(0)
     rows = []
+    if filters:
+        try:
+            with open("BENCH_TABLE.json") as f:
+                old = json.load(f)["rows"]
+            rows = [r for r in old
+                    if (r["model"], r["batch"], r["ctx"],
+                        r.get("kv", "bf16")) not in filters]
+        except FileNotFoundError:
+            pass
     last_model = None
     group_gbps = gbps
 
@@ -321,7 +343,7 @@ def main():
         np.asarray(f(params, prompt))
         return time.perf_counter() - t0
 
-    for name, b, ctx, dec, kv in RUNS:
+    for name, b, ctx, dec, kv in runs:
         knobs = {"model_type": "llama", **MODELS[name]}
         cfg = ModelConfig(max_position_embeddings=8192, **knobs)
         cap = ctx + dec
