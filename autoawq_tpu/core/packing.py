@@ -52,6 +52,48 @@ def padded_out_features(n: int) -> int:
     return -(-n // 32) * 32
 
 
+def padded_in_features(k: int, group_size: int = 128) -> int:
+    """K_pad for the planar layout: the fused kernel blocks K into
+    even-group superblocks (ops/pallas_gemm._pick_bk steps by
+    2*group_size), so K must be a multiple of 2*group_size. Conforming K
+    (every llama-family dim at group 128) returns unchanged; falcon-7b's
+    h=4544 at group 64 (71 groups, odd) pads to 4608. Ks smaller than
+    one even-group superblock (tiny test shapes, MLA latent ranks) stay
+    unpadded — they were never kernel-eligible, the jnp path serves them,
+    and padding them would surprise every downstream consumer that
+    contracts the dequantized weight against logical-K tensors."""
+    if k <= 2 * group_size:
+        return k
+    return -(-k // (2 * group_size)) * (2 * group_size)
+
+
+def pad_k_nibbles(
+    q4: np.ndarray, scales: np.ndarray,
+    z4: Optional[np.ndarray], group_size: int,
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Pad logical nibble/scale arrays along K to ``padded_in_features``.
+
+    Pad weight nibbles and pad-group zero nibbles are both 8, so the
+    dequantized pad rows are EXACTLY zero: padded activations (the
+    dispatcher zero-pads x, ops/gemm.py) contribute nothing to the dot,
+    and the per-group zero-point correction sees zero x-sums for pad
+    groups. The transformation is numerically exact, not approximate.
+    Writers strip the pad back off via role_in_features (io/hf.py)."""
+    k = q4.shape[0]
+    k_pad = padded_in_features(k, group_size)
+    if k_pad == k:
+        return q4, scales, z4
+    q4 = np.concatenate(
+        [q4, np.full((k_pad - k, q4.shape[1]), 8, q4.dtype)])
+    g_pad = k_pad // group_size - scales.shape[0]
+    scales = np.concatenate(
+        [scales, np.ones((g_pad, scales.shape[1]), scales.dtype)])
+    if z4 is not None:
+        z4 = np.concatenate(
+            [z4, np.full((g_pad, z4.shape[1]), 8, z4.dtype)])
+    return q4, scales, z4
+
+
 def lane_block(n_pad: int) -> int:
     """Packed lanes per superblock (L)."""
     if n_pad % SUPERBLOCK == 0 and n_pad >= SUPERBLOCK:

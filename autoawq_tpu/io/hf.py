@@ -379,11 +379,17 @@ def _lin_from_sd(sd: Dict[str, np.ndarray], prefix: str,
         q4 = q4[:, : sc.shape[1]]
         if perm is not None:
             q4, z4, sc = q4[:, perm], z4[:, perm], sc[:, perm]
+        sym = not (z4 != 8).any()  # all-8 == symmetric: zeros-free path
+        # K not a multiple of 2*group (falcon-7b h=4544 @ g64): zero-pad
+        # K so the fused kernel's even-group blocking applies (exact —
+        # see core/packing.pad_k_nibbles)
+        q4, sc, z4 = packing.pad_k_nibbles(
+            q4, sc, None if sym else z4, q4.shape[0] // sc.shape[0])
         p = {
             "qweight": packing.pack_planar(q4),
             "scales": packing.pad_scales_planar(sc),
         }
-        if (z4 != 8).any():  # all-8 == symmetric: take the zeros-free path
+        if not sym:
             p["qzeros"] = packing.pack_planar(z4)
         if prefix + ".bias" in sd:
             b = np.asarray(sd[prefix + ".bias"])
@@ -403,8 +409,10 @@ def _lin_from_sd(sd: Dict[str, np.ndarray], prefix: str,
 
 def _lin_to_sd(sd: Dict[str, np.ndarray], prefix: str, p: Dict[str, Any],
                out_features: int, perm: Optional[np.ndarray] = None,
-               dtype=np.float16):
-    """Write a LIN back in HF/AutoAWQ layout (inverting ``perm``)."""
+               dtype=np.float16, in_features: Optional[int] = None):
+    """Write a LIN back in HF/AutoAWQ layout (inverting ``perm``).
+    ``in_features`` strips the kernel's K padding (pad_k_nibbles) so the
+    written AutoAWQ tensors carry the model's logical K."""
     if p is None:
         return
     inv = None
@@ -412,14 +420,20 @@ def _lin_to_sd(sd: Dict[str, np.ndarray], prefix: str, p: Dict[str, Any],
         inv = np.empty_like(perm)
         inv[perm] = np.arange(perm.size)
     if "qweight" in p:
-        g = np.asarray(p["scales"]).shape[0]
-        q4 = packing.unpack_planar(np.asarray(p["qweight"]), out_features)
+        qw = np.asarray(p["qweight"])
+        scales = np.asarray(p["scales"])
+        g = scales.shape[0]
+        rows = None
+        if in_features is not None and 2 * qw.shape[0] != in_features:
+            rows = in_features
+            g = in_features // (2 * qw.shape[0] // scales.shape[0])
+        q4 = packing.unpack_planar(qw, out_features, rows=rows)
         if "qzeros" in p:
             z4 = packing.unpack_planar(np.asarray(p["qzeros"]), out_features,
                                        rows=g)
         else:  # symmetric: regenerate the constant-8 zeros AutoAWQ expects
             z4 = np.full((g, out_features), 8, np.int32)
-        sc = np.asarray(p["scales"])[:, :out_features]
+        sc = scales[:g, :out_features]
         if inv is not None:
             q4, z4, sc = q4[:, inv], z4[:, inv], sc[:, inv]
         sd[prefix + ".qweight"] = packing.pack_awq(q4)
@@ -589,9 +603,11 @@ def state_dict_from_params(cfg: ModelConfig, params: Dict,
             params["embed_positions"]["weight"]).astype(dtype)
     if layout.embed_ln and "embed_ln" in params:
         _norm_to_sd(sd, layout.embed_ln, params["embed_ln"], dtype)
+    in_map = role_in_features(cfg)
     if params.get("lm_head") is not None and layout.lm_head:
         _lin_to_sd(sd, layout.lm_head, params["lm_head"],
-                   out_features_map["lm_head"], dtype=dtype)
+                   out_features_map["lm_head"], dtype=dtype,
+                   in_features=in_map["lm_head"])
     qkv_perm = layout.qkv_perm(cfg) if layout.qkv_perm else None
 
     for i, lp in enumerate(params["layers"]):
@@ -607,12 +623,13 @@ def state_dict_from_params(cfg: ModelConfig, params: Dict,
                 continue
             perm = qkv_perm if internal == "self_attn.qkv_proj" else None
             _lin_to_sd(sd, base + hf, p, out_features_map[internal], perm,
-                       dtype)
+                       dtype, in_features=in_map.get(internal))
         if cfg.is_moe and "experts" in lp.get("mlp", {}):
             gate = dict(lp["mlp"]["gate"])
             bias = gate.pop("e_score_correction_bias", None)
             _lin_to_sd(sd, _gate_key(cfg, i), gate,
-                       out_features_map["mlp.gate"], dtype=dtype)
+                       out_features_map["mlp.gate"], dtype=dtype,
+                       in_features=in_map["mlp.gate"])
             if bias is not None:
                 sd[_gate_key(cfg, i) + ".e_score_correction_bias"] = (
                     np.asarray(bias).astype(np.float32))
@@ -624,12 +641,52 @@ def state_dict_from_params(cfg: ModelConfig, params: Dict,
                     _lin_to_sd(sd, _expert_prefix(cfg, i, e) + hf_name,
                                ep[name],
                                out_features_map["mlp.experts." + name],
-                               dtype=dtype)
+                               dtype=dtype,
+                               in_features=in_map["mlp.experts." + name])
             for name, p in lp["mlp"].get("shared_experts", {}).items():
                 _lin_to_sd(sd, base + "mlp.shared_experts." + name, p,
                            out_features_map["mlp.shared_experts." + name],
-                           dtype=dtype)
+                           dtype=dtype,
+                           in_features=in_map[
+                               "mlp.shared_experts." + name])
     return sd
+
+
+def role_in_features(cfg: ModelConfig) -> Dict[str, int]:
+    """Logical in_features (K) by layer role — lets the writer strip the
+    kernel's K padding (core/packing.pad_k_nibbles; e.g. falcon-7b's
+    h=4544 padded to 4608 at group 64) from saved AutoAWQ tensors."""
+    h = cfg.hidden_size
+    hd, nh = cfg.head_dim_, cfg.num_attention_heads
+    inter = cfg.moe_intermediate_size or cfg.intermediate_size
+    shared_inter = (cfg.moe_intermediate_size or 0) * max(
+        1, cfg.n_shared_experts)
+    o_in = nh * (cfg.v_head_dim if cfg.is_mla else hd)
+    return {
+        "self_attn.qkv_proj": h,
+        "self_attn.q_proj": h if not cfg.is_mla else h,
+        "self_attn.k_proj": h,
+        "self_attn.v_proj": h,
+        "self_attn.o_proj": o_in,
+        "self_attn.q_a_proj": h,
+        "self_attn.q_b_proj": cfg.q_lora_rank or 0,
+        "self_attn.kv_a_proj_with_mqa": h,
+        "self_attn.kv_b_proj": cfg.kv_lora_rank or 0,
+        "mlp.gate_up_proj": h,
+        "mlp.gate_proj": h,
+        "mlp.up_proj": h,
+        "mlp.down_proj": cfg.intermediate_size,
+        "mlp.fc1": h,
+        "mlp.fc2": cfg.intermediate_size,
+        "mlp.gate": h,
+        "mlp.experts.gate_proj": h,
+        "mlp.experts.up_proj": h,
+        "mlp.experts.down_proj": inter,
+        "mlp.shared_experts.gate_proj": h,
+        "mlp.shared_experts.up_proj": h,
+        "mlp.shared_experts.down_proj": shared_inter,
+        "lm_head": h,
+    }
 
 
 def role_out_features(cfg: ModelConfig) -> Dict[str, int]:

@@ -45,6 +45,70 @@ def unpack_int4_planar(packed: jax.Array) -> jax.Array:
     return nibbles.reshape(2 * r2, 4 * c4)
 
 
+@jax.jit
+def pack_planar_jnp(q4: jax.Array) -> jax.Array:
+    """int [R, N] (0..15) -> int32 [ceil(R/2), N_pad // 4] planar row-paired.
+
+    Device-side twin of core.packing.pack_planar (bit-identical output,
+    tested) — packs ON the accelerator so the quantizer never round-trips
+    nibble tensors to the host. Through a remote-device tunnel that
+    round-trip (int32 nibbles down, packed up: ~1 GB/layer at 7B) was the
+    dominant cost of the whole quantization pass."""
+    from autoawq_tpu.core.packing import lane_block, padded_out_features
+
+    r, n = q4.shape
+    if r % 2:
+        q4 = jnp.concatenate([q4, jnp.zeros((1, n), q4.dtype)], axis=0)
+        r += 1
+    n_pad = padded_out_features(n)
+    lb = lane_block(n_pad)
+    q = q4.astype(jnp.uint32) & 0xF
+    if n_pad != n:
+        q = jnp.pad(q, ((0, 0), (0, n_pad - n)))
+    q = q.reshape(r // 2, 2, n_pad // (4 * lb), 4, lb)
+    shifts = (4 * jnp.arange(4, dtype=jnp.uint32).reshape(1, 1, 1, 4, 1)
+              + 16 * jnp.arange(2, dtype=jnp.uint32).reshape(1, 2, 1, 1, 1))
+    # disjoint bit ranges: sum over the (h, p) axes == bitwise or
+    words = (q << shifts).sum(axis=(1, 3), dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        words.reshape(r // 2, n_pad // 4), jnp.int32)
+
+
+@jax.jit
+def pad_scales_jnp(scales: jax.Array) -> jax.Array:
+    """Device twin of core.packing.pad_scales_planar: [G, N] -> [G, N_pad]
+    float32, padded columns get scale 1.0."""
+    from autoawq_tpu.core.packing import padded_out_features
+
+    g, n = scales.shape
+    n_pad = padded_out_features(n)
+    scales = scales.astype(jnp.float32)
+    if n_pad == n:
+        return scales
+    return jnp.pad(scales, ((0, 0), (0, n_pad - n)), constant_values=1.0)
+
+
+@partial(jax.jit, static_argnames=("group_size",))
+def pad_k_nibbles_jnp(q4, scales, z4, *, group_size: int):
+    """Device twin of core.packing.pad_k_nibbles (same exactness argument:
+    pad rows dequantize to 0)."""
+    from autoawq_tpu.core.packing import padded_in_features
+
+    k = q4.shape[0]
+    k_pad = padded_in_features(k, group_size)
+    if k_pad == k:
+        return q4, scales, z4
+    q4 = jnp.concatenate(
+        [q4, jnp.full((k_pad - k, q4.shape[1]), 8, q4.dtype)])
+    g_pad = k_pad // group_size - scales.shape[0]
+    scales = jnp.concatenate(
+        [scales, jnp.ones((g_pad, scales.shape[1]), scales.dtype)])
+    if z4 is not None:
+        z4 = jnp.concatenate(
+            [z4, jnp.full((g_pad, z4.shape[1]), 8, z4.dtype)])
+    return q4, scales, z4
+
+
 @partial(jax.jit, static_argnames=("out_features", "dtype"))
 def dequantize_planar(
     qweight: jax.Array,
@@ -86,6 +150,7 @@ def awq_matmul_jnp(
     bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Reference-path W4A16 matmul: dequantize then matmul (XLA-fused)."""
+    x = _pad_x_k(x, qweight)
     w = dequantize_planar(
         qweight, scales, qzeros, out_features=None, dtype=x.dtype
     )
@@ -114,7 +179,19 @@ def _awq_matmul_vjp(x, qweight, scales, qzeros, out_features, method):
 # VMEM scratch, stream M tiles innermost) — same fix, no HBM blowup.
 
 
+def _pad_x_k(x: jax.Array, qweight: jax.Array) -> jax.Array:
+    """Zero-pad x's contraction dim up to the packed K (K-padded layouts:
+    core/packing.pad_k_nibbles — the pad rows dequantize to exactly 0, so
+    zero x-padding keeps the matmul AND the per-group zero-point
+    correction bit-exact; non-padded layouts pass through untouched)."""
+    k_pad = 2 * qweight.shape[0]
+    if x.shape[-1] == k_pad:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, k_pad - x.shape[-1])])
+
+
 def _awq_matmul_impl(x, qweight, scales, qzeros, out_features, method):
+    x = _pad_x_k(x, qweight)
     if method != "jnp":
         from autoawq_tpu.ops import pallas_gemm, sharded_gemm
 
@@ -166,6 +243,9 @@ def _awq_matmul_bwd(out_features, method, res, g):
     w = dequantize_planar(qweight, scales, qzeros, dtype=g.dtype)
     w = w[:, :out_features]
     dx = jnp.dot(g, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
+    # K-padded layouts: the pad rows of w are exactly 0, so the sliced
+    # gradient columns are 0 — dropping them matches the zero x-pad
+    dx = dx[..., : x.shape[-1]]
     return dx, None, None, None
 
 

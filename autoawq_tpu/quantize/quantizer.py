@@ -63,17 +63,27 @@ def quantize_linear_params(p: Dict[str, Any], qcfg: AwqConfig) -> Dict[str, Any]
             f"packed kernels are 4-bit only (got w_bit={qcfg.w_bit}); "
             "run quantize(export_compatible=True) and pack externally "
             "(reference parity: awq/modules/linear/gemm.py:122)")
+    from autoawq_tpu.ops.gemm import (pack_planar_jnp, pad_k_nibbles_jnp,
+                                      pad_scales_jnp)
+
     w = jnp.asarray(p["kernel"])
     q, s, z = quantize_weight(
         w, bits=qcfg.w_bit, group_size=qcfg.q_group_size,
         zero_point=qcfg.zero_point,
     )
+    # K not a multiple of 2*group (falcon-7b h=4544 @ g64): zero-pad K for
+    # the fused kernel's even-group blocking (exact; save strips it back).
+    # Everything stays ON DEVICE (jnp pack, bit-identical to the host
+    # packer): fetching nibble tensors for host packing cost ~1 GB/layer
+    # of tunnel traffic at 7B and dominated quantization wall-clock.
+    gs = qcfg.q_group_size if qcfg.q_group_size > 0 else int(q.shape[0])
+    q4, s4, z4 = pad_k_nibbles_jnp(q, s, z, group_size=gs)
     out = {
-        "qweight": jnp.asarray(packing.pack_planar(np.asarray(q))),
-        "scales": jnp.asarray(packing.pad_scales_planar(np.asarray(s))),
+        "qweight": pack_planar_jnp(q4),
+        "scales": pad_scales_jnp(s4),
     }
-    if z is not None:
-        out["qzeros"] = jnp.asarray(packing.pack_planar(np.asarray(z)))
+    if z4 is not None:
+        out["qzeros"] = pack_planar_jnp(z4)
     # symmetric (zero_point=False): omit qzeros — the kernels use the
     # constant mid-range zero-point 8 (Marlin-parity fast path)
     if p.get("bias") is not None:
@@ -97,6 +107,7 @@ class AwqQuantizer:
         max_clip_shrink: float = 0.5,
         n_clip_sample_tokens: int = 512,
         compute_dtype=jnp.float32,
+        weight_dtype=None,
         progress: bool = True,
         resume_dir: Optional[str] = None,
         n_parallel_calib_samples: Optional[int] = None,
@@ -104,6 +115,7 @@ class AwqQuantizer:
         max_chunk_memory: Optional[int] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         quantize_lm_head: bool = False,
+        keep_on_device: bool = False,
     ):
         self.cfg = cfg
         self.qcfg = qcfg
@@ -127,6 +139,20 @@ class AwqQuantizer:
         self.max_clip_shrink = max_clip_shrink
         self.n_clip_sample_tokens = n_clip_sample_tokens
         self.compute_dtype = compute_dtype
+        # weight_dtype=bf16 halves the per-layer host->device weight
+        # upload (the reference calibrates fp16 weights on GPU, so bf16
+        # search inputs are parity-in-spirit); scale/clip statistics and
+        # the quantize math stay f32 internally either way. None = f32.
+        self.weight_dtype = weight_dtype
+        # keep_on_device=True leaves each finished layer's packed result
+        # as device arrays instead of device_get-ing it (the packed body
+        # is ~115 MB/layer at 7B — minutes of tunnel download across 32
+        # layers when the chip is remote). Incompatible with resume_dir
+        # (checkpoints need host arrays).
+        self.keep_on_device = keep_on_device
+        if keep_on_device and resume_dir:
+            raise ValueError("keep_on_device=True cannot checkpoint "
+                             "(resume_dir needs host arrays)")
         self.progress = progress
         self.resume_dir = resume_dir
         # memory choreography for big-model calibration on one chip
@@ -244,7 +270,8 @@ class AwqQuantizer:
                 x = self._shard_batch(x)
                 new_layers.append(lp)
                 continue
-            lp = self._replicate(_to_jnp(self.params["layers"][i]))
+            lp = self._replicate(_to_jnp(self.params["layers"][i],
+                                         self.weight_dtype))
             # [1] capture per-linear inputs + propagate fp activations
             taps: Dict[str, jax.Array] = {}
             next_x, _ = self._block_tapped(lp, x, cos, sin, mask, taps)
@@ -277,7 +304,7 @@ class AwqQuantizer:
                     set_by_path(lp, path,
                                 quantize_linear_params(get_by_path(lp, path),
                                                        self.qcfg))
-            lp_host = jax.device_get(lp)
+            lp_host = lp if self.keep_on_device else jax.device_get(lp)
             new_layers.append(lp_host)
             x = next_x
             ck = self._resume_path(i)
@@ -590,5 +617,14 @@ def _load_layer_ckpt(path: str):
     return tree, x
 
 
-def _to_jnp(tree):
-    return jax.tree_util.tree_map(jnp.asarray, tree)
+def _to_jnp(tree, weight_dtype=None):
+    if weight_dtype is None:
+        return jax.tree_util.tree_map(jnp.asarray, tree)
+
+    def conv(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(weight_dtype)
+        return x
+
+    return jax.tree_util.tree_map(conv, tree)

@@ -28,6 +28,16 @@ import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class _HTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a real accept backlog: socketserver's
+    default ``request_queue_size`` is 5, so a burst of >5 simultaneous
+    connects (16 concurrent SSE clients in scripts/bench_serve.py) gets
+    kernel-RST'd before accept — observed as whole client streams lost."""
+
+    daemon_threads = True
+    request_queue_size = 128
 from queue import Empty, Queue
 from typing import Any, Dict, List, Optional
 
@@ -468,6 +478,6 @@ def start_server(engine, tokenizer=None, host: str = "127.0.0.1",
     (httpd.server_address[1])."""
     es = EngineServer(engine, tokenizer, model_name, max_queue,
                       burst=burst)
-    httpd = ThreadingHTTPServer((host, port), es.make_handler())
+    httpd = _HTTPServer((host, port), es.make_handler())
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     return es, httpd

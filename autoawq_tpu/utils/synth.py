@@ -33,7 +33,8 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
     nn/fuse.fuse_model would produce) — for benchmark synthetics this skips
     the host-side unpack/concat/repack entirely, which dominates setup time
     at 13B scale (values are random either way)."""
-    from autoawq_tpu.core.packing import padded_out_features
+    from autoawq_tpu.core.packing import (padded_in_features,
+                                          padded_out_features)
 
     fp_dtype = _np_dtype(fp_dtype)
     rng = np.random.default_rng(seed)
@@ -41,15 +42,19 @@ def random_quantized_params(cfg: ModelConfig, seed: int = 0,
 
     def qlin(k, n):
         n_pad = padded_out_features(n)
+        # K-pad to the kernel's even-group blocking (falcon-7b h=4544 at
+        # g64 -> 4608); the dispatcher zero-pads x, values stay random
+        # (perf synthetics — x-pad rows contribute nothing either way)
+        kp = padded_in_features(k, g)
         p = {
-            "qweight": rng.integers(-(2**31), 2**31, (k // 2, n_pad // 4),
+            "qweight": rng.integers(-(2**31), 2**31, (kp // 2, n_pad // 4),
                                     dtype=np.int64).astype(np.int32),
-            "scales": ((rng.random((k // g, n_pad), dtype=np.float32) + 0.5)
+            "scales": ((rng.random((kp // g, n_pad), dtype=np.float32) + 0.5)
                        * 0.01),
         }
         if zero_point:  # symmetric models omit qzeros (constant 8)
             p["qzeros"] = rng.integers(-(2**31), 2**31,
-                                       (-(-(k // g) // 2), n_pad // 4),
+                                       (-(-(kp // g) // 2), n_pad // 4),
                                        dtype=np.int64).astype(np.int32)
         return p
 

@@ -21,8 +21,9 @@ def main():
     import jax.numpy as jnp  # noqa: F401  (ensures backend init in timing)
 
     from autoawq_tpu import AwqConfig
-    from autoawq_tpu.io.hf import init_random_params
     from autoawq_tpu.models.config import ModelConfig
+
+    import ml_dtypes
 
     cfg = ModelConfig(model_type="llama", vocab_size=32000,
                       hidden_size=4096, intermediate_size=14336,
@@ -30,9 +31,44 @@ def main():
                       num_key_value_heads=8, head_dim=128,
                       max_position_embeddings=8192)
     t0 = time.perf_counter()
-    params = init_random_params(cfg, seed=0)
+    # Wall-clock is shape-determined: synthesize bf16 weights by cycling
+    # one random megablock (np.resize = memcpy) instead of drawing 7B
+    # gaussians on this 1-vCPU host (measured: 960 s of pure rng).
+    # bf16 weights match the reference's fp16-on-GPU calibration inputs.
+    block = (np.random.default_rng(0).standard_normal(
+        1 << 20, dtype=np.float32) * 0.02).astype(ml_dtypes.bfloat16)
+
+    def fill(shape):
+        return np.resize(block, int(np.prod(shape))).reshape(shape)
+
+    h, inter, nh, nkv, hd = 4096, 14336, 32, 8, 128
+    params = {
+        "embed_tokens": {"weight": fill((cfg.vocab_size, h))},
+        "norm": {"weight": np.ones((h,), ml_dtypes.bfloat16)},
+        "lm_head": {"kernel": fill((h, cfg.vocab_size))},
+        "layers": [
+            {
+                "input_layernorm": {
+                    "weight": np.ones((h,), ml_dtypes.bfloat16)},
+                "post_attention_layernorm": {
+                    "weight": np.ones((h,), ml_dtypes.bfloat16)},
+                "self_attn": {
+                    "q_proj": {"kernel": fill((h, nh * hd))},
+                    "k_proj": {"kernel": fill((h, nkv * hd))},
+                    "v_proj": {"kernel": fill((h, nkv * hd))},
+                    "o_proj": {"kernel": fill((nh * hd, h))},
+                },
+                "mlp": {
+                    "gate_proj": {"kernel": fill((h, inter))},
+                    "up_proj": {"kernel": fill((h, inter))},
+                    "down_proj": {"kernel": fill((inter, h))},
+                },
+            }
+            for _ in range(cfg.num_hidden_layers)
+        ],
+    }
     t_init = time.perf_counter() - t0
-    print(f"init 7B fp32 params: {t_init:.1f}s", flush=True)
+    print(f"init 7B bf16 params: {t_init:.1f}s", flush=True)
 
     rng = np.random.default_rng(0)
     calib = rng.integers(0, cfg.vocab_size, (128, 512))
@@ -47,8 +83,10 @@ def main():
     # f32 internally either way) keeps the 128x512 tap set at ~3.5 GB
     # on-device — f32 taps OOM'd the chip.
     q = AwqQuantizer(cfg, AwqConfig(q_group_size=128), params, calib,
-                     n_parallel_calib_samples=32, offload_taps=False,
-                     compute_dtype=jnp.bfloat16, progress=True)
+                     n_parallel_calib_samples=16, offload_taps=False,
+                     keep_on_device=True,
+                     compute_dtype=jnp.bfloat16,
+                     weight_dtype=jnp.bfloat16, progress=True)
     qparams = q.quantize()
     assert "qweight" in qparams["layers"][0]["self_attn"]["q_proj"]
     secs = time.perf_counter() - t0

@@ -79,14 +79,17 @@ MODELS = {
                    tie_word_embeddings=True),
     # Falcon-7B: multi-query (1 kv head), parallel residual w/ shared
     # input norm, LayerNorm, non-gated gelu MLP, tied embeddings
-    # (reference README.md:231 row; knobs per models/config._adapt_falcon)
+    # (reference README.md:231 row; knobs per models/config._adapt_falcon).
+    # h=4544 is not a multiple of 128 — falcon quantizes at group 64
+    # (35.5 groups would break the AWQ layout; the reference does the same)
     "falcon-7b": dict(model_type="falcon", vocab_size=65024,
                       hidden_size=4544, intermediate_size=18176,
                       num_hidden_layers=32, num_attention_heads=71,
                       num_key_value_heads=1, head_dim=64,
                       hidden_act="gelu", norm_kind="ln",
                       parallel_residual=True, shared_input_norm=True,
-                      gated_mlp=False, tie_word_embeddings=True),
+                      gated_mlp=False, tie_word_embeddings=True,
+                      _group_size=64),
     # CodeLlama-34B (llama arch, GQA 8): reference README.md:234 row
     "codellama-34b": dict(vocab_size=32000, hidden_size=8192,
                           intermediate_size=22016, num_hidden_layers=48,
@@ -163,7 +166,7 @@ def probe_matmul(reps: int = 32):
     return reps * 2 * n**3 / (time.perf_counter() - t0) / 1e12
 
 
-def weight_stream_bytes(cfg) -> int:
+def weight_stream_bytes(cfg, group_size: int = 128) -> int:
     """Bytes read from HBM per decode step: packed int4 + f32 scales +
     packed int4 qzeros for every quantized linear, plus the bf16
     lm_head / embeddings matvec."""
@@ -174,18 +177,18 @@ def weight_stream_bytes(cfg) -> int:
     per_layer_params = (h * (nh + 2 * nkv) * hd + nh * hd * h
                         + n_mlp * h * inter)
     q = per_layer_params // 2  # int4
-    scales = per_layer_params // 128 * 4  # f32 as stored (synth + loader)
-    qzeros = per_layer_params // 256  # one int4 zero per group, packed
+    scales = per_layer_params // group_size * 4  # f32 (synth + loader)
+    qzeros = per_layer_params // group_size // 2  # int4 zero/group, packed
     lm_head = h * cfg.vocab_size * 2  # bf16 (tied models read embed.T)
     return L * (q + scales + qzeros) + lm_head
 
 
-def weight_resident_bytes(cfg) -> int:
+def weight_resident_bytes(cfg, group_size: int = 128) -> int:
     """Approximate HBM residency of the quantized model: the streamed
     weights plus the (bf16) embedding table when untied."""
     extra = 0 if cfg.tie_word_embeddings else \
         cfg.hidden_size * cfg.vocab_size * 2
-    return weight_stream_bytes(cfg) + extra
+    return weight_stream_bytes(cfg, group_size) + extra
 
 
 def cache_stream_bytes(cfg, b: int, capacity: int, kv: str = "bf16") -> int:
@@ -220,11 +223,12 @@ def hbm_limit_bytes() -> int:
         return 16 * 1024**3  # v5e default
 
 
-def fits(cfg, b: int, cap: int, kv: str, limit: int) -> (bool, str):
+def fits(cfg, b: int, cap: int, kv: str, limit: int,
+         group_size: int = 128) -> (bool, str):
     """Conservative fit check BEFORE allocating on chip (an OOM through
     the tunnel can wedge the process mid-table). ~1.5 GB margin for
     activations, logits buffers and compiler scratch."""
-    w = weight_resident_bytes(cfg)
+    w = weight_resident_bytes(cfg, group_size)
     c = cache_stream_bytes(cfg, b, cap, kv)
     need = w + c + (3 * cfg.vocab_size * b * 4) + int(1.5e9)
     note = (f"weights {w / 1e9:.1f} GB + KV[{cap}] {c / 1e9:.1f} GB "
@@ -290,14 +294,22 @@ def main():
 
         @functools.partial(jax.jit, static_argnames=())
         def prefill_reps(params, prompt):
-            def body(i, acc):
+            # ONE cache carried through the loop — allocating inside the
+            # body keeps two copies live (the 13B b3 cap-4096 row OOM'd
+            # on exactly that; each rep just overwrites the same rows)
+            caches0 = gen.init_kv_cache(cfg, b, cap, jnp.bfloat16,
+                                        kv_quant=kv_quant)
+
+            def body(i, carry):
+                acc, caches = carry
                 p = jnp.roll(prompt, i, axis=1)  # loop-variant: no hoisting
-                caches = gen.init_kv_cache(cfg, b, cap, jnp.bfloat16,
-                                           kv_quant=kv_quant)
-                logits, _ = gen.prefill(cfg, params, p, caches, "auto",
-                                        jnp.bfloat16)
-                return acc + logits.mean().astype(jnp.float32)
-            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+                logits, caches = gen.prefill(cfg, params, p, caches,
+                                             "auto", jnp.bfloat16)
+                return (acc + logits.mean().astype(jnp.float32), caches)
+
+            acc, _ = jax.lax.fori_loop(0, reps, body,
+                                       (jnp.float32(0.0), caches0))
+            return acc
 
         np.asarray(prefill_reps(params, prompt))
         t0 = time.perf_counter()
@@ -345,9 +357,10 @@ def main():
 
     for name, b, ctx, dec, kv in runs:
         knobs = {"model_type": "llama", **MODELS[name]}
+        gsz = knobs.pop("_group_size", 128)
         cfg = ModelConfig(max_position_embeddings=8192, **knobs)
         cap = ctx + dec
-        ok, fit_note = fits(cfg, b, cap, kv, limit)
+        ok, fit_note = fits(cfg, b, cap, kv, limit, gsz)
         if not ok:
             print(f"SKIP {name} b{b} ctx{ctx} cap{cap} {kv}: {fit_note}")
             rows.append(dict(model=name, batch=b, ctx=ctx, dec=dec,
@@ -358,7 +371,8 @@ def main():
             continue
         if name != last_model:
             params = jax.device_put(random_quantized_params(
-                cfg, seed=0, fp_dtype=jnp.bfloat16, fused=True))
+                cfg, seed=0, fp_dtype=jnp.bfloat16, fused=True,
+                group_size=gsz))
             last_model = name
             # same-run probe for this model group: the chip's attainable
             # stream rate swings ~15% by the hour — score each row against
@@ -382,7 +396,7 @@ def main():
         if pre_tps is None:
             continue
 
-        wbytes = weight_stream_bytes(cfg)
+        wbytes = weight_stream_bytes(cfg, gsz)
         kvbytes = cache_stream_bytes(cfg, b, cap, kv)
         ftok = flops_per_token(cfg)
         # decode streams the weights once per STEP plus the full (static-
