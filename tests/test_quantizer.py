@@ -219,3 +219,37 @@ def test_max_chunk_memory_matches_unbudgeted(rng):
             same += (qa == qb).sum()
             tot += qa.size
     assert same / tot > 0.98, same / tot
+
+
+def test_keep_on_device_and_weight_dtype(rng):
+    """Big-model tunnel knobs: keep_on_device=True leaves packed layers as
+    jax arrays (no per-layer device_get) with identical packed bits;
+    weight_dtype=bf16 (the reference calibrates fp16 weights on GPU)
+    produces a close-but-not-identical quantization whose logits stay in
+    the fp-quantization error band."""
+    import jax
+
+    params = make_outlier_params(TINY, seed=3)
+    calib = rng.integers(0, TINY.vocab_size, (4, 32))
+
+    base = AwqQuantizer(TINY, QCFG, params, calib, progress=False).quantize()
+    kept = AwqQuantizer(TINY, QCFG, params, calib, progress=False,
+                        keep_on_device=True).quantize()
+    for (pa, a), (pb, b) in zip(iter_linears(base["layers"][0]),
+                                iter_linears(kept["layers"][0])):
+        assert isinstance(b["qweight"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(a["qweight"]),
+                                      np.asarray(b["qweight"]))
+
+    bf16 = AwqQuantizer(TINY, QCFG, params, calib, progress=False,
+                        weight_dtype=jnp.bfloat16).quantize()
+    tokens = rng.integers(0, TINY.vocab_size, (2, 16))
+    err_f32 = rel_logit_err(TINY, params, base, tokens)
+    err_bf16 = rel_logit_err(TINY, params, bf16, tokens)
+    # bf16 search inputs shift the result slightly; both stay quantized-
+    # quality (same order of magnitude as the f32-search error)
+    assert err_bf16 < max(4 * err_f32, 0.05), (err_bf16, err_f32)
+
+    with pytest.raises(ValueError):
+        AwqQuantizer(TINY, QCFG, params, calib, progress=False,
+                     keep_on_device=True, resume_dir="/tmp/x")
