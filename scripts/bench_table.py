@@ -369,6 +369,75 @@ def main():
         best = b * (n_big - n_small) / (t_big - t_small)
         return pre_tps, best
 
+    def run_one_lowmem(cfg, params, b, ctx, cap, kv_quant=False, ch=512):
+        """Memory-tight rows (13B b3 at the reference's 4096-token
+        capacity): whole-prompt prefill temporaries blow the ~15.75 GiB
+        the compiler grants, so prefill runs in `ch`-token chunks against
+        the cap cache (chunked prefill is this framework's serving
+        discipline, serve/batching.py) — peak = weights + ONE cache +
+        chunk temps. Prefill tok/s = difference quotient of full vs half
+        chunk counts (the constant per-chunk dispatch RPC cancels);
+        decode = the same donated-cache scan as the main path."""
+        from autoawq_tpu.serve.spec_batch import batched_chunk_step
+
+        prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, ctx)))
+        n_ch = max(1, ctx // ch)
+
+        def build(n_chunks):
+            caches = gen.init_kv_cache(cfg, b, cap, jnp.bfloat16,
+                                       kv_quant=kv_quant)
+            logits = None
+            for i in range(n_chunks):
+                lg, caches = batched_chunk_step(
+                    cfg, params, prompt[:, i * ch:(i + 1) * ch], caches,
+                    jnp.full((b,), i * ch, jnp.int32), "auto",
+                    jnp.bfloat16)
+                logits = lg[:, -1]
+            return logits, caches
+
+        def timed_build(n_chunks):
+            t0 = time.perf_counter()
+            logits, caches = build(n_chunks)
+            np.asarray(logits)
+            return time.perf_counter() - t0, caches
+
+        timed_build(n_ch)  # compile
+        t_full = min(timed_build(n_ch)[0] for _ in range(2))
+        t_half = min(timed_build(max(1, n_ch // 2))[0] for _ in range(2))
+        pre_tps = (b * ch * (n_ch - max(1, n_ch // 2))
+                   / max(t_full - t_half, 1e-9))
+
+        def decode_steps(n):
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def f(params, logits, caches):
+                def step(carry, i):
+                    logits, caches = carry
+                    tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+                    logits, caches = gen.decode_step(
+                        cfg, params, tok, caches, jnp.int32(cap - 1),
+                        "auto", jnp.bfloat16)
+                    return (logits, caches), ()
+
+                (logits, _), _ = jax.lax.scan(step, (logits, caches),
+                                              jnp.arange(n))
+                return logits
+
+            return f
+
+        def timed_scan2(f):
+            logits, caches = build(n_ch)
+            np.asarray(logits)
+            t0 = time.perf_counter()
+            np.asarray(f(params, logits, caches))
+            return time.perf_counter() - t0
+
+        f_small, f_big = decode_steps(32), decode_steps(256)
+        timed_scan2(f_small), timed_scan2(f_big)
+        t_small = min(timed_scan2(f_small) for _ in range(2))
+        t_big = min(timed_scan2(f_big) for _ in range(2))
+        best = b * (256 - 32) / (t_big - t_small)
+        return pre_tps, best
+
     for name, b, ctx, dec, kv in runs:
         knobs = {"model_type": "llama", **MODELS[name]}
         gsz = knobs.pop("_group_size", 128)
@@ -384,9 +453,21 @@ def main():
             flush()
             continue
         if name != last_model:
-            params = jax.device_put(random_quantized_params(
-                cfg, seed=0, fp_dtype=jnp.bfloat16, fused=True,
-                group_size=gsz))
+            # drop the previous group's weights BEFORE uploading the next
+            # (holding both put 13B + falcon at ~12 GB transient and
+            # OOM'd the device_put, killing the run mid-table)
+            params = None
+            try:
+                params = jax.device_put(random_quantized_params(
+                    cfg, seed=0, fp_dtype=jnp.bfloat16, fused=True,
+                    group_size=gsz))
+            except Exception as e:
+                print(f"device_put {name}: {e}")
+                rows.append(dict(model=name, batch=b, ctx=ctx, dec=dec,
+                                 error=f"weights upload: {str(e)[:160]}"))
+                flush()
+                last_model = None
+                continue
             last_model = name
             # same-run probe for this model group: the chip's attainable
             # stream rate swings ~15% by the hour — score each row against
@@ -396,14 +477,26 @@ def main():
         # the compile tunnel occasionally drops a connection mid-request —
         # retry each configuration once before skipping it
         pre_tps = None
-        for attempt in (1, 2):
+        lowmem = False
+        for attempt in (1, 2, 3):
             try:
-                pre_tps, best = run_one(cfg, params, b, ctx, cap,
-                                        kv_quant=kv == "int8")
+                if attempt < 3:
+                    pre_tps, best = run_one(cfg, params, b, ctx, cap,
+                                            kv_quant=kv == "int8")
+                else:  # OOM fallback: chunked-prefill build (see docstring)
+                    lowmem = True
+                    pre_tps, best = run_one_lowmem(cfg, params, b, ctx,
+                                                   cap,
+                                                   kv_quant=kv == "int8")
                 break
             except Exception as e:
                 print(f"run {name} b{b} ctx{ctx} attempt {attempt}: {e}")
-                if attempt == 2:
+                if attempt == 2 and "RESOURCE_EXHAUSTED" not in str(e):
+                    rows.append(dict(model=name, batch=b, ctx=ctx,
+                                     dec=dec, error=str(e)[:200]))
+                    flush()
+                    break
+                if attempt == 3:
                     rows.append(dict(model=name, batch=b, ctx=ctx,
                                      dec=dec, error=str(e)[:200]))
                     flush()
@@ -427,6 +520,8 @@ def main():
                 kind=kind, kv=kv, tok_s=round(tps, 1),
                 vs_rtx4090=round(tps / base, 3) if base else None,
                 probe_gbps=round(group_gbps, 0),
+                **({"prefill_mode": "chunked-512 (memory-tight row)"}
+                   if lowmem else {}),
                 roofline=(
                     f"{dec_bw:.0f}/{group_gbps:.0f} GB/s weights+KV "
                     f"stream ({min(frac, 1.0) * 100:.0f}%"
