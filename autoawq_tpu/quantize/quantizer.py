@@ -298,6 +298,8 @@ class AwqQuantizer:
                     scale_mod.apply_clip(lp, path, max_val)
                     layer_clips.append((path, np.asarray(max_val)))
             self.all_clips.append(layer_clips)
+            taps.clear()  # searches done: release the tap set (~3.5 GB at
+            # 7B) before packing allocates its nibble intermediates
             # [4] quantize + pack
             if not export_compatible:
                 for path in self._quantizable(lp):
@@ -411,8 +413,12 @@ class AwqQuantizer:
             chunk_taps.append(jax.device_get(tc) if self.offload_taps else tc)
         y = jnp.concatenate(ys, axis=0)
         cat = np.concatenate if self.offload_taps else jnp.concatenate
-        for name in chunk_taps[0]:
-            taps[name] = cat([tc[name] for tc in chunk_taps], axis=0)
+        # concatenate ONE tap at a time, releasing its chunk pieces as we
+        # go — cat-ing all taps while every chunk piece stays referenced
+        # doubles the whole tap set's footprint (~7 GB at 7B x 128x512,
+        # the difference between fitting a 16 GB chip and OOM)
+        for name in list(chunk_taps[0]):
+            taps[name] = cat([tc.pop(name) for tc in chunk_taps], axis=0)
         return y, taps
 
     def _search_best_scale(self, lp, group: ScaleGroup, taps, cos, sin, mask):
