@@ -478,7 +478,12 @@ def main():
         # retry each configuration once before skipping it
         pre_tps = None
         lowmem = False
-        for attempt in (1, 2, 3):
+        # AWQ_TPU_BENCH_LOWMEM=1 goes straight to the chunked-prefill
+        # path: two failed full-prefill OOM attempts fragment the BFC heap
+        # enough that even the fitting fallback then fails in-process
+        import os as _os
+        force_lowmem = _os.environ.get("AWQ_TPU_BENCH_LOWMEM") == "1"
+        for attempt in ((3,) if force_lowmem else (1, 2, 3)):
             try:
                 if attempt < 3:
                     pre_tps, best = run_one(cfg, params, b, ctx, cap,
