@@ -100,6 +100,13 @@ def main():
             "seconds": round(secs, 1),
             "minutes": round(secs / 60, 2),
             "reference_claim": "10-15 min for 7B (reference README.md:125)",
+            "environment": (
+                "one TPU chip behind a ~25 ms/dispatch network tunnel, "
+                "1-vCPU host; weight upload + packed download ride the "
+                "tunnel (a locally-attached chip removes most of it)"),
+            "knobs": ("n_parallel_calib_samples=16, compute_dtype=bf16, "
+                      "weight_dtype=bf16, keep_on_device=True "
+                      "(device-side packing)"),
         }, f, indent=1)
     print("wrote QUANT_TIME.json")
 
