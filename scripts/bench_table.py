@@ -369,16 +369,32 @@ def main():
         best = b * (n_big - n_small) / (t_big - t_small)
         return pre_tps, best
 
-    def run_one_lowmem(cfg, params, b, ctx, cap, kv_quant=False, ch=512):
+    def run_one_lowmem(cfg, params, b, ctx, cap, kv_quant=False):
         """Memory-tight rows (13B b3 at the reference's 4096-token
         capacity): whole-prompt prefill temporaries blow the ~15.75 GiB
-        the compiler grants, so prefill runs in `ch`-token chunks against
-        the cap cache (chunked prefill is this framework's serving
-        discipline, serve/batching.py) — peak = weights + ONE cache +
-        chunk temps. Prefill tok/s = difference quotient of full vs half
-        chunk counts (the constant per-chunk dispatch RPC cancels);
-        decode = the same donated-cache scan as the main path."""
+        the compiler grants, so prefill runs in chunks against the cap
+        cache (chunked prefill is this framework's serving discipline,
+        serve/batching.py) — peak = weights + ONE cache + chunk temps.
+        The chunk is sized so the [B, nh, ch, cap] f32 attention scores
+        stay small. Prefill tok/s = difference quotient of full vs half
+        chunk counts, with the measured per-dispatch RPC floor times the
+        extra dispatches subtracted (unlike the equal-dispatch main path,
+        the two builds differ in dispatch COUNT); decode = the same
+        donated-cache scan as the main path."""
         from autoawq_tpu.serve.spec_batch import batched_chunk_step
+
+        # pick the largest chunk whose score matrices stay under ~0.5 GB
+        nh = cfg.num_attention_heads
+        ch = 512
+        while ch > 64 and b * nh * ch * cap * 4 > int(5e8):
+            ch //= 2
+        # measured dispatch round-trip (subtracted from the prefill
+        # difference quotient below)
+        one = jax.jit(lambda v: v + 1)
+        np.asarray(one(jnp.float32(0)))
+        rpc = min((lambda t0: (np.asarray(one(jnp.float32(0))),
+                               time.perf_counter() - t0)[1])(
+            time.perf_counter()) for _ in range(10))
 
         prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, ctx)))
         n_ch = max(1, ctx // ch)
@@ -403,9 +419,10 @@ def main():
 
         timed_build(n_ch)  # compile
         t_full = min(timed_build(n_ch)[0] for _ in range(2))
-        t_half = min(timed_build(max(1, n_ch // 2))[0] for _ in range(2))
-        pre_tps = (b * ch * (n_ch - max(1, n_ch // 2))
-                   / max(t_full - t_half, 1e-9))
+        n_half = max(1, n_ch // 2)
+        t_half = min(timed_build(n_half)[0] for _ in range(2))
+        dt = t_full - t_half - (n_ch - n_half) * rpc
+        pre_tps = b * ch * (n_ch - n_half) / max(dt, 1e-9)
 
         def decode_steps(n):
             @functools.partial(jax.jit, donate_argnums=(2,))
