@@ -1011,10 +1011,19 @@ def _fused_attn_ok(cfg: ModelConfig, p: Dict[str, Any], x: jax.Array,
         # grouped int8 chain beats the int8 megakernel 1214.0 vs 1144.8
         # tok/s (and the 4090's 1185.25), while at bs1 ctx2048 the int8
         # megakernel still wins 153.3 vs 148.7 (CHIP_AB_R4C/R4B_RESULTS).
-        bt = (k_cache.shape[2] if "k_s" in kv_cache
-              else k_cache.shape[0] * k_cache.shape[2])
-        if bt < bt_floor:
-            return False
+        # For bf16 the B*T floor was calibrated on bs1 (loses 785->694 at
+        # B*T=576); at b >= 8 the kernel wins even at B*T=1024 — mistral
+        # bs8 cap-128 back-to-back 1228.5 vs 1171.9 tok/s, 1.04x vs 0.99x
+        # against the 4090 (CHIP_AB_R5_FUSED_BS8.json) — so full-ish
+        # batches engage regardless of context.
+        if "k_s" in kv_cache:
+            bt = k_cache.shape[2]
+            if bt < bt_floor:
+                return False
+        else:
+            bt = k_cache.shape[0] * k_cache.shape[2]
+            if bt < bt_floor and k_cache.shape[0] < 8:
+                return False
     from autoawq_tpu.ops import fused_attn_step
 
     # int8 caches fold their absmax scales in-kernel (k_scales/v_scales)
