@@ -495,8 +495,18 @@ def main():
             last_model = name
             # same-run probe for this model group: the chip's attainable
             # stream rate swings ~15% by the hour — score each row against
-            # a probe from its own minute, not the table's first
+            # a probe from its own minute, not the table's first. A probe
+            # far below nominal (~600-720 on this chip) means the WINDOW
+            # is degraded (observed: 349 GB/s — tok/s measured then is
+            # garbage); wait and re-probe before burning the row.
             group_gbps = probe_streams()
+            for _ in range(3):
+                if group_gbps >= 450:
+                    break
+                print(f"[{name}] degraded window ({group_gbps:.0f} GB/s) "
+                      "— waiting 60s and re-probing")
+                time.sleep(60)
+                group_gbps = probe_streams()
             print(f"[{name}] group HBM probe: {group_gbps:.0f} GB/s")
         # the compile tunnel occasionally drops a connection mid-request —
         # retry each configuration once before skipping it
