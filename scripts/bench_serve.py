@@ -77,8 +77,11 @@ def rpc_floor_ms(n: int = 20) -> float:
     return float(np.median(ts) * 1e3)
 
 
+SYSTEM_PREFIX: list = []  # set per config: shared system-prompt tokens
+
+
 def _client(port: int, rid: int, out: dict, barrier: threading.Barrier):
-    prompt = list(np.random.default_rng(rid).integers(
+    prompt = SYSTEM_PREFIX + list(np.random.default_rng(rid).integers(
         5, 100, (PROMPT_LEN,)).tolist())
     body = json.dumps({
         "prompt": prompt, "max_tokens": MAX_TOKENS, "stream": True,
@@ -108,16 +111,35 @@ def _client(port: int, rid: int, out: dict, barrier: threading.Barrier):
                     total=last - t_start if last else None, tokens=n_tok)
 
 
-def run_config(cfg, params, burst: int):
+def run_config(cfg, params, burst: int, paged: bool = False,
+               sys_prefix: int = 0):
+    """One timed server run. ``paged`` serves from the page pool with
+    prefix caching; ``sys_prefix`` prepends that many SHARED system-
+    prompt tokens to every client (the prefix-cache case: clients after
+    the first reuse the cached pages' KV instead of recomputing)."""
+    global SYSTEM_PREFIX
     import jax.numpy as jnp
 
     from autoawq_tpu.serve.batching import BatchingEngine
+    from autoawq_tpu.serve.paged import PagedBatchingEngine
     from autoawq_tpu.serve.server import start_server
 
-    eng = BatchingEngine(cfg, params, max_batch=MAX_BATCH,
-                         max_seq_len=PROMPT_LEN + MAX_TOKENS + 64,
-                         method="jnp" if TINY else "auto",
-                         dtype=jnp.float32 if TINY else jnp.bfloat16)
+    SYSTEM_PREFIX = list(np.random.default_rng(9999).integers(
+        5, 100, (sys_prefix,)).tolist()) if sys_prefix else []
+    max_seq = sys_prefix + PROMPT_LEN + MAX_TOKENS + 64
+    if paged:
+        ps = 16 if TINY else 64
+        pps = -(-max_seq // ps)
+        eng = PagedBatchingEngine(
+            cfg, params, max_batch=MAX_BATCH, page_size=ps,
+            total_pages=2 * MAX_BATCH * pps + 8, pages_per_seq=pps,
+            method="jnp" if TINY else "auto",
+            dtype=jnp.float32 if TINY else jnp.bfloat16)
+    else:
+        eng = BatchingEngine(cfg, params, max_batch=MAX_BATCH,
+                             max_seq_len=max_seq,
+                             method="jnp" if TINY else "auto",
+                             dtype=jnp.float32 if TINY else jnp.bfloat16)
     es, httpd = start_server(eng, port=0, burst=burst)
     port = httpd.server_address[1]
     try:
@@ -142,9 +164,16 @@ def run_config(cfg, params, burst: int):
         es.shutdown()
     toks = sum(v["tokens"] for v in out.values())
     ttfts = sorted(v["ttft"] for v in out.values() if v["ttft"])
+    extra = {}
+    if paged:
+        extra = dict(engine="paged", prefix_hits=eng.prefix_hits,
+                     prefix_pages_reused=eng.prefix_pages_reused)
+        if sys_prefix:
+            extra["shared_system_prefix_tokens"] = sys_prefix
     return dict(
         burst=burst,
         clients=N_CLIENTS,
+        **extra,
         tokens_streamed=toks,
         wall_s=round(wall, 2),
         throughput_tok_s=round(toks / wall, 1),
@@ -159,6 +188,11 @@ def main():
     print(f"dispatch RPC floor: {rpc:.1f} ms", flush=True)
 
     results = [run_config(cfg, params, burst) for burst in (1, 16)]
+    # page-pool twin with a shared system prompt: every client after the
+    # first reuses the cached prefix pages' KV (suffix-only prefill) —
+    # the serving win the slot pool cannot express
+    results.append(run_config(cfg, params, 16, paged=True,
+                              sys_prefix=256 if not TINY else 32))
     for r in results:
         print(r, flush=True)
 
