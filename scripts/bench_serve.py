@@ -143,10 +143,16 @@ def run_config(cfg, params, burst: int, paged: bool = False,
     es, httpd = start_server(eng, port=0, burst=burst)
     port = httpd.server_address[1]
     try:
-        # warmup: compile prefill + decode-step shapes before timing
-        out_w: dict = {}
-        b = threading.Barrier(1)
-        _client(port, 10_000, out_w, b)
+        # warmup: compile prefill + decode-step shapes before timing.
+        # TWO sequential clients — with prefix caching the second takes
+        # the prefix-HIT admission path (gather + suffix-only prefill),
+        # a different jit shape than the first's cold miss; without this
+        # the first TIMED client compiles it and every client queues
+        # behind the compile (observed: 63 s TTFT that was compile time)
+        for wid in (10_000, 10_001):
+            out_w: dict = {}
+            b = threading.Barrier(1)
+            _client(port, wid, out_w, b)
 
         out: dict = {}
         barrier = threading.Barrier(N_CLIENTS)
