@@ -394,14 +394,14 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
     kv_cache: {"k_pages"/"v_pages": [nkv, P, page, hd], "page_table":
     [B, PPS] int32, "pos": [B] int32} — plus "k_page_s"/"v_page_s"
     [nkv, P, page] f32 when the pool is int8-quantized (serve/paged.py
-    kv_quant=True). s == 1 decode only. On TPU every pool (bf16 and
-    int8, windows and ALiBi included) runs the bespoke block-table
-    kernel (ops/paged_attn.py); the stock jax.experimental kernel is
-    opt-in via AWQ_TPU_PAGED_ATTN=stock (it failed Mosaic lowering at
-    tinyllama shapes in the r3 chip A/B). Off-TPU a gather +
-    grouped-GQA path keeps the math identical (scales fold into the
-    score/prob matrices exactly as the contiguous int8 branch in
-    `attention`; no dequantized pages ever materialize)."""
+    kv_quant=True). s == 1 decode only. Default on every backend since
+    r5: gather the table's pages into a contiguous slab + grouped-GQA
+    attention — it beat the bespoke block-table kernel on EVERY shape
+    in back-to-back chip A/Bs (CHIP_AB_R5_PAGED.json; kernel selection
+    comment below). The bespoke kernel (ops/paged_attn.py) and the
+    stock jax.experimental kernel stay opt-in via AWQ_TPU_PAGED_ATTN.
+    Scales fold into the score/prob matrices exactly as the contiguous
+    int8 branch in `attention`; no dequantized pages materialize."""
     b, s, nh, hd = q.shape
     nkv = k.shape[2]
     ps = kv_cache["k_pages"].shape[2]
@@ -421,17 +421,24 @@ def _paged_decode(cfg: ModelConfig, p: Dict[str, Any], q: jax.Array,
     lengths = pos + 1
     new_cache.update(k_pages=kp, v_pages=vp)
 
-    # TPU kernel selection (AWQ_TPU_PAGED_ATTN): "1"/"bespoke" (default) =
-    # bespoke block-table kernel (ops/paged_attn.py) for EVERY pool —
-    # bf16 and int8 (absmax scales fold in-kernel), sliding windows and
-    # ALiBi included; "stock" = the stock jax.experimental Pallas paged
-    # kernel for plain bf16 pools (measured r3 on-chip: it fails Mosaic
-    # lowering at tinyllama shapes — hd 64, page 32 — with a block-shape
-    # constraint, so it is opt-in, not the default); "force" = bespoke in
-    # interpret mode off-TPU (tests); "0" = gather fallback.
-    flag = _os.environ.get("AWQ_TPU_PAGED_ATTN", "1")
+    # TPU kernel selection (AWQ_TPU_PAGED_ATTN): "gather" (DEFAULT since
+    # r5) = gather the table's pages into a contiguous slab and run the
+    # grouped-GQA attention — XLA pipelines the gather with the adjacent
+    # int4 GEMMs' weight streaming and it wins EVERY shape measured
+    # (r5 back-to-back engine bursts, /tmp->CHIP_AB_R5_PAGED.json:
+    # mistral-7b bs8 cap512 773.8 vs 490.6 tok/s, tinyllama bs8 1968.4
+    # vs 1305.7, mistral int8 803.5 vs 463.0, and even mistral cap4096
+    # 251.7 vs 97.4 where the gather's extra slab write+read was
+    # expected to lose — the decode_attn lesson again: a pallas_call
+    # boundary drains the DMA pipeline and the bespoke kernel's page
+    # streaming runs ~25% of the chip's rate). "1"/"bespoke" = the
+    # block-table kernel (ops/paged_attn.py — still the only path that
+    # avoids materializing the slab, for memory-tight configs); "stock"
+    # = jax.experimental's paged kernel (fails Mosaic at hd64/ps32, r3);
+    # "force" = bespoke in interpret mode off-TPU (tests).
+    flag = _os.environ.get("AWQ_TPU_PAGED_ATTN", "gather")
     on_tpu = jax.default_backend() == "tpu"
-    if method != "jnp" and flag not in ("0", "stock") \
+    if method != "jnp" and flag not in ("0", "gather", "stock") \
             and (on_tpu or flag == "force"):
         from autoawq_tpu.ops import paged_attn
 
