@@ -303,20 +303,15 @@ def main():
                                     "hbm_limit_gb": round(limit / 1e9, 1)},
                        "rows": rows}, f, indent=1)
 
-    def run_one(cfg, params, b, ctx, cap, kv_quant=False):
-        prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, ctx)))
-
-        # prefill timing: 8 loop-variant reps chained inside ONE jit —
-        # per-dispatch tunnel RPC (~30 ms) would otherwise swamp a
-        # single prefill and under-report tok/s by up to ~10x
-        reps = 8
+    def make_prefill_reps(cfg, b, ctx, kv_quant, reps=8):
+        """Prefill timing fn: `reps` loop-variant prefills chained inside
+        ONE jit (per-dispatch tunnel RPC would otherwise swamp a single
+        prefill). Cache sized to ctx — prefill never writes past it, and
+        the loop keeps init + carry copies alive, so decode-capacity
+        sizing here is what OOM'd the 13B b3 cap-4096 row."""
 
         @functools.partial(jax.jit, static_argnames=())
         def prefill_reps(params, prompt):
-            # cache sized to ctx — prefill never writes past it, and the
-            # decode capacity would only inflate the loop's live buffers
-            # (the 13B b3 cap-4096 row OOM'd on exactly that: the loop
-            # keeps init + carry copies of the cache alive)
             caches0 = gen.init_kv_cache(cfg, b, ctx, jnp.bfloat16,
                                         kv_quant=kv_quant)
 
@@ -331,18 +326,60 @@ def main():
                                        (jnp.float32(0.0), caches0))
             return acc
 
-        np.asarray(prefill_reps(params, prompt))
+        return prefill_reps
+
+    def time_prefill(prefill_reps, params, prompt, b, ctx, reps=8):
+        np.asarray(prefill_reps(params, prompt))  # compile
         t0 = time.perf_counter()
         np.asarray(prefill_reps(params, prompt))
-        pre_tps = reps * b * ctx / (time.perf_counter() - t0)
+        return reps * b * ctx / (time.perf_counter() - t0)
 
-        # decode timing: scan of decode steps at pos = cap-1, i.e. the
-        # full-cache steady state the reference only reaches on its LAST
-        # step (conservative). Build (prefill into the cap cache) is a
-        # separate, untimed dispatch whose output cache is DONATED to the
-        # timed scan — one live cache copy, so big-KV rows (13B b3 int8
-        # at cap 4096) fit. Two scan lengths differenced: the scan
-        # dispatch RPC cancels in the subtraction.
+    def make_decode_scan(cfg, cap, n, kv_quant):
+        """`n` decode steps at pos = cap-1 (full-cache steady state — the
+        working set the reference only reaches on its LAST step) in one
+        jit; the cache argument is DONATED so only one copy lives."""
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def f(params, logits, caches):
+            def step(carry, i):
+                logits, caches = carry
+                tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+                logits, caches = gen.decode_step(
+                    cfg, params, tok, caches, jnp.int32(cap - 1),
+                    "auto", jnp.bfloat16)
+                return (logits, caches), ()
+
+            (logits, _), _ = jax.lax.scan(step, (logits, caches),
+                                          jnp.arange(n))
+            return logits
+
+        return f
+
+    def time_decode(make_caches, params, cfg, cap, kv_quant):
+        """Two scan lengths differenced (the scan dispatch RPC cancels);
+        `make_caches() -> (logits, caches)` builds the donated input."""
+        f_small = make_decode_scan(cfg, cap, 32, kv_quant)
+        f_big = make_decode_scan(cfg, cap, 256, kv_quant)
+
+        def timed(f):
+            logits, caches = make_caches()
+            jax.block_until_ready((logits, caches))  # build stays untimed
+            t0 = time.perf_counter()
+            np.asarray(f(params, logits, caches))
+            return time.perf_counter() - t0
+
+        timed(f_small), timed(f_big)  # compile
+        t_small = min(timed(f_small) for _ in range(2))
+        t_big = min(timed(f_big) for _ in range(2))
+        return (256 - 32) / (t_big - t_small)
+
+    def run_one(cfg, params, b, ctx, cap, kv_quant=False):
+        prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, ctx)))
+        pre_tps = time_prefill(make_prefill_reps(cfg, b, ctx, kv_quant),
+                               params, prompt, b, ctx)
+
+        # build = prefill into the cap cache, untimed, its cache donated
+        # into the timed scan (one live copy — big-KV rows fit)
         @jax.jit
         def build(params, prompt):
             caches = gen.init_kv_cache(cfg, b, cap, jnp.bfloat16,
@@ -350,36 +387,8 @@ def main():
             return gen.prefill(cfg, params, prompt, caches,
                                "auto", jnp.bfloat16)
 
-        def decode_steps(n):
-            @functools.partial(jax.jit, donate_argnums=(2,))
-            def f(params, logits, caches):
-                def step(carry, i):
-                    logits, caches = carry
-                    tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
-                    logits, caches = gen.decode_step(
-                        cfg, params, tok, caches, jnp.int32(cap - 1),
-                        "auto", jnp.bfloat16)
-                    return (logits, caches), ()
-
-                (logits, _), _ = jax.lax.scan(step, (logits, caches),
-                                              jnp.arange(n))
-                return logits
-
-            return f
-
-        def timed_scan(f):
-            logits, caches = build(params, prompt)
-            np.asarray(logits)  # sync the untimed build
-            t0 = time.perf_counter()
-            np.asarray(f(params, logits, caches))
-            return time.perf_counter() - t0
-
-        n_small, n_big = 32, 256
-        f_small, f_big = decode_steps(n_small), decode_steps(n_big)
-        timed_scan(f_small), timed_scan(f_big)  # compile
-        t_small = min(timed_scan(f_small) for _ in range(2))
-        t_big = min(timed_scan(f_big) for _ in range(2))
-        best = b * (n_big - n_small) / (t_big - t_small)
+        best = b * time_decode(lambda: build(params, prompt), params, cfg,
+                               cap, kv_quant)
         return pre_tps, best
 
     def run_one_lowmem(cfg, params, b, ctx, cap, kv_quant=False):
@@ -394,63 +403,14 @@ def main():
         Prefill times against a ctx-sized cache exactly like the main
         path (capacity does not change prefill work)."""
         prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, ctx)))
-        reps = 8
-
-        @functools.partial(jax.jit, static_argnames=())
-        def prefill_reps(params, prompt):
-            caches0 = gen.init_kv_cache(cfg, b, ctx, jnp.bfloat16,
-                                        kv_quant=kv_quant)
-
-            def body(i, carry):
-                acc, caches = carry
-                p = jnp.roll(prompt, i, axis=1)
-                logits, caches = gen.prefill(cfg, params, p, caches,
-                                             "auto", jnp.bfloat16)
-                return (acc + logits.mean().astype(jnp.float32), caches)
-
-            acc, _ = jax.lax.fori_loop(0, reps, body,
-                                       (jnp.float32(0.0), caches0))
-            return acc
-
-        np.asarray(prefill_reps(params, prompt))
-        t0 = time.perf_counter()
-        np.asarray(prefill_reps(params, prompt))
-        pre_tps = reps * b * ctx / (time.perf_counter() - t0)
+        pre_tps = time_prefill(make_prefill_reps(cfg, b, ctx, kv_quant),
+                               params, prompt, b, ctx)
 
         init_j = jax.jit(lambda: gen.init_kv_cache(
             cfg, b, cap, jnp.bfloat16, kv_quant=kv_quant))
-
-        def decode_steps(n):
-            @functools.partial(jax.jit, donate_argnums=(2,))
-            def f(params, logits, caches):
-                def step(carry, i):
-                    logits, caches = carry
-                    tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
-                    logits, caches = gen.decode_step(
-                        cfg, params, tok, caches, jnp.int32(cap - 1),
-                        "auto", jnp.bfloat16)
-                    return (logits, caches), ()
-
-                (logits, _), _ = jax.lax.scan(step, (logits, caches),
-                                              jnp.arange(n))
-                return logits
-
-            return f
-
         logits0 = jnp.zeros((b, cfg.vocab_size), jnp.float32)
-
-        def timed_scan3(f):
-            caches = init_j()
-            jax.block_until_ready(caches)
-            t0 = time.perf_counter()
-            np.asarray(f(params, logits0, caches))
-            return time.perf_counter() - t0
-
-        f_small, f_big = decode_steps(32), decode_steps(256)
-        timed_scan3(f_small), timed_scan3(f_big)
-        t_small = min(timed_scan3(f_small) for _ in range(2))
-        t_big = min(timed_scan3(f_big) for _ in range(2))
-        best = b * (256 - 32) / (t_big - t_small)
+        best = b * time_decode(lambda: (logits0, init_j()), params, cfg,
+                               cap, kv_quant)
         return pre_tps, best
 
     for name, b, ctx, dec, kv in runs:
