@@ -659,6 +659,14 @@ def attention(
             # adjacent int4 GEMMs' weight streaming. The real fusion is
             # ops/fused_attn_step.py, which absorbs attention INTO the
             # qkv/o GEMM launch; see CHIP_AB_R4_RESULTS.json.)
+            # (MHA layout-copy note, r5: the mpt-7b profile shows ~0.9
+            # ms/step of per-iteration cache-slab layout copies
+            # ({3,1,2,0} carry layout, 2 slabs/layer, ~12% of step wall).
+            # Routing MHA through the grouped branch below measured
+            # EXACTLY the same — the copies come from XLA's while-carry
+            # layout assignment, not the swapaxes formulation — so the
+            # formulation choice stays as A/B'd and the tax is a known
+            # XLA bound for MHA models on this backend.)
             if (s == 1 and method != "jnp"
                     and (quant or (nkv != nh and _gqa_grouped_wins(
                         cfg, b, nh, nkv, hd, kc.shape[2])))):
@@ -1405,8 +1413,16 @@ def logits_fn(cfg: ModelConfig, params: Dict[str, Any], x: jax.Array,
     x = norm(cfg, params["norm"], x)
     if params.get("lm_head") is not None:
         logits = linear(params["lm_head"], x, cfg.vocab_size, method)
-    else:  # tied embeddings
-        logits = jnp.dot(x, params["embed_tokens"]["weight"].T.astype(x.dtype))
+    else:
+        # tied embeddings: contract x's features against embed's dim 1
+        # DIRECTLY — `jnp.dot(x, W.T)` made TPU XLA materialize the
+        # transposed [h, V] table every decode step (MPT profile: ~12% of
+        # step wall in copy-done, exactly the 413 MB tied head at
+        # vocab 50432), while explicit dot dimension numbers stream the
+        # table in place
+        w = params["embed_tokens"]["weight"].astype(x.dtype)  # [V, h]
+        logits = jax.lax.dot_general(
+            x, w, (((x.ndim - 1,), (1,)), ((), ())))
     logits = logits.astype(jnp.float32)
     if cfg.logit_divisor:  # minicpm: logits / (hidden / dim_model_base)
         logits = logits / cfg.logit_divisor
