@@ -152,3 +152,29 @@ def test_pack_planar_jnp_bit_identical(rng):
     np.testing.assert_allclose(
         np.asarray(pad_scales_jnp(jnp.asarray(sc))),
         packing.pad_scales_planar(sc))
+
+
+def test_k_padded_model_under_tp(rng, requires_multidevice):
+    """K-padded weights compose with Megatron-TP sharding: the sharded
+    greedy stream must bit-match the unsharded one (h=384 at g128 is 3
+    groups — odd — padded to 512; x zero-pad happens per shard)."""
+    from autoawq_tpu.parallel.mesh import build_mesh
+
+    cfg = ModelConfig(
+        model_type="llama", vocab_size=128, hidden_size=384,
+        intermediate_size=512, num_hidden_layers=2, num_attention_heads=6,
+        num_key_value_heads=2, head_dim=64, max_position_embeddings=64)
+    params = init_random_params(cfg, seed=1, scale=0.08)
+    calib = rng.integers(0, 128, (2, 16))
+    q = AwqQuantizer(cfg, AwqConfig(q_group_size=128), params, calib,
+                     progress=False).quantize()
+    assert q["layers"][0]["mlp"]["gate_proj"]["qweight"].shape[0] == 256
+
+    m = AwqCausalLM(cfg, q, AwqConfig(q_group_size=128))
+    toks = jnp.asarray(rng.integers(0, 128, (1, 8)))
+    ref = np.asarray(m.generate(toks, max_new_tokens=6))
+    mesh = build_mesh(tensor=2, data=4)
+    m.shard(mesh)
+    with mesh:
+        got = np.asarray(m.generate(toks, max_new_tokens=6))
+    np.testing.assert_array_equal(ref, got)
