@@ -28,8 +28,8 @@ BASELINE_TOK_S = 548.99  # RTX 4090, AutoAWQ GEMV, TinyLlama 1B, bs1 ctx64
 # measured 781.4-784.5 and r5 780.3/785.0 across multiple exclusive
 # windows on identical or faster code paths, so 793.55 is attributed to
 # tunnel-hour variance (the probed HBM rate itself swings ~15% by hour).
-# 785.0 is the best number the CURRENT tree has actually hit.
-LAST_GOOD_TOK_S = 785.0
+# 784.99 is the best number the CURRENT tree has actually hit.
+LAST_GOOD_TOK_S = 784.99
 REGRESSION_PCT = 3.0
 CTX = 64
 DECODE_TOKENS = 512
